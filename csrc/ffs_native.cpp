@@ -1,0 +1,356 @@
+// ffs_native: native decode kernels for the ffs_tpu ingest path.
+//
+// TPU-native equivalent of the reference's host-side decompression
+// (reference: spotfinder/spotfinder.cc:823-855 uses the bitshuffle library's
+// bshuf_decompress_lz4; integrator/integrator.cc:907-922 likewise, and CBF
+// byte-offset decode lives in spotfinder/cbfread.hpp).  Implemented from the
+// published LZ4-block / bitshuffle / CBF format specifications — no vendored
+// third-party code.
+//
+// Exposed as a plain C ABI for ctypes.  All functions return 0 on success,
+// negative error codes otherwise.  They hold no global state and are safe to
+// call concurrently from multiple threads (the Python side releases the GIL
+// through ctypes).
+//
+// Build: g++ -O3 -march=native -shared -fPIC -o libffs_native.so ffs_native.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// LZ4 block format decoder (https://github.com/lz4/lz4/blob/dev/doc/lz4_Block_format.md)
+// ---------------------------------------------------------------------------
+
+// Decompress one raw LZ4 block.  Returns bytes written or negative on error.
+long long ffs_lz4_decompress_block(const uint8_t* src,
+                                   long long src_len,
+                                   uint8_t* dst,
+                                   long long dst_capacity) {
+    const uint8_t* ip = src;
+    const uint8_t* const iend = src + src_len;
+    uint8_t* op = dst;
+    uint8_t* const oend = dst + dst_capacity;
+
+    while (ip < iend) {
+        const uint8_t token = *ip++;
+
+        // literals
+        size_t lit_len = token >> 4;
+        if (lit_len == 15) {
+            uint8_t s;
+            do {
+                if (ip >= iend) return -1;
+                s = *ip++;
+                lit_len += s;
+            } while (s == 255);
+        }
+        if (ip + lit_len > iend || op + lit_len > oend) return -2;
+        std::memcpy(op, ip, lit_len);
+        ip += lit_len;
+        op += lit_len;
+
+        if (ip >= iend) break;  // last sequence has no match
+
+        // match
+        if (ip + 2 > iend) return -3;
+        const size_t offset = static_cast<size_t>(ip[0]) | (static_cast<size_t>(ip[1]) << 8);
+        ip += 2;
+        if (offset == 0 || op - dst < static_cast<ptrdiff_t>(offset)) return -4;
+
+        size_t match_len = token & 0x0F;
+        if (match_len == 15) {
+            uint8_t s;
+            do {
+                if (ip >= iend) return -5;
+                s = *ip++;
+                match_len += s;
+            } while (s == 255);
+        }
+        match_len += 4;
+        if (op + match_len > oend) return -6;
+
+        const uint8_t* match = op - offset;
+        // overlapping copy must run forward byte-by-byte when offset < len
+        if (offset >= match_len) {
+            std::memcpy(op, match, match_len);
+            op += match_len;
+        } else {
+            for (size_t i = 0; i < match_len; ++i) *op++ = *match++;
+        }
+    }
+    return static_cast<long long>(op - dst);
+}
+
+// Greedy LZ4 block compressor (hash-chain-free; correctness-oriented, used
+// for round-trip tests and the SHM writer test fixture).
+long long ffs_lz4_compress_block(const uint8_t* src,
+                                 long long src_len,
+                                 uint8_t* dst,
+                                 long long dst_capacity) {
+    // Simple 16-bit rolling hash table of last positions.
+    const int HASH_BITS = 16;
+    const size_t HASH_SIZE = 1u << HASH_BITS;
+    static thread_local int64_t table[1u << 16];
+    for (size_t i = 0; i < HASH_SIZE; ++i) table[i] = -1;
+
+    auto hash = [](const uint8_t* p) -> uint32_t {
+        uint32_t v;
+        std::memcpy(&v, p, 4);
+        return (v * 2654435761u) >> (32 - 16);
+    };
+
+    const uint8_t* ip = src;
+    const uint8_t* const iend = src + src_len;
+    const uint8_t* anchor = src;
+    uint8_t* op = dst;
+    uint8_t* const oend = dst + dst_capacity;
+
+    auto emit = [&](size_t lit_len, size_t match_len, size_t offset) -> bool {
+        // token
+        if (op + 1 >= oend) return false;
+        uint8_t* token = op++;
+        size_t ll = lit_len, ml = match_len ? match_len - 4 : 0;
+        *token = static_cast<uint8_t>((ll >= 15 ? 15 : ll) << 4 | (match_len ? (ml >= 15 ? 15 : ml) : 0));
+        if (ll >= 15) {
+            ll -= 15;
+            while (ll >= 255) { if (op >= oend) return false; *op++ = 255; ll -= 255; }
+            if (op >= oend) return false;
+            *op++ = static_cast<uint8_t>(ll);
+        }
+        if (op + lit_len > oend) return false;
+        std::memcpy(op, anchor, lit_len);
+        op += lit_len;
+        if (match_len) {
+            if (op + 2 > oend) return false;
+            *op++ = static_cast<uint8_t>(offset & 0xFF);
+            *op++ = static_cast<uint8_t>(offset >> 8);
+            if (ml >= 15) {
+                ml -= 15;
+                while (ml >= 255) { if (op >= oend) return false; *op++ = 255; ml -= 255; }
+                if (op >= oend) return false;
+                *op++ = static_cast<uint8_t>(ml);
+            }
+        }
+        return true;
+    };
+
+    // LZ4 spec: last match must start at least 12 bytes before end; last 5
+    // bytes are always literals.
+    const uint8_t* mflimit = iend - 12;
+    while (ip < mflimit) {
+        if (iend - ip >= 4) {
+            uint32_t h = hash(ip);
+            int64_t cand = table[h];
+            table[h] = ip - src;
+            if (cand >= 0 && (ip - src) - cand <= 65535
+                && std::memcmp(src + cand, ip, 4) == 0) {
+                // extend match
+                const uint8_t* m = src + cand;
+                size_t match_len = 4;
+                while (ip + match_len < iend - 5 && m[match_len] == ip[match_len])
+                    ++match_len;
+                if (!emit(ip - anchor, match_len, ip - m)) return -1;
+                ip += match_len;
+                anchor = ip;
+                continue;
+            }
+        }
+        ++ip;
+    }
+    // trailing literals
+    if (!emit(iend - anchor, 0, 0)) return -1;
+    return static_cast<long long>(op - dst);
+}
+
+// ---------------------------------------------------------------------------
+// Bitshuffle (https://github.com/kiyo-masui/bitshuffle data layout)
+//
+// Within a block of n elements (n multiple of 8) of elem_size bytes, the
+// shuffled layout stores, for each element-byte j and each bit k (MSB
+// first), a packed row of n/8 bytes where byte m holds bit (7-k) of the j-th
+// byte of elements 8m..8m+7 (element 8m+t at bit position t).
+// ---------------------------------------------------------------------------
+
+static void bshuf_untranspose_block(const uint8_t* in,
+                                    uint8_t* out,
+                                    size_t n,  // elements, multiple of 8
+                                    size_t elem_size) {
+    const size_t nb = n / 8;
+    for (size_t j = 0; j < elem_size; ++j) {
+        const uint8_t* rows = in + j * n;  // 8 rows of nb bytes each
+        for (size_t m = 0; m < nb; ++m) {
+            uint8_t b[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+            for (size_t kk = 0; kk < 8; ++kk) {
+                const uint8_t r = rows[kk * nb + m];
+                const uint8_t bit = static_cast<uint8_t>(7 - kk);
+                // spread: bit t of r -> bit `bit` of element 8m+t
+                for (size_t t = 0; t < 8; ++t) {
+                    b[t] |= static_cast<uint8_t>(((r >> t) & 1u) << bit);
+                }
+            }
+            for (size_t t = 0; t < 8; ++t) {
+                out[(8 * m + t) * elem_size + j] = b[t];
+            }
+        }
+    }
+}
+
+static void bshuf_transpose_block(const uint8_t* in,
+                                  uint8_t* out,
+                                  size_t n,
+                                  size_t elem_size) {
+    const size_t nb = n / 8;
+    for (size_t j = 0; j < elem_size; ++j) {
+        uint8_t* rows = out + j * n;
+        for (size_t m = 0; m < nb; ++m) {
+            for (size_t kk = 0; kk < 8; ++kk) {
+                const uint8_t bit = static_cast<uint8_t>(7 - kk);
+                uint8_t r = 0;
+                for (size_t t = 0; t < 8; ++t) {
+                    r |= static_cast<uint8_t>(
+                        ((in[(8 * m + t) * elem_size + j] >> bit) & 1u) << t);
+                }
+                rows[kk * nb + m] = r;
+            }
+        }
+    }
+}
+
+int ffs_bitshuffle_decode(const uint8_t* in, uint8_t* out, long long n_elem,
+                          long long elem_size) {
+    const long long n8 = n_elem - (n_elem % 8);
+    if (n8 > 0) bshuf_untranspose_block(in, out, static_cast<size_t>(n8),
+                                        static_cast<size_t>(elem_size));
+    // trailing elements are stored unshuffled
+    std::memcpy(out + n8 * elem_size, in + n8 * elem_size,
+                static_cast<size_t>((n_elem - n8) * elem_size));
+    return 0;
+}
+
+int ffs_bitshuffle_encode(const uint8_t* in, uint8_t* out, long long n_elem,
+                          long long elem_size) {
+    const long long n8 = n_elem - (n_elem % 8);
+    if (n8 > 0) bshuf_transpose_block(in, out, static_cast<size_t>(n8),
+                                      static_cast<size_t>(elem_size));
+    std::memcpy(out + n8 * elem_size, in + n8 * elem_size,
+                static_cast<size_t>((n_elem - n8) * elem_size));
+    return 0;
+}
+
+static uint32_t read_be32(const uint8_t* p) {
+    return (static_cast<uint32_t>(p[0]) << 24) | (static_cast<uint32_t>(p[1]) << 16)
+           | (static_cast<uint32_t>(p[2]) << 8) | static_cast<uint32_t>(p[3]);
+}
+
+static long long bshuf_default_block_size(long long elem_size) {
+    // bitshuffle's default: target 8192 bytes, multiple of 8 elements
+    long long block = 8192 / elem_size;
+    block = (block / 8) * 8;
+    if (block < 8) block = 8;
+    return block;
+}
+
+// Decompress a bitshuffle-LZ4 stream (the HDF5 filter-32008 payload *after*
+// its 12-byte header): per block, BE u32 compressed length + LZ4 data.
+// block_elem <= 0 selects the bitshuffle default block size.
+int ffs_bshuf_lz4_decompress(const uint8_t* src, long long src_len,
+                             uint8_t* dst, long long n_elem,
+                             long long elem_size, long long block_elem) {
+    if (block_elem <= 0) block_elem = bshuf_default_block_size(elem_size);
+    // scratch for one block
+    static thread_local uint8_t* scratch = nullptr;
+    static thread_local long long scratch_size = 0;
+    const long long block_bytes = block_elem * elem_size;
+    if (scratch_size < block_bytes) {
+        delete[] scratch;
+        scratch = new uint8_t[block_bytes];
+        scratch_size = block_bytes;
+    }
+
+    const uint8_t* ip = src;
+    const uint8_t* const iend = src + src_len;
+    long long done = 0;
+    while (done < n_elem) {
+        const long long this_elem = (n_elem - done < block_elem) ? (n_elem - done) : block_elem;
+        const long long this_bytes = this_elem * elem_size;
+        if (ip + 4 > iend) return -10;
+        const uint32_t comp_len = read_be32(ip);
+        ip += 4;
+        if (ip + comp_len > iend) return -11;
+        const long long written =
+            ffs_lz4_decompress_block(ip, comp_len, scratch, this_bytes);
+        if (written != this_bytes) return -12;
+        ip += comp_len;
+        ffs_bitshuffle_decode(scratch, dst + done * elem_size, this_elem, elem_size);
+        done += this_elem;
+    }
+    return 0;
+}
+
+// Compress with the same framing (testing fixture / SHM writer).
+long long ffs_bshuf_lz4_compress(const uint8_t* src, long long n_elem,
+                                 long long elem_size, uint8_t* dst,
+                                 long long dst_capacity, long long block_elem) {
+    if (block_elem <= 0) block_elem = bshuf_default_block_size(elem_size);
+    const long long block_bytes = block_elem * elem_size;
+    uint8_t* scratch = new uint8_t[block_bytes];
+    uint8_t* op = dst;
+    long long done = 0;
+    while (done < n_elem) {
+        const long long this_elem = (n_elem - done < block_elem) ? (n_elem - done) : block_elem;
+        const long long this_bytes = this_elem * elem_size;
+        ffs_bitshuffle_encode(src + done * elem_size, scratch, this_elem, elem_size);
+        if (op + 4 - dst > dst_capacity) { delete[] scratch; return -1; }
+        long long comp = ffs_lz4_compress_block(scratch, this_bytes, op + 4,
+                                                dst_capacity - (op - dst) - 4);
+        if (comp < 0) { delete[] scratch; return -2; }
+        op[0] = static_cast<uint8_t>((comp >> 24) & 0xFF);
+        op[1] = static_cast<uint8_t>((comp >> 16) & 0xFF);
+        op[2] = static_cast<uint8_t>((comp >> 8) & 0xFF);
+        op[3] = static_cast<uint8_t>(comp & 0xFF);
+        op += 4 + comp;
+        done += this_elem;
+    }
+    delete[] scratch;
+    return static_cast<long long>(op - dst);
+}
+
+// ---------------------------------------------------------------------------
+// CBF byte-offset decompression (reference behaviour: spotfinder/cbfread.hpp)
+// ---------------------------------------------------------------------------
+
+// Decode CBF byte-offset into int32.  Returns elements written or negative.
+long long ffs_byte_offset_decompress(const uint8_t* src, long long src_len,
+                                     int32_t* dst, long long n_out) {
+    const uint8_t* ip = src;
+    const uint8_t* const iend = src + src_len;
+    int64_t value = 0;
+    long long n = 0;
+    while (ip < iend && n < n_out) {
+        int8_t d8 = static_cast<int8_t>(*ip++);
+        if (d8 != -128) {
+            value += d8;
+        } else {
+            if (ip + 2 > iend) return -1;
+            int16_t d16;
+            std::memcpy(&d16, ip, 2);
+            ip += 2;
+            if (d16 != -32768) {
+                value += d16;
+            } else {
+                if (ip + 4 > iend) return -2;
+                int32_t d32;
+                std::memcpy(&d32, ip, 4);
+                ip += 4;
+                value += d32;
+            }
+        }
+        dst[n++] = static_cast<int32_t>(value);
+    }
+    return n;
+}
+
+}  // extern "C"
