@@ -1,0 +1,65 @@
+"""Gather-only stream compaction from per-row prefix counts.
+
+Given the ``rowcum`` output of the fused dispersion kernel (within-row
+inclusive strong-pixel counts), the k-th strong pixel of the frame is found
+with two vectorised binary searches — one over the per-row offsets, one
+within the row — so compaction costs O(K log HW) gathers and touches no
+full-frame temporaries.  This replaces both the reference's host-side pixel
+scan (connected_components.cc:24-31) and any XLA scatter/cumsum over the
+frame.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .connected_components import BIG, CompactPixels
+
+
+def _bsearch(gather, n: int, targets: jnp.ndarray) -> jnp.ndarray:
+    """First index i in [0, n) with value(i) >= target, for monotone values
+    provided through ``gather(idx) -> value``; unrolled binary search."""
+    lo = jnp.zeros_like(targets)
+    hi = jnp.full_like(targets, n)
+    steps = max(1, (n - 1).bit_length())
+    for _ in range(steps):
+        mid = (lo + hi) // 2
+        v = gather(jnp.clip(mid, 0, n - 1))
+        go_right = v < targets
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return lo
+
+
+@functools.partial(jax.jit, static_argnames=("max_pixels",))
+def compact_from_rowcum(
+    image: jnp.ndarray,
+    rowcum: jnp.ndarray,
+    *,
+    max_pixels: int = 32768,
+) -> CompactPixels:
+    """Compact strong pixels (raster order) from within-row prefix counts."""
+    h, w = rowcum.shape
+    row_counts = rowcum[:, -1]
+    row_end = jnp.cumsum(row_counts)  # inclusive: strong pixels through row r
+    count = row_end[-1]
+
+    ks = jnp.arange(1, max_pixels + 1, dtype=jnp.int32)  # 1-based ranks
+    valid = ks <= count
+
+    # row of the k-th strong pixel: first row with row_end >= k
+    row = _bsearch(lambda i: row_end[i], h, ks)
+    row_c = jnp.clip(row, 0, h - 1)
+    prev_end = jnp.where(row_c > 0, row_end[jnp.clip(row_c - 1, 0, h - 1)], 0)
+    rank_in_row = ks - prev_end  # 1-based within the row
+
+    # column: first col with rowcum[row, col] >= rank
+    col = _bsearch(lambda j: rowcum[row_c, jnp.clip(j, 0, w - 1)], w, rank_in_row)
+    col_c = jnp.clip(col, 0, w - 1)
+
+    lin = jnp.where(valid, row_c * w + col_c, BIG).astype(jnp.int32)
+    inten = jnp.where(valid, image[row_c, col_c].astype(jnp.int32), 0)
+    return CompactPixels(lin, inten, count)

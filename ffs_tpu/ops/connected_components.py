@@ -2,24 +2,26 @@
 
 TPU-native replacement for the reference's host-side Boost-graph connected
 components (reference: spotfinder/connected_components/connected_components.cc
-:17-139, :238-266).  Instead of building an explicit graph per frame on the
-host, strong pixels are labelled in place on device:
+:17-139, :238-266).  The design exploits the sparsity of strong pixels
+(~10^3 of ~10^7 per frame):
 
-  1. every strong pixel starts labelled with its own linear index;
-  2. iterative 4-neighbour min-propagation combined with pointer jumping
-     (label <- label-of-label) converges in O(log diameter) rounds —
-     diffraction spots are a few pixels across, so 2-4 rounds in practice;
-  3. roots (label == own index) are numbered by an exclusive prefix sum,
-     giving dense spot ids in deterministic raster order — the same
-     component ordering as the reference's sorted std::map iteration;
-  4. per-spot statistics (pixel count, intensity-weighted centroid sums,
-     bounding boxes, peak pixel with the reference's deterministic
-     (z, y, x) tie-break) come from masked segment reductions.
+  1. **Gather-based stream compaction** — an inclusive prefix sum over the
+     strong mask, then a vectorised binary search finds the linear index of
+     the k-th strong pixel.  No scatter ops (XLA TPU scatters over the full
+     frame serialize); everything after this step is K-sized (K = the static
+     strong-pixel capacity), so its cost is independent of frame size.
+  2. **Sparse union-find** — 4-neighbour slots located once via binary
+     search over the sorted compact indices; labels converge by iterated
+     min-propagation + pointer jumping in O(log diameter) rounds of K-sized
+     gathers.
+  3. **Spot tables** — dense spot ids from a prefix sum over roots (raster
+     order, matching the reference's sorted-map component ordering), then
+     masked segment reductions for counts/centroids/bounding boxes and the
+     deterministic (z, y, x) peak tie-break.
 
-Everything is fixed-shape (MAX_SPOTS buckets) so the whole per-frame step
-jits once and never recompiles at 500 Hz.
-
-All public functions accept a single frame (H, W); batch with `jax.vmap`.
+Everything is fixed-shape so the whole per-frame step jits once and never
+recompiles in the streaming hot loop.  Public functions take a single frame;
+batch with `jax.vmap`.
 """
 
 from __future__ import annotations
@@ -35,78 +37,84 @@ BIG = jnp.int32(2**30)
 DEFAULT_MAX_SPOTS = 8192
 
 
-def _neighbor_min(lbl: jnp.ndarray) -> jnp.ndarray:
-    """Min over the 4-neighbourhood (and self), BIG-padded at the borders."""
-    up = jnp.concatenate([lbl[1:], jnp.full_like(lbl[:1], BIG)], axis=0)
-    down = jnp.concatenate([jnp.full_like(lbl[:1], BIG), lbl[:-1]], axis=0)
-    left = jnp.concatenate([lbl[:, 1:], jnp.full_like(lbl[:, :1], BIG)], axis=1)
-    right = jnp.concatenate([jnp.full_like(lbl[:, :1], BIG), lbl[:, :-1]], axis=1)
-    return jnp.minimum(jnp.minimum(jnp.minimum(up, down), jnp.minimum(left, right)), lbl)
-
-
-@jax.jit
-def label_components_2d(strong: jnp.ndarray) -> jnp.ndarray:
-    """4-connected component labels for a bool (H, W) mask.
-
-    Returns int32 (H, W): for strong pixels, the linear index of the
-    component's root (its minimum linear index); BIG elsewhere.
-    """
-    h, w = strong.shape
-    lin = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
-    lbl0 = jnp.where(strong, lin, BIG)
-
-    def body(state):
-        lbl, _ = state
-        prop = jnp.where(strong, _neighbor_min(lbl), BIG)
-        # pointer jump: follow the label one hop (label-of-label)
-        flat = prop.reshape(-1)
-        jumped = flat[jnp.clip(prop, 0, h * w - 1)]
-        new = jnp.where(strong, jnp.minimum(prop, jumped), BIG)
-        return new, jnp.any(new != lbl)
-
-    def cond(state):
-        return state[1]
-
-    lbl, _ = jax.lax.while_loop(cond, body, (lbl0, jnp.bool_(True)))
-    return lbl
-
-
 class CompactPixels(NamedTuple):
     """Strong pixels of one frame, compacted in raster order (fixed size K).
 
-    Slots beyond ``count`` hold linear_index == -1.
+    Slots beyond ``count`` hold linear_index == BIG (sorted sentinel).
     """
 
-    linear_index: jnp.ndarray  # (K,) int32, -1 padding
-    intensity: jnp.ndarray  # (K,) int32
-    root: jnp.ndarray  # (K,) int32 root linear index
+    linear_index: jnp.ndarray  # (K,) int32, BIG padding
+    intensity: jnp.ndarray  # (K,) int32, 0 padding
     count: jnp.ndarray  # () int32 number of strong pixels
+
+
+def _searchsorted(sorted_vals: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
+    """First index with sorted_vals[i] >= q (side='left'), vectorised."""
+    return jnp.searchsorted(sorted_vals, queries, side="left").astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("max_pixels",))
 def compact_strong_pixels(
     strong: jnp.ndarray,
     image: jnp.ndarray,
-    labels: jnp.ndarray,
     *,
-    max_pixels: int = 65536,
+    max_pixels: int = 32768,
 ) -> CompactPixels:
-    """Stream-compact strong pixels into fixed-size arrays (raster order)."""
+    """Stream-compact strong pixels (raster order) with gathers only."""
     h, w = strong.shape
-    flat_strong = strong.reshape(-1)
-    seq = jnp.cumsum(flat_strong.astype(jnp.int32)) - flat_strong.astype(jnp.int32)
-    pos = jnp.where(flat_strong, jnp.minimum(seq, max_pixels), max_pixels)
-    lin = jnp.arange(h * w, dtype=jnp.int32)
+    flat = strong.reshape(-1)
+    cs = jnp.cumsum(flat.astype(jnp.int32))  # inclusive prefix sum
+    count = cs[-1]
+    # position of the k-th strong pixel = first index with cs >= k+1
+    ks = jnp.arange(1, max_pixels + 1, dtype=jnp.int32)
+    pos = _searchsorted(cs, ks)
+    valid = ks <= count
+    lin = jnp.where(valid, pos, BIG).astype(jnp.int32)
+    inten = jnp.where(
+        valid, image.reshape(-1)[jnp.clip(pos, 0, h * w - 1)].astype(jnp.int32), 0
+    )
+    return CompactPixels(lin, inten, count)
 
-    def scatter(vals, fill):
-        buf = jnp.full((max_pixels + 1,), fill, dtype=vals.dtype)
-        return buf.at[pos].set(vals, mode="drop")[:max_pixels]
 
-    linear_index = scatter(lin, jnp.int32(-1))
-    intensity = scatter(image.reshape(-1).astype(jnp.int32), jnp.int32(0))
-    root = scatter(labels.reshape(-1), jnp.int32(-1))
-    count = jnp.sum(flat_strong.astype(jnp.int32))
-    return CompactPixels(linear_index, intensity, root, count)
+@functools.partial(jax.jit, static_argnames=("width",))
+def label_compact_pixels(pixels: CompactPixels, *, width: int) -> jnp.ndarray:
+    """4-connected component roots over compacted pixels.
+
+    Returns (K,) int32: the *slot* of each pixel's component root (the
+    component's minimum linear index — deterministic raster-order labels);
+    slot of itself for padding entries.
+    """
+    lin = pixels.linear_index
+    k = lin.shape[0]
+    slots = jnp.arange(k, dtype=jnp.int32)
+    in_spot = lin < BIG
+
+    def neighbor_slot(target, extra_ok):
+        idx = jnp.clip(_searchsorted(lin, target), 0, k - 1)
+        ok = in_spot & extra_ok & (lin[idx] == target)
+        return jnp.where(ok, idx, slots)
+
+    col = lin % width
+    nb = jnp.stack(
+        [
+            neighbor_slot(lin + 1, col < width - 1),
+            neighbor_slot(lin - 1, col > 0),
+            neighbor_slot(lin + width, in_spot),
+            neighbor_slot(lin - width, in_spot),
+        ]
+    )
+
+    def body(state):
+        lbl, _ = state
+        prop = jnp.minimum(lbl, jnp.min(lbl[nb], axis=0))
+        jumped = prop[prop]  # pointer jumping
+        new = jnp.minimum(prop, jumped)
+        return new, jnp.any(new != lbl)
+
+    lbl, _ = jax.lax.while_loop(
+        lambda s: s[1], body, (slots, jnp.bool_(True))
+    )
+    return lbl
 
 
 class SpotTable(NamedTuple):
@@ -115,7 +123,7 @@ class SpotTable(NamedTuple):
     n_spots: jnp.ndarray  # () int32
     valid: jnp.ndarray  # (S,) bool
     n_pixels: jnp.ndarray  # (S,) int32
-    sum_intensity: jnp.ndarray  # (S,) float64-or-f32
+    sum_intensity: jnp.ndarray  # (S,)
     com_x: jnp.ndarray  # (S,) intensity-weighted centre (+0.5 px convention)
     com_y: jnp.ndarray
     com_z: jnp.ndarray
@@ -130,40 +138,53 @@ class SpotTable(NamedTuple):
     peak_z: jnp.ndarray
 
 
-def _segment_spot_stats(
-    px_x,
-    px_y,
-    px_z,
-    intensity,
-    spot_id,
-    in_spot,
-    num_segments,
-    dtype,
-):
-    """Masked segment reductions shared by the 2D (device) path."""
-    sid = jnp.where(in_spot, spot_id, num_segments)  # dump bucket
+@functools.partial(jax.jit, static_argnames=("width", "max_spots", "dtype"))
+def spot_table_from_pixels(
+    pixels: CompactPixels,
+    root_slot: jnp.ndarray,
+    *,
+    width: int,
+    max_spots: int = DEFAULT_MAX_SPOTS,
+    dtype=jnp.float32,
+) -> SpotTable:
+    """Per-spot statistics from compacted, labelled pixels (2D, z = 0)."""
+    lin = pixels.linear_index
+    k = lin.shape[0]
+    slots = jnp.arange(k, dtype=jnp.int32)
+    in_spot = lin < BIG
+
+    # dense spot ids in raster order of component roots
+    is_root = in_spot & (root_slot == slots)
+    spot_seq = jnp.cumsum(is_root.astype(jnp.int32)) - is_root.astype(jnp.int32)
+    n_spots = jnp.sum(is_root.astype(jnp.int32))
+    spot_id = spot_seq[root_slot]
+
+    px_x = jnp.where(in_spot, lin % width, 0)
+    px_y = jnp.where(in_spot, lin // width, 0)
+    px_z = jnp.zeros_like(px_x)
+
+    sid = jnp.where(in_spot, jnp.minimum(spot_id, max_spots), max_spots)
 
     def ssum(vals):
         return jax.ops.segment_sum(
-            jnp.where(in_spot, vals, 0), sid, num_segments=num_segments + 1
-        )[:num_segments]
+            jnp.where(in_spot, vals, 0), sid, num_segments=max_spots + 1
+        )[:max_spots]
 
     def smin(vals, fill):
         return jax.ops.segment_min(
-            jnp.where(in_spot, vals, fill), sid, num_segments=num_segments + 1
-        )[:num_segments]
+            jnp.where(in_spot, vals, fill), sid, num_segments=max_spots + 1
+        )[:max_spots]
 
     def smax(vals, fill):
         return jax.ops.segment_max(
-            jnp.where(in_spot, vals, fill), sid, num_segments=num_segments + 1
-        )[:num_segments]
+            jnp.where(in_spot, vals, fill), sid, num_segments=max_spots + 1
+        )[:max_spots]
 
-    inten = intensity.astype(dtype)
-    n_pixels = ssum(jnp.ones_like(spot_id))
+    inten = pixels.intensity.astype(dtype)
+    n_pixels = ssum(jnp.ones_like(sid))
     sum_i = ssum(inten)
     sum_ix = ssum(inten * px_x.astype(dtype))
     sum_iy = ssum(inten * px_y.astype(dtype))
-    sum_iz = ssum(inten * px_z.astype(dtype))
     x_min = smin(px_x, BIG)
     x_max = smax(px_x, -1)
     y_min = smin(px_y, BIG)
@@ -171,32 +192,28 @@ def _segment_spot_stats(
     z_min = smin(px_z, BIG)
     z_max = smax(px_z, -1)
 
-    # Peak pixel: max intensity; ties broken by smallest (z, y, x) — the
-    # reference's is_signal_preferred ordering (connected_components.cc:143-157)
-    peak_i = smax(intensity, -1)
-    is_peak = in_spot & (intensity == peak_i[jnp.clip(sid, 0, num_segments)])
-    # encode (z, y, x) into one int64 key for a single segment_min
-    key = (
-        px_z.astype(jnp.int64) * jnp.int64(2**42)
-        + px_y.astype(jnp.int64) * jnp.int64(2**21)
-        + px_x.astype(jnp.int64)
-    )
-    peak_key = jax.ops.segment_min(
-        jnp.where(is_peak, key, jnp.int64(2**62)),
-        sid,
-        num_segments=num_segments + 1,
-    )[:num_segments]
-    peak_z = (peak_key // jnp.int64(2**42)).astype(jnp.int32)
-    peak_y = ((peak_key // jnp.int64(2**21)) % jnp.int64(2**21)).astype(jnp.int32)
-    peak_x = (peak_key % jnp.int64(2**21)).astype(jnp.int32)
+    # Peak pixel: max intensity, ties -> smallest (z, y, x); z == 0 here so
+    # the raster linear index is the exact tie-break order
+    # (reference: connected_components.cc:143-157)
+    peak_i = smax(pixels.intensity, -1)
+    is_peak = in_spot & (pixels.intensity == peak_i[jnp.clip(sid, 0, max_spots - 1)])
+    peak_lin = jax.ops.segment_min(
+        jnp.where(is_peak, lin, BIG), sid, num_segments=max_spots + 1
+    )[:max_spots]
+    peak_x = peak_lin % width
+    peak_y = jnp.where(peak_lin < BIG, peak_lin // width, BIG)
+    peak_z = jnp.zeros_like(peak_x)
 
     safe_sum = jnp.where(sum_i > 0, sum_i, 1)
-    return dict(
+    valid = jnp.arange(max_spots, dtype=jnp.int32) < jnp.minimum(n_spots, max_spots)
+    return SpotTable(
+        n_spots=n_spots,
+        valid=valid,
         n_pixels=n_pixels,
         sum_intensity=sum_i,
         com_x=sum_ix / safe_sum + 0.5,
         com_y=sum_iy / safe_sum + 0.5,
-        com_z=sum_iz / safe_sum + 0.5,
+        com_z=jnp.zeros_like(sum_i) + 0.5,
         x_min=x_min,
         x_max=x_max,
         y_min=y_min,
@@ -209,47 +226,6 @@ def _segment_spot_stats(
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("max_spots", "width", "frame_pixels", "dtype")
-)
-def spot_table_from_pixels(
-    pixels: CompactPixels,
-    *,
-    width: int,
-    max_spots: int = DEFAULT_MAX_SPOTS,
-    frame_pixels: int = 2**23,  # >= H*W of the frame (covers Eiger 16M)
-    dtype=jnp.float64,
-) -> SpotTable:
-    """Build the per-spot table from compacted strong pixels (2D, z = 0)."""
-    k = pixels.linear_index.shape[0]
-    in_spot = pixels.linear_index >= 0
-
-    # Dense spot ids: roots numbered in raster order via exclusive cumsum.
-    is_root = in_spot & (pixels.root == pixels.linear_index)
-    root_seq = jnp.cumsum(is_root.astype(jnp.int32)) - is_root.astype(jnp.int32)
-    n_spots = jnp.sum(is_root.astype(jnp.int32))
-
-    # position of each compacted pixel's root within the compacted arrays:
-    # roots are strong pixels, so scatter root linear_index -> slot.
-    # (compaction preserves raster order, so this is a cheap sparse scatter)
-    slot_of_lin = jnp.zeros((frame_pixels,), dtype=jnp.int32)
-    slot_of_lin = slot_of_lin.at[jnp.where(in_spot, pixels.linear_index, 0)].set(
-        jnp.arange(k, dtype=jnp.int32), mode="drop"
-    )
-    root_slot = slot_of_lin[jnp.clip(pixels.root, 0, frame_pixels - 1)]
-    spot_id = root_seq[jnp.clip(root_slot, 0, k - 1)]
-
-    px_x = jnp.where(in_spot, pixels.linear_index % width, 0)
-    px_y = jnp.where(in_spot, pixels.linear_index // width, 0)
-    px_z = jnp.zeros_like(px_x)
-
-    stats = _segment_spot_stats(
-        px_x, px_y, px_z, pixels.intensity, spot_id, in_spot, max_spots, dtype
-    )
-    valid = jnp.arange(max_spots, dtype=jnp.int32) < jnp.minimum(n_spots, max_spots)
-    return SpotTable(n_spots=n_spots, valid=valid, **stats)
-
-
 def peak_centroid_distance(table: SpotTable) -> jnp.ndarray:
     """Euclidean distance between the peak pixel centre and the centroid
     (reference: connected_components.hpp:111-206)."""
@@ -259,7 +235,7 @@ def peak_centroid_distance(table: SpotTable) -> jnp.ndarray:
     return jnp.sqrt(dx * dx + dy * dy + dz * dz)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@jax.jit
 def filter_spots(
     table: SpotTable,
     min_spot_size: jnp.ndarray | int,
@@ -270,9 +246,7 @@ def filter_spots(
     Returns (keep_mask, n_filtered_by_size, n_filtered_by_separation).
     A filter is disabled when its parameter is <= 0, as in the reference.
     """
-    size_ok = jnp.where(
-        min_spot_size > 0, table.n_pixels >= min_spot_size, True
-    )
+    size_ok = jnp.where(min_spot_size > 0, table.n_pixels >= min_spot_size, True)
     sep = peak_centroid_distance(table)
     sep_ok = jnp.where(
         max_peak_centroid_separation > 0,
@@ -283,3 +257,43 @@ def filter_spots(
     # the reference applies the separation filter after the size filter
     n_sep = jnp.sum((table.valid & size_ok & ~sep_ok).astype(jnp.int32))
     return table.valid & size_ok & sep_ok, n_size, n_sep
+
+
+# ---------------------------------------------------------------------------
+# Dense labelling (reference/testing path; the production pipeline uses the
+# sparse compaction + label_compact_pixels route above)
+# ---------------------------------------------------------------------------
+
+
+def _neighbor_min(lbl: jnp.ndarray) -> jnp.ndarray:
+    """Min over the 4-neighbourhood (and self), BIG-padded at the borders."""
+    up = jnp.concatenate([lbl[1:], jnp.full_like(lbl[:1], BIG)], axis=0)
+    down = jnp.concatenate([jnp.full_like(lbl[:1], BIG), lbl[:-1]], axis=0)
+    left = jnp.concatenate([lbl[:, 1:], jnp.full_like(lbl[:, :1], BIG)], axis=1)
+    right = jnp.concatenate([jnp.full_like(lbl[:, :1], BIG), lbl[:, :-1]], axis=1)
+    return jnp.minimum(
+        jnp.minimum(jnp.minimum(up, down), jnp.minimum(left, right)), lbl
+    )
+
+
+@jax.jit
+def label_components_2d(strong: jnp.ndarray) -> jnp.ndarray:
+    """Dense 4-connected labels for a bool (H, W) mask (testing/reference).
+
+    Returns int32 (H, W): for strong pixels, the linear index of the
+    component's root (its minimum linear index); BIG elsewhere.
+    """
+    h, w = strong.shape
+    lin = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    lbl0 = jnp.where(strong, lin, BIG)
+
+    def body(state):
+        lbl, _ = state
+        prop = jnp.where(strong, _neighbor_min(lbl), BIG)
+        flat = prop.reshape(-1)
+        jumped = flat[jnp.clip(prop, 0, h * w - 1)]
+        new = jnp.where(strong, jnp.minimum(prop, jumped), BIG)
+        return new, jnp.any(new != lbl)
+
+    lbl, _ = jax.lax.while_loop(lambda s: s[1], body, (lbl0, jnp.bool_(True)))
+    return lbl

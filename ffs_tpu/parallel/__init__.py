@@ -1,0 +1,8 @@
+"""Multi-chip scaling: device meshes, sharded spotfinding, halo exchange."""
+
+from .mesh import (  # noqa: F401
+    make_mesh,
+    shard_frames,
+    sharded_spotfind_counts,
+    halo_sharded_dispersion,
+)

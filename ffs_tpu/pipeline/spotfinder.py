@@ -126,6 +126,9 @@ def run(argv=None, default_pixel_depth: int = 16) -> int:
     warnings.filterwarnings("ignore")
     import jax
 
+    if os.environ.get("JAX_PLATFORMS"):
+        # the axon TPU plugin ignores the env var; honour it via config
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     jax.config.update("jax_enable_x64", True)
     # persistent compile cache: the service launches one process per
     # collection (reference: service.py:497-507), so cross-process reuse of

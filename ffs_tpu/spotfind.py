@@ -43,10 +43,20 @@ class SpotfindConfig:
     max_strong_pixels: int = 65536
     max_spots: int = 16384
     precision: str = "f64"  # "f64" (bit-parity with DIALS CPU) or "f32"
+    use_pallas: bool | None = None  # None = auto (TPU + f32 + dispersion)
 
     @property
     def dtype(self):
         return jnp.float64 if self.precision == "f64" else jnp.float32
+
+    def pallas_enabled(self) -> bool:
+        if self.use_pallas is not None:
+            return self.use_pallas
+        return (
+            jax.default_backend() == "tpu"
+            and self.precision == "f32"
+            and self.algorithm == "dispersion"
+        )
 
 
 @dataclass
@@ -98,39 +108,57 @@ class SpotfindProcessor:
             )
         self.mask = jax.device_put(mask_dev)
 
-        frame_pixels = 1 << (width * height - 1).bit_length()
         dtype = cfg.dtype
 
+        use_pallas = cfg.pallas_enabled()
+
         def _step(image):
-            if cfg.algorithm == "dispersion":
-                strong = dops.dispersion(
+            if use_pallas:
+                from .ops.compact import compact_from_rowcum
+                from .ops.dispersion_pallas import dispersion_fused
+
+                _, rowcum = dispersion_fused(
                     image,
                     self.mask,
                     self.trusted_max,
                     min_count=cfg.min_count,
                     nsig_b=cfg.nsig_b,
                     nsig_s=cfg.nsig_s,
-                    dtype=dtype,
+                )
+                pixels = compact_from_rowcum(
+                    image, rowcum, max_pixels=cfg.max_strong_pixels
                 )
             else:
-                strong = dops.dispersion_extended(
-                    image,
-                    self.mask,
-                    self.trusted_max,
-                    min_count=cfg.min_count,
-                    nsig_b=cfg.nsig_b,
-                    nsig_s=cfg.nsig_s,
-                    dtype=dtype,
+                if cfg.algorithm == "dispersion":
+                    strong = dops.dispersion(
+                        image,
+                        self.mask,
+                        self.trusted_max,
+                        min_count=cfg.min_count,
+                        nsig_b=cfg.nsig_b,
+                        nsig_s=cfg.nsig_s,
+                        dtype=dtype,
+                    )
+                else:
+                    strong = dops.dispersion_extended(
+                        image,
+                        self.mask,
+                        self.trusted_max,
+                        min_count=cfg.min_count,
+                        nsig_b=cfg.nsig_b,
+                        nsig_s=cfg.nsig_s,
+                        dtype=dtype,
+                    )
+                pixels = cc.compact_strong_pixels(
+                    strong, image, max_pixels=cfg.max_strong_pixels
                 )
-            labels = cc.label_components_2d(strong)
-            pixels = cc.compact_strong_pixels(
-                strong, image, labels, max_pixels=cfg.max_strong_pixels
-            )
+            root_slot = cc.label_compact_pixels(pixels, width=width)
+            root_lin = pixels.linear_index[root_slot]
             table = cc.spot_table_from_pixels(
                 pixels,
+                root_slot,
                 width=width,
                 max_spots=cfg.max_spots,
-                frame_pixels=frame_pixels,
                 dtype=dtype,
             )
             size_keep, _, _ = cc.filter_spots(table, cfg.min_spot_size, -1.0)
@@ -141,7 +169,7 @@ class SpotfindProcessor:
             n_px_filtered = jnp.sum(
                 jnp.where(size_keep, table.n_pixels, 0).astype(jnp.int32)
             )
-            return pixels, table, both_keep, n_boxes, n_px_filtered
+            return pixels, root_lin, table, both_keep, n_boxes, n_px_filtered
 
         self._step = jax.jit(_step)
 
@@ -156,14 +184,14 @@ class SpotfindProcessor:
         self, image_number: int, device_result, want_com: bool = False
     ) -> FrameResult:
         """Block on a dispatched frame and assemble the host result."""
-        pixels, table, both_keep, n_boxes, n_px_filtered = jax.device_get(
+        pixels, root_lin, table, both_keep, n_boxes, n_px_filtered = jax.device_get(
             device_result
         )
         n = int(pixels.count)
         frame_pixels = cc3d.FramePixels(
             linear_index=np.asarray(pixels.linear_index[:n]),
             intensity=np.asarray(pixels.intensity[:n]),
-            root=np.asarray(pixels.root[:n]),
+            root=np.asarray(root_lin[:n]),
         )
         coms = np.zeros((0, 3))
         if want_com:

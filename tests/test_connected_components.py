@@ -25,9 +25,29 @@ def _partition(labels, mask):
     return sorted(tuple(sorted(v)) for v in out.values())
 
 
+def _sparse_label_image(strong, image):
+    """Root-linear-index label image from the sparse device path."""
+    pixels, root_slot = _label(strong, image)
+    root_lin = np.asarray(pixels.linear_index[root_slot])
+    lin = np.asarray(pixels.linear_index)
+    n = int(pixels.count)
+    out = np.full(strong.shape, -1, dtype=np.int64)
+    out.reshape(-1)[lin[:n]] = root_lin[:n]
+    return out
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
-def test_label_2d_matches_scipy(seed):
+def test_label_sparse_matches_scipy(seed):
     rng = np.random.default_rng(seed)
+    strong = rng.random((64, 96)) < 0.2
+    image = rng.integers(1, 100, size=strong.shape).astype(np.uint16)
+    got = _sparse_label_image(strong, image)
+    want, _ = ndimage.label(strong, structure=S4)
+    assert _partition(got, strong) == _partition(want, strong)
+
+
+def test_label_dense_matches_scipy():
+    rng = np.random.default_rng(0)
     strong = rng.random((64, 96)) < 0.2
     got = np.asarray(cc.label_components_2d(jnp.asarray(strong)))
     want, _ = ndimage.label(strong, structure=S4)
@@ -41,32 +61,36 @@ def test_label_2d_spiral():
     strong[:, -1] = True
     strong[-1, :] = True
     strong[2:-1, 0] = True  # broken at (1, 0): still one component? no - two
-    got = np.asarray(cc.label_components_2d(jnp.asarray(strong)))
+    image = np.ones((32, 32), np.uint16)
+    got = _sparse_label_image(strong, image)
     want, _ = ndimage.label(strong, structure=S4)
     assert _partition(got, strong) == _partition(want, strong)
 
 
-def _frame_pixels(strong, image):
-    labels = cc.label_components_2d(jnp.asarray(strong))
+def _label(strong, image, max_pixels=4096):
     pixels = cc.compact_strong_pixels(
-        jnp.asarray(strong), jnp.asarray(image), labels, max_pixels=4096
+        jnp.asarray(strong), jnp.asarray(image), max_pixels=max_pixels
     )
+    root_slot = cc.label_compact_pixels(pixels, width=strong.shape[1])
+    return pixels, root_slot
+
+
+def _frame_pixels(strong, image):
+    pixels, root_slot = _label(strong, image)
+    root_lin = pixels.linear_index[root_slot]
     n = int(pixels.count)
     return cc3d.FramePixels(
         linear_index=np.asarray(pixels.linear_index[:n]),
         intensity=np.asarray(pixels.intensity[:n]),
-        root=np.asarray(pixels.root[:n]),
+        root=np.asarray(root_lin[:n]),
     )
 
 
 def test_spot_table_2d(rng):
     strong = rng.random((48, 80)) < 0.15
     image = rng.integers(1, 1000, size=(48, 80)).astype(np.uint16)
-    labels = cc.label_components_2d(jnp.asarray(strong))
-    pixels = cc.compact_strong_pixels(
-        jnp.asarray(strong), jnp.asarray(image), labels, max_pixels=4096
-    )
-    table = cc.spot_table_from_pixels(pixels, width=80, max_spots=1024)
+    pixels, root_slot = _label(strong, image)
+    table = cc.spot_table_from_pixels(pixels, root_slot, width=80, max_spots=1024)
 
     want, n_want = ndimage.label(strong, structure=S4)
     assert int(table.n_spots) == n_want
@@ -103,11 +127,8 @@ def test_peak_tie_break():
     strong[2, 2:5] = True
     image = np.zeros((8, 8), np.uint16)
     image[2, 2:5] = [7, 9, 9]
-    labels = cc.label_components_2d(jnp.asarray(strong))
-    pixels = cc.compact_strong_pixels(
-        jnp.asarray(strong), jnp.asarray(image), labels, max_pixels=64
-    )
-    table = cc.spot_table_from_pixels(pixels, width=8, max_spots=16)
+    pixels, root_slot = _label(strong, image, max_pixels=64)
+    table = cc.spot_table_from_pixels(pixels, root_slot, width=8, max_spots=16)
     assert int(table.n_spots) == 1
     assert (int(table.peak_x[0]), int(table.peak_y[0])) == (3, 2)
 
@@ -160,11 +181,8 @@ def test_filters():
     assert n_size == 1 and keep.sum() == 1
 
     # device-side filters agree
-    labels = cc.label_components_2d(jnp.asarray(strong))
-    pixels = cc.compact_strong_pixels(
-        jnp.asarray(strong), jnp.asarray(image), labels, max_pixels=256
-    )
-    table = cc.spot_table_from_pixels(pixels, width=16, max_spots=64)
+    pixels, root_slot = _label(strong, image, max_pixels=256)
+    table = cc.spot_table_from_pixels(pixels, root_slot, width=16, max_spots=64)
     keep_d, n_size_d, n_sep_d = cc.filter_spots(table, 3, 2.0)
     assert int(n_size_d) == 1
     assert int(keep_d.sum()) == 1
