@@ -117,30 +117,13 @@ class _DispersionAlgorithm:
 
 
 def run(argv=None, default_pixel_depth: int = 16) -> int:
-    import logging
+    # quiet stderr + persistent compile cache: the service launches one
+    # process per collection (reference: service.py:497-507), so
+    # cross-process reuse of the XLA executables is essential
+    from ..utils.jaxinit import setup
 
-    # keep stderr clean: the service/tests treat stderr output as failure
-    logging.getLogger("jax._src.xla_bridge").setLevel(logging.ERROR)
-    import warnings
-
-    warnings.filterwarnings("ignore")
+    setup(x64=True)
     import jax
-
-    if os.environ.get("JAX_PLATFORMS"):
-        # the axon TPU plugin ignores the env var; honour it via config
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    jax.config.update("jax_enable_x64", True)
-    # persistent compile cache: the service launches one process per
-    # collection (reference: service.py:497-507), so cross-process reuse of
-    # the XLA executables is essential for time-to-first-frame
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.expanduser("~/.cache/ffs_tpu_xla"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
 
     from .. import __version__
     from ..models.geometry import Scan, simple_panel
