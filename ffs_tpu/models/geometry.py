@@ -191,14 +191,13 @@ class Panel:
         )
 
     def get_ray_intersection(self, s1: np.ndarray):
-        """Intersect ray direction(s) s1 with the panel plane -> (xmm, ymm)."""
+        """Intersect ray direction(s) s1 with the panel plane -> (xmm, ymm)
+        in panel-frame mm (DIALS d-matrix solve: s1 ~ d @ (x, y, 1))."""
         s1 = np.asarray(s1, dtype=float)
-        d_mat = np.stack([self.fast_axis, self.slow_axis, self.normal], axis=1)
-        dist = np.dot(self.origin, self.normal)
+        d_mat = np.stack([self.fast_axis, self.slow_axis, self.origin], axis=1)
         v = s1 @ np.linalg.inv(d_mat).T
-        # scale so the ray reaches the plane
         with np.errstate(divide="ignore", invalid="ignore"):
-            return dist * v[..., 0] / v[..., 2], dist * v[..., 1] / v[..., 2]
+            return v[..., 0] / v[..., 2], v[..., 1] / v[..., 2]
 
 
 def simple_panel(
