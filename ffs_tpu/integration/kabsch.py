@@ -1,0 +1,339 @@
+"""Kabsch-frame foreground/background classification and accumulation.
+
+Equivalent of the reference's GPU Kabsch kernel (reference:
+integrator/kabsch.cu:60-675): for every (reflection, frame) pair, each
+shoebox pixel's four voxel corners are mapped to scattered wavevectors and
+tested against the Kabsch-space ellipsoid
+
+    eps1^2/delta_b^2 + eps2^2/delta_b^2 + eps3^2/delta_m^2 <= 1
+
+("ellipsoid" evaluates the low/high/centre phi slices; "dials" a single 2D
+ellipse ignoring eps3).  Foreground pixels accumulate intensity sums and
+centroid moments; background pixels accumulate a bounded 256-bin histogram
+plus overflow count.
+
+TPU formulation: the reference's block-per-shoebox + shared-memory corner
+tile + global atomics (SURVEY.md P4) becomes one jitted step per frame over
+a padded (MAX_ACTIVE, BOX_H, BOX_W) gather of shoebox windows; the atomics
+become masked reductions.  Everything is static-shape so the step compiles
+once for the whole collection.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .background import NUM_BG_BINS
+
+
+@dataclass
+class FrameWork:
+    """Per-frame work unit: which reflections are active and their windows."""
+
+    refl_idx: np.ndarray  # (A,) indices into the global reflection arrays
+    x0: np.ndarray  # (A,) window origins (pixels)
+    y0: np.ndarray
+
+
+@dataclass
+class Accumulators:
+    """Global per-reflection accumulators (host resident)."""
+
+    fg_sum: np.ndarray
+    fg_count: np.ndarray
+    sum_ix: np.ndarray  # sum I * (x + 0.5)
+    sum_iy: np.ndarray
+    sum_iz: np.ndarray
+    bg_hist: np.ndarray  # (N, NUM_BG_BINS)
+    bg_overflow: np.ndarray
+    bg_count: np.ndarray
+
+    @classmethod
+    def zeros(cls, n: int) -> "Accumulators":
+        return cls(
+            fg_sum=np.zeros(n),
+            fg_count=np.zeros(n, dtype=np.int64),
+            sum_ix=np.zeros(n),
+            sum_iy=np.zeros(n),
+            sum_iz=np.zeros(n),
+            bg_hist=np.zeros((n, NUM_BG_BINS), dtype=np.int64),
+            bg_overflow=np.zeros(n, dtype=np.int64),
+            bg_count=np.zeros(n, dtype=np.int64),
+        )
+
+
+class KabschIntegrator:
+    """Owns the jitted per-frame classification step."""
+
+    def __init__(
+        self,
+        *,
+        panel,
+        beam,
+        gonio,
+        scan,
+        s1: np.ndarray,  # (N, 3) predicted s1 at reflection centres
+        phi: np.ndarray,  # (N,) predicted phi (radians)
+        bboxes: np.ndarray,  # (N, 6) x_min,x_max,y_min,y_max,z_min,z_max
+        delta_b: float,
+        delta_m: float,
+        algorithm: str = "ellipsoid",
+        box_pad: int = 8,
+        max_active: int = 2048,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        self._jnp = jnp
+        self.panel = panel
+        self.scan = scan
+        self.s1 = np.asarray(s1, dtype=np.float64)
+        self.phi = np.asarray(phi, dtype=np.float64)
+        self.bboxes = np.asarray(bboxes, dtype=np.int64)
+        self.algorithm = algorithm
+        self.max_active = max_active
+
+        widths = self.bboxes[:, 1] - self.bboxes[:, 0]
+        heights = self.bboxes[:, 3] - self.bboxes[:, 2]
+        self.box_w = int(
+            ((max(int(widths.max(initial=1)), 1) + box_pad) + 7) // 8 * 8
+        )
+        self.box_h = int(
+            ((max(int(heights.max(initial=1)), 1) + box_pad) + 7) // 8 * 8
+        )
+
+        # static model parameters captured in the jit closure
+        self._s0 = jnp.asarray(beam.s0)
+        self._m2 = jnp.asarray(
+            gonio.rotation_axis / np.linalg.norm(gonio.rotation_axis)
+        )
+        self._wl = float(beam.wavelength)
+        self._fast = jnp.asarray(panel.fast_axis)
+        self._slow = jnp.asarray(panel.slow_axis)
+        self._origin = jnp.asarray(panel.origin)
+        self._px = float(panel.pixel_size[0])
+        self._py = float(panel.pixel_size[1])
+        self._parallax = bool(panel.parallax and panel.mu > 0)
+        self._mu = float(panel.mu)
+        self._t0 = float(panel.thickness)
+        normal = np.cross(panel.fast_axis, panel.slow_axis)
+        if np.dot(panel.origin, normal) < 0:
+            normal = -normal
+        self._normal = jnp.asarray(normal / np.linalg.norm(normal))
+        self._delta_b = float(delta_b)
+        self._delta_m = float(delta_m)
+
+        self._step = jax.jit(
+            self._frame_step, static_argnames=("centre_slices",)
+        )
+
+    # --- device math --------------------------------------------------------
+
+    def _corner_s_pixel(self, cx, cy):
+        """Scattered unit wavevector / wavelength at pixel corner (cx, cy)
+        (reference: kabsch.cu:174-258, incl. parallax px_to_mm)."""
+        jnp = self._jnp
+        x1 = cx * self._px
+        x2 = cy * self._py
+        if self._parallax:
+            lab0 = (
+                self._origin
+                + x1[..., None] * self._fast
+                + x2[..., None] * self._slow
+            )
+            s1_hat = lab0 / jnp.linalg.norm(lab0, axis=-1, keepdims=True)
+            cos_t = s1_hat @ self._normal
+            o = (1.0 / self._mu) - (self._t0 / cos_t + 1.0 / self._mu) * jnp.exp(
+                -self._mu * self._t0 / cos_t
+            )
+            x1 = x1 - (s1_hat @ self._fast) * o
+            x2 = x2 - (s1_hat @ self._slow) * o
+        lab = (
+            self._origin + x1[..., None] * self._fast + x2[..., None] * self._slow
+        )
+        return lab / jnp.linalg.norm(lab, axis=-1, keepdims=True) / self._wl
+
+    def _frame_step(
+        self,
+        image,
+        det_mask,
+        x0,
+        y0,
+        bbox,  # (A, 6)
+        s1_c,  # (A, 3)
+        phi_c,  # (A,)
+        e1,
+        e2,
+        zeta,
+        active,  # (A,) bool
+        phi_low,
+        phi_high,
+        z_value,
+        centre_slices: bool,
+    ):
+        jnp = self._jnp
+        A = x0.shape[0]
+        bh, bw = self.box_h, self.box_w
+
+        # image padded by the box size on each side so window slices never
+        # clamp; mask zero in the padding
+        import jax
+
+        def get_window(arr, yy, xx):
+            return jax.lax.dynamic_slice(arr, (yy, xx), (bh, bw))
+
+        windows = jax.vmap(lambda yy, xx: get_window(image, yy, xx))(
+            y0 + bh, x0 + bw
+        ).astype(jnp.float32)
+        mwin = jax.vmap(lambda yy, xx: get_window(det_mask, yy, xx))(
+            y0 + bh, x0 + bw
+        )
+
+        px = x0[:, None] + jnp.arange(bw)[None, :]  # (A, bw)
+        py = y0[:, None] + jnp.arange(bh)[None, :]  # (A, bh)
+        in_bbox = (
+            (px[:, None, :] >= bbox[:, 0, None, None])
+            & (px[:, None, :] <= bbox[:, 1, None, None])
+            & (py[:, :, None] >= bbox[:, 2, None, None])
+            & (py[:, :, None] <= bbox[:, 3, None, None])
+        )
+        valid_px = in_bbox & (mwin != 0) & active[:, None, None]
+
+        # corner grid (A, bh+1, bw+1, 3)
+        cx = (x0[:, None] + jnp.arange(bw + 1)[None, :]).astype(jnp.float64)
+        cy = (y0[:, None] + jnp.arange(bh + 1)[None, :]).astype(jnp.float64)
+        s_px = self._corner_s_pixel(
+            jnp.broadcast_to(cx[:, None, :], (A, bh + 1, bw + 1)),
+            jnp.broadcast_to(cy[:, :, None], (A, bh + 1, bw + 1)),
+        )
+
+        def fg_at(phi_eval):
+            delta = s_px - s1_c[:, None, None, :]
+            s1_len = jnp.linalg.norm(s1_c, axis=-1)[:, None, None]
+            eps1 = jnp.einsum("ahwc,ac->ahw", delta, e1) / s1_len
+            eps2 = jnp.einsum("ahwc,ac->ahw", delta, e2) / s1_len
+            e12 = eps1 * eps1 + eps2 * eps2
+            if self.algorithm == "dials":
+                return e12 / (self._delta_b**2) <= 1.0
+            eps3 = (zeta * (phi_eval - phi_c))[:, None, None]
+            return (
+                e12 / (self._delta_b**2) + eps3 * eps3 / (self._delta_m**2)
+                <= 1.0
+            )
+
+        if self.algorithm == "dials":
+            corner_in = fg_at(phi_low)
+        else:
+            corner_in = fg_at(phi_low) | fg_at(phi_high)
+            if centre_slices:
+                centre_ok = (phi_c >= jnp.minimum(phi_low, phi_high)) & (
+                    phi_c <= jnp.maximum(phi_low, phi_high)
+                )
+                corner_in = corner_in | (
+                    fg_at(phi_c) & centre_ok[:, None, None]
+                )
+
+        # pixel foreground = OR of its 4 corners (kabsch.cu:336-380)
+        fg = (
+            corner_in[:, :-1, :-1]
+            | corner_in[:, :-1, 1:]
+            | corner_in[:, 1:, :-1]
+            | corner_in[:, 1:, 1:]
+        )
+        fg = fg & valid_px
+        bg = (~fg) & valid_px
+
+        inten = windows
+        fg_f = fg.astype(jnp.float32)
+        fg_sum = jnp.sum(inten * fg_f, axis=(1, 2))
+        fg_count = jnp.sum(fg, axis=(1, 2)).astype(jnp.int32)
+        sum_ix = jnp.sum(inten * fg_f * (px[:, None, :] + 0.5), axis=(1, 2))
+        sum_iy = jnp.sum(inten * fg_f * (py[:, :, None] + 0.5), axis=(1, 2))
+        sum_iz = fg_sum * (z_value + 0.5)
+
+        vals = jnp.clip(windows.astype(jnp.int32), 0, None)
+        overflow = jnp.sum(bg & (vals >= NUM_BG_BINS), axis=(1, 2)).astype(
+            jnp.int32
+        )
+        in_range = bg & (vals < NUM_BG_BINS)
+        onehot = (
+            vals[:, :, :, None] == jnp.arange(NUM_BG_BINS)[None, None, None, :]
+        ) & in_range[:, :, :, None]
+        hist = jnp.sum(onehot, axis=(1, 2)).astype(jnp.int32)
+        bg_count = jnp.sum(bg, axis=(1, 2)).astype(jnp.int32)
+
+        return fg_sum, fg_count, sum_ix, sum_iy, sum_iz, hist, overflow, bg_count
+
+    # --- host driver ---------------------------------------------------------
+
+    def integrate(self, reader, image_numbers, acc: Accumulators) -> None:
+        """Stream frames through the classification step, accumulating."""
+        import jax
+        import jax.numpy as jnp
+
+        osc_start, osc_width = self.scan.oscillation
+        z0 = self.scan.image_range[0]
+        cs_e1 = np.cross(self.s1, np.asarray(self._s0))
+        cs_e1 /= np.linalg.norm(cs_e1, axis=1, keepdims=True)
+        cs_e2 = np.cross(self.s1, cs_e1)
+        cs_e2 /= np.linalg.norm(cs_e2, axis=1, keepdims=True)
+        zeta = cs_e1 @ np.asarray(self._m2)
+
+        for img_no in image_numbers:
+            sel = np.nonzero(
+                (self.bboxes[:, 4] <= img_no) & (self.bboxes[:, 5] > img_no)
+            )[0]
+            if len(sel) == 0:
+                continue
+            image = np.asarray(reader.get_image(img_no))
+            det_mask = reader.get_mask()
+            if det_mask is None:
+                det_mask = np.ones_like(image, dtype=np.uint8)
+            h, w = image.shape
+            pad_img = np.pad(image, ((self.box_h, self.box_h), (self.box_w, self.box_w)))
+            pad_mask = np.pad(
+                det_mask, ((self.box_h, self.box_h), (self.box_w, self.box_w))
+            )
+
+            phi_low = np.deg2rad(osc_start + (img_no - (z0 - 1)) * osc_width)
+            phi_high = np.deg2rad(osc_start + (img_no + 1 - (z0 - 1)) * osc_width)
+
+            for c0 in range(0, len(sel), self.max_active):
+                chunk = sel[c0 : c0 + self.max_active]
+                a = len(chunk)
+                pad_n = self.max_active - a
+
+                def padi(v, fill=0):
+                    return np.concatenate([v, np.full((pad_n,) + v.shape[1:], fill, v.dtype)])
+
+                out = self._step(
+                    jnp.asarray(pad_img),
+                    jnp.asarray(pad_mask),
+                    jnp.asarray(padi(self.bboxes[chunk, 0])),
+                    jnp.asarray(padi(self.bboxes[chunk, 2])),
+                    jnp.asarray(padi(self.bboxes[chunk])),
+                    jnp.asarray(padi(self.s1[chunk])),
+                    jnp.asarray(padi(self.phi[chunk])),
+                    jnp.asarray(padi(cs_e1[chunk])),
+                    jnp.asarray(padi(cs_e2[chunk])),
+                    jnp.asarray(padi(zeta[chunk])),
+                    jnp.asarray(padi(np.ones(a, dtype=bool), False)),
+                    phi_low,
+                    phi_high,
+                    float(img_no),
+                    centre_slices=True,
+                )
+                (
+                    fg_sum, fg_count, sum_ix, sum_iy, sum_iz, hist, overflow, bg_count,
+                ) = (np.asarray(v) for v in out)
+                acc.fg_sum[chunk] += fg_sum[:a]
+                acc.fg_count[chunk] += fg_count[:a]
+                acc.sum_ix[chunk] += sum_ix[:a]
+                acc.sum_iy[chunk] += sum_iy[:a]
+                acc.sum_iz[chunk] += sum_iz[:a]
+                acc.bg_hist[chunk] += hist[:a]
+                acc.bg_overflow[chunk] += overflow[:a]
+                acc.bg_count[chunk] += bg_count[:a]

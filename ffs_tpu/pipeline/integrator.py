@@ -1,0 +1,235 @@
+"""integrator CLI — summation integration.
+
+Equivalent of the reference GPU `integrator` executable (reference:
+integrator/integrator.cc:320-1334): reflections + experiment (+ images) in;
+sigma estimation unless given; prediction if the table is not predicted;
+Kabsch bounding boxes; per-frame foreground/background classification on
+device; background reduction (Tukey or robust-Poisson GLM) over bounded
+histograms; summation intensities with DIALS variances; integrated.refl out.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def run(argv=None) -> int:
+    from ..utils.jaxinit import setup
+
+    setup(x64=True)
+
+    from ..integration import background as bg_mod
+    from ..integration import extent as extent_mod
+    from ..integration import finalize as fin_mod
+    from ..integration import kabsch as kabsch_mod
+    from ..integration.sigma import estimate_sigmas
+    from ..models.experiment import Experiment
+    from ..models.reflection_table import INTEGRATED_SUM, PREDICTED, ReflectionTable
+    from ..prediction.rotation import predict_rotation
+
+    p = argparse.ArgumentParser(prog="integrator")
+    p.add_argument("--reflection", "-r", required=True, metavar="strong.refl")
+    p.add_argument("--experiment", "-e", required=True, metavar="experiments.expt")
+    p.add_argument("--images", "-i", default=None, metavar="images.nxs")
+    p.add_argument("-n", "--threads", type=int, default=0)
+    p.add_argument("--timeout", type=float, default=30.0)
+    p.add_argument("--sigma_m", "-sm", type=float, default=None)
+    p.add_argument("--sigma_b", "-sb", type=float, default=None)
+    p.add_argument(
+        "--sigma_estimation.min_bbox_depth",
+        "--min_bbox_depth",
+        dest="min_bbox_depth",
+        type=int,
+        default=6,
+    )
+    p.add_argument("-a", "--algorithm", default="ellipsoid", choices=["ellipsoid", "dials"])
+    p.add_argument("--background", default="constant", choices=["constant", "glm"])
+    p.add_argument("--min_zeta", type=float, default=0.05)
+    p.add_argument("--output", default="integrated.refl")
+    p.add_argument("--sample", action="store_true", help="Use generated test data")
+    args = p.parse_args(argv)
+
+    expt = Experiment.load(args.experiment)
+    table = ReflectionTable.read(args.reflection)
+    if expt.crystal is None:
+        print("Error: experiment has no crystal model")
+        return 1
+
+    # sigma estimation (integrator.cc:397-444)
+    if args.sigma_b is not None and args.sigma_m is not None:
+        sigma_b, sigma_m = args.sigma_b, args.sigma_m
+    else:
+        sigma_b, sigma_m = estimate_sigmas(table, expt, args.min_bbox_depth)
+    print(
+        f"Using sigma_b={np.degrees(sigma_b):.6f} deg, "
+        f"sigma_m={np.degrees(sigma_m):.6f} deg"
+    )
+
+    # reuse predictions if flagged, else predict (integrator.cc:446-527)
+    flags = np.asarray(table["flags"], np.uint64) if "flags" in table else None
+    if (
+        flags is not None
+        and "s1" in table
+        and "xyzcal.mm" in table
+        and "miller_index" in table
+        and ((flags & PREDICTED) != 0).any()
+    ):
+        sel = (flags & PREDICTED) != 0
+        s1 = np.asarray(table["s1"], np.float64)[sel]
+        phi = np.asarray(table["xyzcal.mm"], np.float64)[sel][:, 2]
+        xyzcal_mm = np.asarray(table["xyzcal.mm"], np.float64)[sel]
+        hkl = np.asarray(table["miller_index"], np.int64)[sel]
+        ids = (
+            np.asarray(table["id"])[sel]
+            if "id" in table
+            else np.zeros(sel.sum(), np.int64)
+        )
+    else:
+        pred = predict_rotation(expt)
+        s1 = pred.s1
+        xyzcal_mm = pred.xyzcal_mm
+        phi = pred.xyzcal_mm[:, 2]
+        hkl = pred.hkl
+        ids = np.zeros(len(s1), np.int64)
+    n = len(s1)
+    print(f"Integrating {n} reflections")
+
+    # bounding boxes + coordinate systems + min_zeta skip
+    bboxes = extent_mod.compute_kabsch_bounding_boxes(
+        expt.beam.s0,
+        expt.goniometer.rotation_axis,
+        s1,
+        phi,
+        sigma_b,
+        sigma_m,
+        expt.panel,
+        expt.scan,
+    )
+    cs = extent_mod.coordinate_systems(
+        expt.beam.s0,
+        expt.goniometer.rotation_axis / np.linalg.norm(expt.goniometer.rotation_axis),
+        s1,
+    )
+    integrate_sel = np.abs(cs.zeta) >= args.min_zeta
+    n_skipped = int((~integrate_sel).sum())
+    if n_skipped:
+        print(f"min_zeta={args.min_zeta:g}: skipping {n_skipped} of {n} reflections")
+
+    # clip bboxes to the detector (off-panel pixels cannot contribute)
+    w, h = expt.panel.image_size
+    bboxes[:, 0] = np.clip(bboxes[:, 0], 0, w - 1)
+    bboxes[:, 1] = np.clip(bboxes[:, 1], 0, w - 1)
+    bboxes[:, 2] = np.clip(bboxes[:, 2], 0, h - 1)
+    bboxes[:, 3] = np.clip(bboxes[:, 3], 0, h - 1)
+
+    # reader
+    if args.sample:
+        from ..io.sample_data import SampleReader
+
+        reader = SampleReader()
+    elif args.images:
+        from ..io.nexus import NexusReader
+
+        reader = NexusReader(args.images)
+    else:
+        print("Error: must provide --images or --sample")
+        return 1
+
+    delta_b = extent_mod.DEFAULT_N_SIGMA * sigma_b * extent_mod.DEFAULT_SIGMA_B_MULTIPLIER
+    delta_m = extent_mod.DEFAULT_N_SIGMA * sigma_m
+
+    integ = kabsch_mod.KabschIntegrator(
+        panel=expt.panel,
+        beam=expt.beam,
+        gonio=expt.goniometer,
+        scan=expt.scan,
+        s1=s1,
+        phi=phi,
+        bboxes=np.where(
+            integrate_sel[:, None], bboxes, np.array([[0, -1, 0, -1, 0, -1]])
+        ),
+        delta_b=delta_b,
+        delta_m=delta_m,
+        algorithm=args.algorithm,
+    )
+    acc = kabsch_mod.Accumulators.zeros(n)
+    z0, z1 = expt.scan.image_range
+    n_images = min(z1 - z0 + 1, reader.get_number_of_images())
+    integ.integrate(reader, range(z0 - 1, z0 - 1 + n_images), acc)
+
+    fin_mod.check_overflow(acc.bg_count, acc.bg_overflow)
+    bg_mean, bg_wsum, bg_valid = bg_mod.estimate_background(
+        acc.bg_hist,
+        acc.bg_overflow,
+        "tukey" if args.background == "constant" else "glm",
+    )
+    result = fin_mod.finalize(
+        acc=acc,
+        bg_mean=bg_mean,
+        bg_wsum=bg_wsum,
+        bg_valid=bg_valid,
+        bboxes=bboxes,
+        s1=s1,
+        phi=phi,
+        hkl=hkl,
+        zeta=cs.zeta,
+        scan=expt.scan,
+        beam=expt.beam,
+        gonio=expt.goniometer,
+        crystal=expt.crystal,
+        sigma_m=sigma_m,
+    )
+    n_valid = int(result.valid.sum())
+    print(
+        f"Summation integration complete: {n_valid} valid reflections out of {n}"
+    )
+    if result.n_background_failures:
+        print(
+            f"Background estimate rejected for {result.n_background_failures} "
+            f"of {n} reflections with foreground pixels"
+        )
+    if n_valid:
+        ints = result.intensity[result.valid]
+        sig = np.sqrt(np.maximum(result.variance[result.valid], 0))
+        print(
+            f"Intensity statistics: min={ints.min():.1f}, max={ints.max():.1f}, "
+            f"mean={ints.mean():.1f}"
+        )
+        pos = sig > 0
+        if pos.any():
+            print(f"Mean I/sigma(I)={np.mean(ints[pos] / sig[pos]):.2f}")
+
+    out = ReflectionTable()
+    out.experiment_ids = list(table.experiment_ids)
+    out.identifiers = list(table.identifiers)
+    out["intensity.sum.value"] = result.intensity
+    out["intensity.sum.variance"] = np.where(result.variance < 0, 0.0, result.variance)
+    out["partiality"] = result.partiality
+    out["miller_index"] = hkl.astype(np.int32)
+    out["lp"] = result.lp
+    out["d"] = result.d
+    out["xyzcal.mm"] = xyzcal_mm
+    out["xyzobs.px.value"] = result.xyzobs_px
+    out["s1"] = s1
+    out["id"] = np.asarray(ids, np.int64)
+    out["num_pixels.background"] = acc.bg_count
+    out["num_pixels.foreground"] = acc.fg_count
+    out["background.sum.value"] = result.background_sum
+    out["background.mean"] = result.background_mean
+    out["flags"] = np.where(
+        result.valid, np.uint64(INTEGRATED_SUM), np.uint64(0)
+    ).astype(np.uint64)
+    out.write(args.output)
+    print(f"Saved integrated reflections to {args.output}")
+    return 0
+
+
+def main() -> None:
+    sys.exit(run())
+
+
+if __name__ == "__main__":
+    sys.exit(run())

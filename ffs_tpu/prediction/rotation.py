@@ -97,7 +97,8 @@ def _rays_for_image(xp, hkl, a1, a2, s0_1, s0_2, dmin, phi_beg, d_osc):
     )
     ok = ok & ok1 & ok2 & (a > 0)
 
-    alpha = alpha1 / (alpha1 + alpha2)
+    denom = alpha1 + alpha2
+    alpha = xp.where(ok, alpha1, 0.5) / xp.where(ok, denom, 1.0)
     us0_1 = s0_1 / xp.linalg.norm(s0_1)
     us0_2 = s0_2 / xp.linalg.norm(s0_2)
     us0 = alpha[:, None] * (us0_2 - us0_1) + us0_1

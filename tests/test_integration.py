@@ -1,0 +1,204 @@
+"""Summation integration: backgrounds, extents, end-to-end recovery."""
+
+import numpy as np
+import pytest
+
+from ffs_tpu.integration import background as bg
+from ffs_tpu.integration import extent as extent_mod
+from ffs_tpu.integration import finalize as fin
+from ffs_tpu.integration import kabsch as kb
+from ffs_tpu.models.crystal import Crystal
+from ffs_tpu.models.experiment import Experiment
+from ffs_tpu.models.geometry import Goniometer, MonochromaticBeam, Scan, simple_panel
+from ffs_tpu.prediction.rotation import predict_rotation
+
+
+def _hist(values):
+    values = np.asarray(values)
+    overflow = int((values >= bg.NUM_BG_BINS).sum())
+    bins = np.bincount(values[values < bg.NUM_BG_BINS], minlength=bg.NUM_BG_BINS)
+    return bins, overflow
+
+
+def test_tukey_background():
+    rng = np.random.default_rng(7)
+    vals = rng.poisson(5.0, size=500)
+    bins, overflow = _hist(vals)
+    mean, wsum, valid = bg.tukey_constant_background(bins[None], np.array([overflow]))
+    assert valid[0]
+    # Tukey mean of a well-behaved Poisson sample is close to the true mean
+    assert mean[0] == pytest.approx(5.0, abs=0.4)
+
+    # outliers are rejected
+    vals2 = np.concatenate([vals, np.full(20, 200)])
+    bins2, overflow2 = _hist(vals2)
+    mean2, _, valid2 = bg.tukey_constant_background(bins2[None], np.array([overflow2]))
+    assert valid2[0] and mean2[0] == pytest.approx(mean[0], abs=0.1)
+
+    # empty histogram invalid
+    _, _, v = bg.tukey_constant_background(
+        np.zeros((1, bg.NUM_BG_BINS), int), np.zeros(1, int)
+    )
+    assert not v[0]
+
+
+def test_glm_background():
+    rng = np.random.default_rng(8)
+    for mu in (2.0, 7.5, 40.0):
+        vals = rng.poisson(mu, size=800)
+        bins, overflow = _hist(vals)
+        mean, wsum, valid = bg.glm_constant_background(bins[None], np.array([overflow]))
+        assert valid[0]
+        assert mean[0] == pytest.approx(mu, rel=0.1)
+        assert wsum[0] == pytest.approx(mean[0] * len(vals))
+
+    # robustness: a block of high outliers barely moves the estimate
+    vals = rng.poisson(5.0, size=800)
+    bins, _ = _hist(np.concatenate([vals, np.full(40, 120)]))
+    mean, _, valid = bg.glm_constant_background(bins[None], np.array([0]))
+    assert valid[0] and mean[0] == pytest.approx(5.0, abs=0.5)
+
+    # too few pixels -> invalid
+    bins3, o3 = _hist(rng.poisson(5.0, size=5))
+    _, _, v3 = bg.glm_constant_background(bins3[None], np.array([o3]))
+    assert not v3[0]
+
+
+@pytest.fixture()
+def integration_experiment():
+    crystal = Crystal([40.0, 0, 0], [0, 50.0, 0], [0, 0, 60.0])
+    expt = Experiment(
+        beam=MonochromaticBeam(wavelength=1.0),
+        panel=simple_panel(120.0, (120.0, 130.0), (0.3, 0.3), (240, 260)),
+        goniometer=Goniometer(),
+        scan=Scan(image_range=(1, 12), oscillation=(0.0, 1.0)),
+        crystal=crystal,
+    )
+    return expt
+
+
+def test_bounding_boxes_contain_predictions(integration_experiment):
+    expt = integration_experiment
+    pred = predict_rotation(expt, dmin=4.0, use_device=False)
+    assert len(pred.hkl) > 10
+    sigma_b, sigma_m = np.deg2rad(0.05), np.deg2rad(0.3)
+    bboxes = extent_mod.compute_kabsch_bounding_boxes(
+        expt.beam.s0,
+        expt.goniometer.rotation_axis,
+        pred.s1,
+        pred.xyzcal_mm[:, 2],
+        sigma_b,
+        sigma_m,
+        expt.panel,
+        expt.scan,
+    )
+    x, y, z = pred.xyzcal_px.T
+    assert (bboxes[:, 0] <= x).all() and (x <= bboxes[:, 1] + 1).all()
+    assert (bboxes[:, 2] <= y).all() and (y <= bboxes[:, 3] + 1).all()
+    assert (bboxes[:, 4] <= z + 0.5).all() and (z - 0.5 <= bboxes[:, 5]).all()
+
+
+class _SyntheticReader:
+    """Frames with Poisson background + Gaussian spots at predictions."""
+
+    def __init__(self, expt, pred, intensity=2000.0, bg_level=4.0, seed=0):
+        rng = np.random.default_rng(seed)
+        w, h = expt.panel.image_size
+        z0, z1 = expt.scan.image_range
+        n_img = z1 - z0 + 1
+        self.frames = rng.poisson(bg_level, size=(n_img, h, w)).astype(np.float64)
+        self.injected = np.zeros(len(pred.hkl))
+        yy, xx = np.mgrid[0:h, 0:w]
+        for i, (px, py, pz) in enumerate(pred.xyzcal_px):
+            for z in range(n_img):
+                # spread over z with a Gaussian of width 0.5 frames
+                fz = np.exp(-((z + 0.5 - (pz + 0.5)) ** 2) / (2 * 0.5**2))
+                if fz < 1e-3:
+                    continue
+                g = np.exp(
+                    -(((xx - px) ** 2 + (yy - py) ** 2) / (2 * 1.2**2))
+                )
+                spot = intensity * fz * g / (2 * np.pi * 1.2**2 * np.sqrt(2 * np.pi) * 0.5)
+                self.frames[z] += spot
+                self.injected[i] += spot.sum()
+        self.frames = np.round(self.frames)
+        self._mask = np.ones((h, w), dtype=np.uint8)
+
+    def get_image(self, img_no):
+        return self.frames[img_no]
+
+    def get_mask(self):
+        return self._mask
+
+    def get_number_of_images(self):
+        return len(self.frames)
+
+
+def test_integration_end_to_end(integration_experiment):
+    expt = integration_experiment
+    pred = predict_rotation(expt, dmin=4.0, use_device=False)
+    # keep reflections away from the detector edges
+    x, y, z = pred.xyzcal_px.T
+    keep = (x > 20) & (x < 220) & (y > 20) & (y < 240) & (z > 1.5) & (z < 10.5)
+    hkl, s1 = pred.hkl[keep], pred.s1[keep]
+    xyzcal_px, xyzcal_mm = pred.xyzcal_px[keep], pred.xyzcal_mm[keep]
+    assert len(hkl) >= 5
+
+    import types
+
+    P = types.SimpleNamespace(
+        hkl=hkl, s1=s1, xyzcal_px=xyzcal_px, xyzcal_mm=xyzcal_mm
+    )
+    reader = _SyntheticReader(expt, P)
+
+    sigma_b = np.deg2rad(0.08)
+    sigma_m = np.deg2rad(0.4)
+    phi = xyzcal_mm[:, 2]
+    bboxes = extent_mod.compute_kabsch_bounding_boxes(
+        expt.beam.s0, expt.goniometer.rotation_axis, s1, phi,
+        sigma_b, sigma_m, expt.panel, expt.scan,
+    )
+    w, h = expt.panel.image_size
+    bboxes[:, 0] = np.clip(bboxes[:, 0], 0, w - 1)
+    bboxes[:, 1] = np.clip(bboxes[:, 1], 0, w - 1)
+    bboxes[:, 2] = np.clip(bboxes[:, 2], 0, h - 1)
+    bboxes[:, 3] = np.clip(bboxes[:, 3], 0, h - 1)
+
+    integ = kb.KabschIntegrator(
+        panel=expt.panel, beam=expt.beam, gonio=expt.goniometer, scan=expt.scan,
+        s1=s1, phi=phi, bboxes=bboxes,
+        delta_b=3 * sigma_b * 2, delta_m=3 * sigma_m, max_active=256,
+    )
+    acc = kb.Accumulators.zeros(len(hkl))
+    integ.integrate(reader, range(0, 12), acc)
+
+    assert (acc.fg_count > 0).all()
+    assert (acc.bg_count > 50).all()
+
+    bg_mean, bg_wsum, bg_valid = bg.tukey_constant_background(acc.bg_hist, acc.bg_overflow)
+    assert bg_valid.all()
+    # background level recovered
+    np.testing.assert_allclose(bg_mean, 4.0, atol=1.0)
+
+    cs = extent_mod.coordinate_systems(
+        expt.beam.s0, expt.goniometer.rotation_axis, s1
+    )
+    result = fin.finalize(
+        acc=acc, bg_mean=bg_mean, bg_wsum=bg_wsum, bg_valid=bg_valid,
+        bboxes=bboxes, s1=s1, phi=phi, hkl=hkl, zeta=cs.zeta,
+        scan=expt.scan, beam=expt.beam, gonio=expt.goniometer,
+        crystal=expt.crystal, sigma_m=sigma_m,
+    )
+    assert result.valid.all()
+    # intensities recover the injected signal within uncertainty:
+    # the foreground ellipsoid captures most but not all of the Gaussian
+    ratio = result.intensity / reader.injected
+    assert np.median(ratio) > 0.7
+    assert (ratio < 1.15).all()
+    # centroids land on the predictions
+    np.testing.assert_allclose(result.xyzobs_px[:, 0], xyzcal_px[:, 0], atol=1.0)
+    np.testing.assert_allclose(result.xyzobs_px[:, 1], xyzcal_px[:, 1], atol=1.0)
+    # d-spacings positive and sensible
+    assert (result.d > 3.9).all()
+    # LP corrections positive
+    assert (result.lp > 0).all()

@@ -1,0 +1,109 @@
+"""End-to-end integrator CLI on synthetic NeXus frames."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from ffs_tpu.models.crystal import Crystal
+from ffs_tpu.models.experiment import Experiment
+from ffs_tpu.models.geometry import Goniometer, MonochromaticBeam, Scan, simple_panel
+from ffs_tpu.models.reflection_table import PREDICTED, ReflectionTable
+from ffs_tpu.prediction.rotation import predict_rotation
+
+from .test_integration import _SyntheticReader
+from .util import write_nexus
+
+
+@pytest.mark.slow
+def test_integrator_cli(tmp_path, monkeypatch):
+    crystal = Crystal([40.0, 0, 0], [0, 50.0, 0], [0, 0, 60.0])
+    expt = Experiment(
+        beam=MonochromaticBeam(wavelength=1.0),
+        panel=simple_panel(120.0, (120.0, 130.0), (0.3, 0.3), (240, 260)),
+        goniometer=Goniometer(),
+        scan=Scan(image_range=(1, 12), oscillation=(0.0, 1.0)),
+        crystal=crystal,
+    )
+    pred = predict_rotation(expt, dmin=4.0, use_device=False)
+    x, y, z = pred.xyzcal_px.T
+    keep = (x > 20) & (x < 220) & (y > 20) & (y < 240) & (z > 1.5) & (z < 10.5)
+
+    import types
+
+    P = types.SimpleNamespace(
+        hkl=pred.hkl[keep],
+        s1=pred.s1[keep],
+        xyzcal_px=pred.xyzcal_px[keep],
+        xyzcal_mm=pred.xyzcal_mm[keep],
+    )
+    reader = _SyntheticReader(expt, P)
+
+    monkeypatch.chdir(tmp_path)
+    write_nexus(
+        "images.nxs",
+        reader.frames.astype(np.uint16),
+        wavelength=1.0,
+        distance=0.12,
+        pixel_size=0.3e-3,
+        beam_center=(120.0, 130.0),
+        oscillation=(0.0, 1.0),
+    )
+    expt.save("indexed.expt")
+    table = ReflectionTable()
+    table["miller_index"] = P.hkl.astype(np.int32)
+    table["s1"] = P.s1
+    table["xyzcal.mm"] = P.xyzcal_mm
+    table["flags"] = np.full(len(P.hkl), PREDICTED, dtype=np.uint64)
+    table["id"] = np.zeros(len(P.hkl), dtype=np.int64)
+    table.write("predicted.refl")
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "ffs_tpu.pipeline.integrator",
+            "-r", "predicted.refl",
+            "-e", "indexed.expt",
+            "-i", "images.nxs",
+            "--sigma_b", str(np.deg2rad(0.08)),
+            "--sigma_m", str(np.deg2rad(0.4)),
+        ],
+        capture_output=True,
+        env=env,
+    )
+    assert r.returncode == 0, r.stdout.decode() + r.stderr.decode()
+    log = r.stdout.decode()
+    assert "Summation integration complete" in log
+
+    out = ReflectionTable.read("integrated.refl")
+    assert len(out) == len(P.hkl)
+    for col in (
+        "intensity.sum.value",
+        "intensity.sum.variance",
+        "partiality",
+        "lp",
+        "d",
+        "background.mean",
+        "num_pixels.foreground",
+    ):
+        assert col in out
+    flags = np.asarray(out["flags"], np.uint64)
+    valid = (flags & (1 << 8)) != 0
+    assert valid.mean() > 0.9
+    ratio = np.asarray(out["intensity.sum.value"])[valid] / reader.injected[valid]
+    assert np.median(ratio) > 0.7
+
+
+def test_glm_vs_tukey_background_cli_option():
+    # estimate_background dispatch sanity
+    from ffs_tpu.integration.background import estimate_background
+
+    rng = np.random.default_rng(0)
+    vals = rng.poisson(6.0, size=400)
+    bins = np.bincount(vals, minlength=256)[None, :256]
+    for model in ("tukey", "glm", "constant", "dials"):
+        mean, _, valid = estimate_background(bins, np.zeros(1, int), model)
+        assert valid[0] and abs(mean[0] - 6.0) < 1.0
