@@ -23,8 +23,8 @@ import numpy as np
 
 def _build_parser(version: str) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="spotfinder", description="TPU spotfinder")
-    implicit_sample = os.getenv("H5READ_IMPLICIT_SAMPLE") is not None
-    group = p.add_mutually_exclusive_group(required=not implicit_sample)
+    # input selection is validated in run() so --list-devices works bare
+    group = p.add_mutually_exclusive_group(required=False)
     group.add_argument("--sample", action="store_true", help="Use generated test data")
     group.add_argument("file", nargs="?", default="", metavar="FILE.nxs")
     p.add_argument("--version", action="version", version=version)
@@ -138,6 +138,10 @@ def run(argv=None, default_pixel_depth: int = 16) -> int:
         for i, d in enumerate(jax.devices()):
             print(f"{i}: {d.device_kind}")
         return 0
+
+    if not args.sample and not args.file and not os.getenv("H5READ_IMPLICIT_SAMPLE"):
+        print("Error: one of the arguments --sample FILE.nxs is required")
+        return 2
 
     algo = _DispersionAlgorithm(args.algorithm)
     print(f"Algorithm: {algo.pretty}")
