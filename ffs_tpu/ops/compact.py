@@ -24,7 +24,7 @@ def _bsearch(gather, n: int, targets: jnp.ndarray) -> jnp.ndarray:
     provided through ``gather(idx) -> value``; unrolled binary search."""
     lo = jnp.zeros_like(targets)
     hi = jnp.full_like(targets, n)
-    steps = max(1, (n - 1).bit_length())
+    steps = max(1, n.bit_length() + 1)
     for _ in range(steps):
         mid = (lo + hi) // 2
         v = gather(jnp.clip(mid, 0, n - 1))

@@ -9,11 +9,15 @@ One pass over the frame computes, per row-strip held in VMEM:
     k-th strong pixel with two binary searches — no full-frame cumsum,
     scatter, or sort anywhere in the hot path.
 
-The halo problem (each output row needs ±R neighbour rows/cols) is solved
-by zero-padding the inputs once in XLA and DMA-ing overlapping strips from
-HBM into VMEM scratch — the Pallas equivalent of the reference's
-shared-memory halo tiles (reference: spotfinder/kernels/thresholding.cu:
-169-206, include/device_common.cuh:190-277).
+The halo problem (each output row needs +-R neighbour rows/cols) is solved
+by zero-padding the inputs once in XLA and loading overlapping strips:
+image strips stream through a double-buffered manual DMA (strip i+1 loads
+while strip i computes — the Pallas analogue of the reference's per-thread
+stream overlap, SURVEY.md P2); the frame-invariant mask is pre-cut into
+strips once per collection and auto-pipelined as a blocked input.  This is
+the Pallas equivalent of the reference's shared-memory halo tiles
+(reference: spotfinder/kernels/thresholding.cu:169-206,
+include/device_common.cuh:190-277).
 """
 
 from __future__ import annotations
@@ -41,39 +45,15 @@ def _row_halo(radius: int) -> int:
     return ((radius + 7) // 8) * 8
 
 
-def _box_sums_strip(center_h, r, w, *arrays):
-    """Separable (2r+1)^2 box sums over halo-padded (center_h + 2r, >= W + 2r)
-    arrays -> (center_h, W) outputs."""
-    outs = []
-    for a in arrays:
-        v = a[0:center_h]
-        for dy in range(1, 2 * r + 1):
-            v = v + a[dy : dy + center_h]
-        h = v[:, 0:w]
-        for dx in range(1, 2 * r + 1):
-            h = h + v[:, dx : dx + w]
-        outs.append(h)
-    return outs
-
-
-def _row_cumsum(x):
-    """Inclusive prefix sum along the lane (last) axis via log-shifts."""
-    w = x.shape[-1]
-    shift = 1
-    while shift < w:
-        shifted = jnp.pad(x, ((0, 0), (shift, 0)))[:, :w]
-        x = x + shifted
-        shift *= 2
-    return x
-
-
 def _dispersion_kernel(
     img_hbm,
-    mask_hbm,
+    mask_strips,  # blocked input: (1, strip + 2*halo, wp) per grid step
     strong_ref,
     rowcum_ref,
-    img_v,
-    mask_v,
+    img_v,  # (2, strip + 2*halo, wp) double-buffered image strips
+    imf,  # (strip + 2r, wp) f32 masked intensities
+    mkf,  # (strip + 2r, wp) f32 mask
+    imsq,  # (strip + 2r, wp) f32 masked squared intensities
     vsum,  # (3, strip, wp) f32: vertical running sums of (mask, I, I^2)
     hsum,  # (3, strip, wp) f32: horizontal box sums (only [:, :width] used)
     sems,
@@ -87,37 +67,70 @@ def _dispersion_kernel(
     nsig_s: float,
     signal_test: bool,
 ):
-    b = pl.program_id(0)
+    batch_idx = pl.program_id(0)
     i = pl.program_id(1)
+    n_strips = pl.num_programs(1)
     r = radius
     halo = _row_halo(r)
 
-    img_dma = pltpu.make_async_copy(
-        img_hbm.at[b, pl.ds(i * strip, strip + 2 * halo), :], img_v, sems.at[0]
+    def start_dma(slot, bb, ii):
+        pltpu.make_async_copy(
+            img_hbm.at[bb, pl.ds(ii * strip, strip + 2 * halo), :],
+            img_v.at[slot],
+            sems.at[slot],
+        ).start()
+
+    # slots alternate with the GLOBAL step counter so the cross-batch
+    # prefetch lands in the slot the next step will wait on
+    g = batch_idx * n_strips + i
+    slot = jax.lax.rem(g, jnp.asarray(2, g.dtype))
+    next_slot = jax.lax.rem(g + 1, jnp.asarray(2, g.dtype))
+
+    # Double-buffered strip loads: every step starts the *next* strip's DMA
+    # before computing its own.
+    @pl.when(g == 0)
+    def _():
+        start_dma(slot, batch_idx, i)
+
+    @pl.when(i + 1 < n_strips)
+    def _():
+        start_dma(next_slot, batch_idx, i + 1)
+
+    @pl.when((i + 1 >= n_strips) & (batch_idx + 1 < pl.num_programs(0)))
+    def _():
+        start_dma(next_slot, batch_idx + 1, 0)
+
+    pltpu.make_async_copy(
+        img_hbm.at[batch_idx, pl.ds(i * strip, strip + 2 * halo), :],
+        img_v.at[slot],
+        sems.at[slot],
+    ).wait()
+
+    # Convert the strip to f32 once (Mosaic lacks sub-32-bit -> f32 casts;
+    # widen to i32 first), then the sliding sums are pure adds of slices.
+    off = halo - r
+    imf[...] = (
+        img_v[slot, off : off + strip + 2 * r].astype(jnp.int32).astype(jnp.float32)
     )
-    mask_dma = pltpu.make_async_copy(
-        mask_hbm.at[pl.ds(i * strip, strip + 2 * halo), :], mask_v, sems.at[1]
+    mkf[...] = (
+        mask_strips[0, off : off + strip + 2 * r]
+        .astype(jnp.int32)
+        .astype(jnp.float32)
     )
-    img_dma.start()
-    mask_dma.start()
-    img_dma.wait()
-    mask_dma.wait()
+    imf[...] *= mkf[...]  # masked intensities; mask is 0/1
+    imsq[...] = imf[...] * imf[...]
 
     # Vertical sliding sums, accumulated through scratch refs so only O(1)
     # temporaries are live at once (Mosaic stack-allocates all SSA values).
-    off = halo - r
     for dy in range(2 * r + 1):
-        # Mosaic lacks direct sub-32-bit -> f32 casts; widen to i32 first
-        im = img_v[off + dy : off + dy + strip].astype(jnp.int32).astype(jnp.float32)
-        mk = mask_v[off + dy : off + dy + strip].astype(jnp.int32).astype(jnp.float32)
         if dy == 0:
-            vsum[0] = mk
-            vsum[1] = im * mk
-            vsum[2] = im * im * mk
+            vsum[0] = mkf[dy : dy + strip]
+            vsum[1] = imf[dy : dy + strip]
+            vsum[2] = imsq[dy : dy + strip]
         else:
-            vsum[0] += mk
-            vsum[1] += im * mk
-            vsum[2] += im * im * mk
+            vsum[0] += mkf[dy : dy + strip]
+            vsum[1] += imf[dy : dy + strip]
+            vsum[2] += imsq[dy : dy + strip]
 
     # Horizontal sliding sums over the vertical sums.
     for k in range(3):
@@ -131,12 +144,10 @@ def _dispersion_kernel(
     m = hsum[0, :, pl.ds(0, width)]
     x = hsum[1, :, pl.ds(0, width)]
     y = hsum[2, :, pl.ds(0, width)]
-    src = (
-        img_v[halo : halo + strip, r : r + width]
-        .astype(jnp.int32)
-        .astype(jnp.float32)
-    )
-    mask_c = mask_v[halo : halo + strip, r : r + width]
+    # masked intensity == raw intensity wherever the predicate can pass
+    # (mask_c != 0 is required), so reuse the f32 copy
+    src = imf[r : r + strip, r : r + width]
+    mask_c = mask_strips[0, halo : halo + strip, r : r + width]
 
     # boxed-form predicates (see ops/reference.py for the derivation)
     a = m * y - x * x - x * (m - 1.0)
@@ -144,9 +155,9 @@ def _dispersion_kernel(
     ok = (mask_c != 0) & (src <= trusted_max) & (m >= min_count) & (m > 1)
     ok &= a > c
     if signal_test:
-        b = m * src - x
-        d = nsig_s * jnp.sqrt(x * m)
-        ok &= b > d
+        sig_lhs = m * src - x
+        sig_rhs = nsig_s * jnp.sqrt(x * m)
+        ok &= sig_lhs > sig_rhs
 
     strong_ref[0] = ok.astype(jnp.uint8)
 
@@ -204,6 +215,11 @@ def dispersion_fused(
     wp = ((w + 2 * r + 127) // 128) * 128
     img_p = jnp.pad(image, ((0, 0), (halo, hp - h + halo), (r, wp - w - r)))
     mask_p = jnp.pad(mask, ((halo, hp - h + halo), (r, wp - w - r)))
+    # frame-invariant mask pre-cut into overlapping strips (auto-pipelined)
+    strip_starts = jnp.arange(n_strips) * strip
+    mask_strips = jax.vmap(
+        lambda s0: jax.lax.dynamic_slice(mask_p, (s0, 0), (strip + 2 * halo, wp))
+    )(strip_starts)
 
     kernel = functools.partial(
         _dispersion_kernel,
@@ -221,7 +237,11 @@ def dispersion_fused(
         grid=(nb, n_strips),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, strip + 2 * halo, wp),
+                lambda b, i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=[
             pl.BlockSpec(
@@ -236,14 +256,16 @@ def dispersion_fused(
             jax.ShapeDtypeStruct((nb, hp, w), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((strip + 2 * halo, wp), image.dtype),
-            pltpu.VMEM((strip + 2 * halo, wp), mask.dtype),
+            pltpu.VMEM((2, strip + 2 * halo, wp), image.dtype),
+            pltpu.VMEM((strip + 2 * r, wp), jnp.float32),
+            pltpu.VMEM((strip + 2 * r, wp), jnp.float32),
+            pltpu.VMEM((strip + 2 * r, wp), jnp.float32),
             pltpu.VMEM((3, strip, wp), jnp.float32),
             pltpu.VMEM((3, strip, wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(img_p, mask_p)
+    )(img_p, mask_strips)
     strong, rowcum = strong[:, :h], rowcum[:, :h]
     if squeeze:
         strong, rowcum = strong[0], rowcum[0]
