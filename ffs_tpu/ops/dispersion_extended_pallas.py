@@ -1,0 +1,319 @@
+"""Fused Pallas TPU kernel for the extended (erosion) dispersion algorithm.
+
+The reference runs three CUDA kernels per frame — dispersion first pass,
+morphological erosion, second pass with an 11x11 background mean
+(reference: spotfinder/spotfinder.cu:213-347, kernels/thresholding.cu:
+253-491, kernels/erosion.cu:53-143).  Here all three stages fuse into one
+kernel per row-strip: the first-pass mask is computed for the strip plus a
+7-pixel apron (second-pass radius 5 + erosion distance 2), erosion and the
+second-pass background mean then evaluate entirely in VMEM, and the kernel
+emits the final strong mask plus within-row prefix counts — the same output
+contract as dispersion_fused, so the compaction/CC stages are shared.
+
+Coordinate bookkeeping: every scratch grid is annotated with the global
+(row, col) of its [0, 0] element relative to the output strip's top-left
+pixel; slices between grids are pure offset arithmetic on those origins.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import (
+    DEFAULT_MIN_COUNT,
+    DEFAULT_NSIG_B,
+    DEFAULT_NSIG_S,
+    EROSION_CHEBYSHEV_DISTANCE,
+    KERNEL_RADIUS,
+    KERNEL_RADIUS_EXTENDED,
+)
+
+DEFAULT_STRIP = 64
+
+_R = KERNEL_RADIUS  # 3
+_RX = KERNEL_RADIUS_EXTENDED  # 5
+_E = EROSION_CHEBYSHEV_DISTANCE  # 2
+_APRON = _RX + _E  # 7: rows/cols needing a first-pass value
+_IMG = _APRON + _R  # 10: image halo
+
+
+def _row_halo() -> int:
+    return ((_IMG + 7) // 8) * 8  # 16
+
+
+def _ext_kernel(
+    img_hbm,
+    mask_strips,
+    strong_ref,
+    rowcum_ref,
+    img_v,  # (2, strip + 2*row_halo, wp) raw strips, origin row -row_halo
+    imf,  # (strip + 2*_IMG, wp) f32 masked I, origin (-_IMG, -_IMG)
+    mkf,  # same frame as imf
+    disp,  # (strip + 2*_APRON, wp) f32 first-pass mask, origin (-_APRON, -_APRON)
+    surv,  # (strip + 2*_RX, wp) f32 survived mask, origin (-_RX, -_RX)
+    work,  # (3, strip + 2*_APRON, wp) f32 sliding-sum scratch
+    sems,
+    *,
+    strip: int,
+    width: int,
+    trusted_max: float,
+    min_count: int,
+    nsig_b: float,
+    nsig_s: float,
+):
+    batch_idx = pl.program_id(0)
+    i = pl.program_id(1)
+    n_strips = pl.num_programs(1)
+    halo = _row_halo()
+
+    def start_dma(slot, bb, ii):
+        pltpu.make_async_copy(
+            img_hbm.at[bb, pl.ds(ii * strip, strip + 2 * halo), :],
+            img_v.at[slot],
+            sems.at[slot],
+        ).start()
+
+    g = batch_idx * n_strips + i
+    slot = jax.lax.rem(g, jnp.asarray(2, g.dtype))
+    next_slot = jax.lax.rem(g + 1, jnp.asarray(2, g.dtype))
+
+    @pl.when(g == 0)
+    def _():
+        start_dma(slot, batch_idx, i)
+
+    @pl.when(i + 1 < n_strips)
+    def _():
+        start_dma(next_slot, batch_idx, i + 1)
+
+    @pl.when((i + 1 >= n_strips) & (batch_idx + 1 < pl.num_programs(0)))
+    def _():
+        start_dma(next_slot, batch_idx + 1, 0)
+
+    pltpu.make_async_copy(
+        img_hbm.at[batch_idx, pl.ds(i * strip, strip + 2 * halo), :],
+        img_v.at[slot],
+        sems.at[slot],
+    ).wait()
+
+    # imf/mkf rows cover global rows [-_IMG, strip+_IMG); img_v covers
+    # [-halo, strip+halo): offset = halo - _IMG
+    off = halo - _IMG
+    imf[...] = (
+        img_v[slot, off : off + strip + 2 * _IMG]
+        .astype(jnp.int32)
+        .astype(jnp.float32)
+    )
+    mkf[...] = (
+        mask_strips[0, off : off + strip + 2 * _IMG]
+        .astype(jnp.int32)
+        .astype(jnp.float32)
+    )
+    imf[...] *= mkf[...]
+
+    # ---- stage 1: first pass on the (-_APRON..strip+_APRON) grid ----------
+    n1 = strip + 2 * _APRON
+    w1 = width + 2 * _APRON
+    # vertical sums: first-pass row j (global -_APRON+j) uses image rows
+    # global -_APRON+j+dy-_R -> imf row (_IMG-_APRON-_R) + j + dy = j + dy
+    for dy in range(2 * _R + 1):
+        mk = mkf[dy : dy + n1]
+        im = imf[dy : dy + n1]
+        if dy == 0:
+            work[0] = mk
+            work[1] = im
+            work[2] = im * im
+        else:
+            work[0] += mk
+            work[1] += im
+            work[2] += im * im
+    # horizontal: col (-_APRON+l) + dx-_R -> imf lane l + dx; result origin
+    # col -_APRON lives at "grid1 lane" l (i.e. imf lane l + _R... we keep
+    # grid1 lanes aligned with slicing offset below)
+    m = work[0, :, pl.ds(0, w1)]
+    x = work[1, :, pl.ds(0, w1)]
+    ysum = work[2, :, pl.ds(0, w1)]
+    for dx in range(1, 2 * _R + 1):
+        m = m + work[0, :, pl.ds(dx, w1)]
+        x = x + work[1, :, pl.ds(dx, w1)]
+        ysum = ysum + work[2, :, pl.ds(dx, w1)]
+    # grid1 lane l corresponds to imf lane l + _R (global col -_APRON + l)
+    src1 = imf[_R : _R + n1, pl.ds(_R, w1)]
+    msk1 = mkf[_R : _R + n1, pl.ds(_R, w1)]
+    a = m * ysum - x * x - x * (m - 1.0)
+    cthr = x * nsig_b * jnp.sqrt(jnp.maximum(2.0 * (m - 1.0), 0.0))
+    first = (
+        (msk1 > 0)
+        & (src1 <= trusted_max)
+        & (m >= min_count)
+        & (m > 1)
+        & (a > cthr)
+    )
+    disp[:, pl.ds(0, w1)] = first.astype(jnp.float32)
+    # disp grid: row j / lane l -> global (-_APRON + j, -_APRON + l)
+
+    # ---- stage 2: erosion -> survived on the (-_RX..strip+_RX) grid -------
+    n2 = strip + 2 * _RX
+    w2 = width + 2 * _RX
+    # bg-nearby count: surv row j (global -_RX+j) scans disp rows
+    # global -_RX+j+dy-_E -> disp row (_APRON-_RX-_E) + j + dy = j + dy
+    for dy in range(2 * _E + 1):
+        # valid-mask background: mkf row for global -_RX+j+dy-_E is
+        # imf row (_IMG-_RX-_E) + j + dy = 3 + j + dy; lane shift likewise
+        mk = mkf[3 + dy : 3 + dy + n2, pl.ds(3, w2 + 2 * _E)]
+        dd = disp[dy : dy + n2, pl.ds(0, w2 + 2 * _E)]
+        contrib = mk * (1.0 - dd)
+        if dy == 0:
+            work[0, 0:n2, pl.ds(0, w2 + 2 * _E)] = contrib
+        else:
+            work[0, 0:n2, pl.ds(0, w2 + 2 * _E)] += contrib
+    bgnear = work[0, 0:n2, pl.ds(0, w2)]
+    for dx in range(1, 2 * _E + 1):
+        bgnear = bgnear + work[0, 0:n2, pl.ds(dx, w2)]
+    # centre: disp row (_APRON-_RX) + j = 2 + j, lane 2 + l
+    centre1 = disp[_E : _E + n2, pl.ds(_E, w2)]
+    surv[:, pl.ds(0, w2)] = ((centre1 > 0) & (bgnear == 0)).astype(jnp.float32)
+    # surv grid: row j / lane l -> global (-_RX + j, -_RX + l)
+
+    # ---- stage 3: second pass on the output grid ---------------------------
+    # bg indicator and bg intensity on the surv grid: imf row for global
+    # -_RX+j is (_IMG-_RX) + j = 5 + j; lane 5 + l
+    work[1, 0:n2, pl.ds(0, w2)] = mkf[5 : 5 + n2, pl.ds(5, w2)] * (
+        1.0 - surv[:, pl.ds(0, w2)]
+    )
+    work[2, 0:n2, pl.ds(0, w2)] = (
+        work[1, 0:n2, pl.ds(0, w2)] * imf[5 : 5 + n2, pl.ds(5, w2)]
+    )
+    # vertical: output row j uses surv rows j+dy (dy 0..10)
+    for dy in range(2 * _RX + 1):
+        cn = work[1, dy : dy + strip, pl.ds(0, w2)]
+        cx = work[2, dy : dy + strip, pl.ds(0, w2)]
+        if dy == 0:
+            work[0, 0:strip, pl.ds(0, w2)] = cn
+            disp[0:strip, pl.ds(0, w2)] = cx  # reuse disp as scratch
+        else:
+            work[0, 0:strip, pl.ds(0, w2)] += cn
+            disp[0:strip, pl.ds(0, w2)] += cx
+    nbg = work[0, 0:strip, pl.ds(0, width)]
+    xbg = disp[0:strip, pl.ds(0, width)]
+    for dx in range(1, 2 * _RX + 1):
+        nbg = nbg + work[0, 0:strip, pl.ds(dx, width)]
+        xbg = xbg + disp[0:strip, pl.ds(dx, width)]
+
+    src_c = imf[_IMG : _IMG + strip, pl.ds(_IMG, width)]
+    mask_c = mkf[_IMG : _IMG + strip, pl.ds(_IMG, width)]
+    sur_c = surv[_RX : _RX + strip, pl.ds(_RX, width)]
+    # mean = x/n for n > 1 else 0 (quirk preserved from thresholding.cu:482)
+    mean = jnp.where(nbg > 1, xbg / jnp.maximum(nbg, 1.0), 0.0)
+    local_ok = src_c >= mean + nsig_s * jnp.sqrt(mean)
+    ok = (
+        (mask_c > 0)
+        & (src_c <= trusted_max)
+        & (nbg > 0)
+        & (sur_c > 0)
+        & (src_c > 0.0)
+        & local_ok
+    )
+
+    strong_ref[0] = ok.astype(jnp.uint8)
+    rowcum_ref[0] = ok.astype(jnp.int32)
+    shift = 1
+    while shift < width:
+        cur = rowcum_ref[0]
+        rowcum_ref[0] = cur + jnp.pad(cur, ((0, 0), (shift, 0)))[:, :width]
+        shift *= 2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "trusted_max",
+        "min_count",
+        "nsig_b",
+        "nsig_s",
+        "strip",
+        "interpret",
+    ),
+)
+def dispersion_extended_fused(
+    image: jnp.ndarray,
+    mask: jnp.ndarray,
+    trusted_max: float,
+    *,
+    min_count: int = DEFAULT_MIN_COUNT,
+    nsig_b: float = DEFAULT_NSIG_B,
+    nsig_s: float = DEFAULT_NSIG_S,
+    strip: int = DEFAULT_STRIP,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused extended dispersion -> (strong u8, rowcum i32); input (H, W) or
+    (B, H, W)."""
+    squeeze = image.ndim == 2
+    if squeeze:
+        image = image[None]
+    nb, h, w = image.shape
+    n_strips = pl.cdiv(h, strip)
+    hp = n_strips * strip
+    halo = _row_halo()
+    wp = ((w + 2 * _IMG + 127) // 128) * 128
+    img_p = jnp.pad(image, ((0, 0), (halo, hp - h + halo), (_IMG, wp - w - _IMG)))
+    mask_p = jnp.pad(mask, ((halo, hp - h + halo), (_IMG, wp - w - _IMG)))
+    strip_starts = jnp.arange(n_strips) * strip
+    mask_strips = jax.vmap(
+        lambda s0: jax.lax.dynamic_slice(mask_p, (s0, 0), (strip + 2 * halo, wp))
+    )(strip_starts)
+
+    kernel = functools.partial(
+        _ext_kernel,
+        strip=strip,
+        width=w,
+        trusted_max=float(trusted_max),
+        min_count=min_count,
+        nsig_b=nsig_b,
+        nsig_s=nsig_s,
+    )
+    strong, rowcum = pl.pallas_call(
+        kernel,
+        grid=(nb, n_strips),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, strip + 2 * halo, wp),
+                lambda b, i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, strip, w), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, strip, w), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, hp, w), jnp.uint8),
+            jax.ShapeDtypeStruct((nb, hp, w), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, strip + 2 * halo, wp), image.dtype),
+            pltpu.VMEM((strip + 2 * _IMG, wp), jnp.float32),
+            pltpu.VMEM((strip + 2 * _IMG, wp), jnp.float32),
+            pltpu.VMEM((strip + 2 * _APRON, wp), jnp.float32),
+            pltpu.VMEM((strip + 2 * _RX, wp), jnp.float32),
+            pltpu.VMEM((3, strip + 2 * _APRON, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(img_p, mask_strips)
+    strong, rowcum = strong[:, :h], rowcum[:, :h]
+    if squeeze:
+        strong, rowcum = strong[0], rowcum[0]
+    return strong, rowcum

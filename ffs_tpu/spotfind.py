@@ -52,11 +52,7 @@ class SpotfindConfig:
     def pallas_enabled(self) -> bool:
         if self.use_pallas is not None:
             return self.use_pallas
-        return (
-            jax.default_backend() == "tpu"
-            and self.precision == "f32"
-            and self.algorithm == "dispersion"
-        )
+        return jax.default_backend() == "tpu" and self.precision == "f32"
 
 
 @dataclass
@@ -115,9 +111,15 @@ class SpotfindProcessor:
         def _step(image):
             if use_pallas:
                 from .ops.compact import compact_from_rowcum
+                from .ops.dispersion_extended_pallas import dispersion_extended_fused
                 from .ops.dispersion_pallas import dispersion_fused
 
-                _, rowcum = dispersion_fused(
+                fused = (
+                    dispersion_fused
+                    if cfg.algorithm == "dispersion"
+                    else dispersion_extended_fused
+                )
+                _, rowcum = fused(
                     image,
                     self.mask,
                     self.trusted_max,

@@ -69,3 +69,41 @@ def test_fused_uneven_strip(small_frame):
         jops.dispersion(jnp.asarray(image), jnp.asarray(mask), tm, dtype=jnp.float32)
     )
     np.testing.assert_array_equal(np.asarray(strong).astype(bool), want)
+
+
+def test_extended_fused_matches_jnp_f32(small_frame):
+    from ffs_tpu.ops.dispersion_extended_pallas import dispersion_extended_fused
+
+    image, mask = small_frame
+    tm = float(np.iinfo(np.uint16).max)
+    strong, rowcum = dispersion_extended_fused(
+        jnp.asarray(image), jnp.asarray(mask), tm, strip=64, interpret=True
+    )
+    want = np.asarray(
+        jops.dispersion_extended(
+            jnp.asarray(image), jnp.asarray(mask), tm, dtype=jnp.float32
+        )
+    )
+    np.testing.assert_array_equal(np.asarray(strong).astype(bool), want)
+    np.testing.assert_array_equal(
+        np.asarray(rowcum), np.cumsum(want.astype(np.int32), axis=1)
+    )
+    assert want.sum() > 0
+
+
+def test_extended_fused_batched(small_frame):
+    from ffs_tpu.ops.dispersion_extended_pallas import dispersion_extended_fused
+
+    image, mask = small_frame
+    tm = 65535.0
+    batch = np.stack([image, (image // 2).astype(image.dtype)])
+    strong, _ = dispersion_extended_fused(
+        jnp.asarray(batch), jnp.asarray(mask), tm, strip=96, interpret=True
+    )
+    for b in range(2):
+        want = np.asarray(
+            jops.dispersion_extended(
+                jnp.asarray(batch[b]), jnp.asarray(mask), tm, dtype=jnp.float32
+            )
+        )
+        np.testing.assert_array_equal(np.asarray(strong[b]).astype(bool), want)
