@@ -281,11 +281,28 @@ def run(argv=None, default_pixel_depth: int = 16) -> int:
         elif want_com:
             reflection_centers_2d[image_num] = res.centers_of_mass
 
+        # per-image component log lines (reference: connected_components.cc
+        # generate_boxes -> "Extracted"/"Removed", scraped by the tests)
+        n_extracted = res.n_spots_prefilter
+        print(f"Extracted {n_extracted} spots")
+        if args.min_spot_size > 0 and n_extracted - n_boxes > 0:
+            print(
+                f"Removed {n_extracted - n_boxes} spots with size < "
+                f"{args.min_spot_size} pixels"
+            )
+
         if args.writeout:
             with open(f"pixels_{image_num:05d}.txt", "w") as out:
                 lin = res.pixels.linear_index
                 for k in range(len(lin)):
                     out.write(f"{lin[k] % width:4d}, {lin[k] // width:4d}\n")
+            from ..utils.writeout import write_image_png
+
+            strong_img = np.zeros((height, width), dtype=bool)
+            strong_img.reshape(-1)[res.pixels.linear_index] = True
+            write_image_png(
+                f"image_{image_num:05d}.png", image_host, strong_img
+            )
 
         if pipe is not None:
             payload = {

@@ -62,6 +62,7 @@ class FrameResult:
     image_number: int
     n_strong_pixels: int
     n_spots: int  # after 2D min-spot-size filter (the reference's "boxes")
+    n_spots_prefilter: int
     n_strong_pixels_filtered: int
     pixels: cc3d.FramePixels  # compact strong pixels for 3D merging
     # 2D centroids (min-size + separation filtered), for stills/indexing
@@ -210,6 +211,7 @@ class SpotfindProcessor:
             image_number=image_number,
             n_strong_pixels=n,
             n_spots=int(n_boxes),
+            n_spots_prefilter=int(table.n_spots),
             n_strong_pixels_filtered=int(n_px_filtered),
             pixels=frame_pixels,
             centers_of_mass=coms,
