@@ -42,3 +42,36 @@ def predict_stills(hkl: np.ndarray, s0: np.ndarray, ub: np.ndarray, panel) -> di
     x_px, y_px = panel.mm_to_px(xmm, ymm)
     xyzcal_px = np.stack([x_px, y_px, np.zeros(len(hkl))], axis=1)
     return {"s1": s1, "xyzcal_px": xyzcal_px, "delpsi": delpsi}
+
+
+def predict_laue_stills(
+    hkl: np.ndarray,
+    s0_unit: np.ndarray,
+    ub: np.ndarray,
+    wavelength_min: float,
+    wavelength_max: float,
+    dmin: float,
+) -> dict:
+    """Polychromatic (Laue) stills prediction
+    (reference: ray_predictors.cc:204-220): each reflection selects the
+    wavelength that puts it on its Ewald sphere; rays outside the bandpass
+    or resolution limit are masked.  Returns 's1' (N, 3), 'wavenumber' (N,)
+    and 'valid' (N,).  (The reference's rotational-Laue variant is an
+    unimplemented stub, ray_predictors.cc:222-234.)"""
+    s0_unit = np.asarray(s0_unit, dtype=np.float64)
+    s0_unit = s0_unit / np.linalg.norm(s0_unit)
+    r = np.asarray(hkl, dtype=np.float64) @ np.asarray(ub).T
+    r_norm = np.linalg.norm(r, axis=1)
+    r_hat = r / np.maximum(r_norm[:, None], 1e-300)
+    denom = 2 * (r_hat @ s0_unit)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s0 = -r_norm / denom
+    valid = (
+        np.isfinite(s0)
+        & (s0 >= 1.0 / wavelength_max)
+        & (s0 <= 1.0 / wavelength_min)
+        & (s0 <= 1.0 / dmin)
+    )
+    s0_safe = np.where(valid, s0, 0.0)
+    s1 = s0_safe[:, None] * s0_unit + r
+    return {"s1": s1, "wavenumber": s0_safe, "valid": valid}

@@ -81,3 +81,23 @@ def test_predictor_cli(experiment, tmp_path, monkeypatch):
     for col in ("miller_index", "s1", "xyzcal.px", "xyzcal.mm", "entering", "flags"):
         assert col in t
     assert (np.asarray(t["flags"]) & 1).all()  # predicted flag set
+
+
+def test_laue_stills_on_ewald_sphere():
+    from ffs_tpu.models.crystal import Crystal
+    from ffs_tpu.prediction.stills import predict_laue_stills
+
+    rng = np.random.default_rng(0)
+    crystal = Crystal([30.0, 0, 0], [0, 40.0, 0], [0, 0, 50.0])
+    hkl = rng.integers(-35, 36, size=(2000, 3))
+    out = predict_laue_stills(
+        hkl, [0.0, 0.0, -1.0], crystal.a_matrix, 0.8, 1.6, 1.2
+    )
+    ok = out["valid"]
+    assert ok.sum() > 50
+    # every valid ray lies on its own Ewald sphere: |s1| = wavenumber
+    s1n = np.linalg.norm(out["s1"][ok], axis=1)
+    np.testing.assert_allclose(s1n, out["wavenumber"][ok], rtol=1e-10)
+    # wavenumbers within the bandpass
+    assert (out["wavenumber"][ok] >= 1 / 1.6 - 1e-12).all()
+    assert (out["wavenumber"][ok] <= 1 / 0.8 + 1e-12).all()
