@@ -21,7 +21,6 @@ once for the whole collection.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -82,7 +81,7 @@ class KabschIntegrator:
         delta_m: float,
         algorithm: str = "ellipsoid",
         box_pad: int = 8,
-        max_active: int = 2048,
+        max_active: int = 512,  # bounds the one-hot histogram buffer to ~135 MB
     ):
         import jax
         import jax.numpy as jnp

@@ -191,6 +191,20 @@ class SpotfindProcessor:
             device_result
         )
         n = int(pixels.count)
+        if n > len(pixels.linear_index):
+            # capacity overflow: the exact total is known (the kernel's
+            # prefix counts are unbounded) but the compact arrays truncated.
+            # Surface it loudly; callers can re-run at higher capacity.
+            import warnings
+
+            warnings.warn(
+                f"frame {image_number}: {n} strong pixels exceed the "
+                f"configured capacity {len(pixels.linear_index)}; spot "
+                "results truncated — raise SpotfindConfig.max_strong_pixels",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            n = len(pixels.linear_index)
         frame_pixels = cc3d.FramePixels(
             linear_index=np.asarray(pixels.linear_index[:n]),
             intensity=np.asarray(pixels.intensity[:n]),
