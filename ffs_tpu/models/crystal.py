@@ -10,7 +10,7 @@ reduced vectors span exactly the same lattice.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

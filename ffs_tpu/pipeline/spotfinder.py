@@ -16,7 +16,6 @@ import os
 import sys
 import time
 from collections import deque
-from pathlib import Path
 
 import numpy as np
 
