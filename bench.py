@@ -1,14 +1,27 @@
 """Benchmark: Eiger 16M spotfinding throughput on one TPU chip.
 
-Runs the full per-frame device pipeline (dispersion threshold -> on-device
-2D connected components -> compaction -> spot table + filters) on batched
-full-size Eiger 16M frames, validates strong-pixel counts against the
-deterministic sample-data anchors, and prints ONE JSON line:
+Runs the full per-frame pipeline (fused Pallas dispersion threshold ->
+gather-based stream compaction -> sparse 2D connected components -> spot
+table + filters, all on device) on batched full-size Eiger 16M frames,
+validates strong-pixel and spot counts against the deterministic
+sample-data anchors, and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
 Baseline: the reference's published real-time goal of 500 Hz Eiger 16M on
 one GPU (reference: README.md:131-132, BASELINE.md).
+
+Measurement notes (hard-won):
+  * REPS device batch-steps are chained inside ONE jitted loop whose input
+    depends on the loop counter — XLA hoists loop-invariant bodies, so
+    `batch + (i - i)` styles measure a single rep and lie by ~REPS x.
+  * Consume every output you claim to compute: reducing a pipeline to
+    `count` lets XLA dead-code-eliminate the expensive gather stages.
+  * The dev tunnel costs ~45 ms per dispatch and moves d2h data at only
+    ~40 MB/s, so the production host-CC split (device threshold+compact,
+    C++ union-find on the host — see SpotfindConfig.cc_backend) measures
+    *slower* here than the all-device path despite winning on local
+    hardware; the bench therefore runs the all-device path.
 """
 
 import json
@@ -29,6 +42,7 @@ def main() -> int:
     from ffs_tpu.io import sample_data
     from ffs_tpu.ops import connected_components as cc
     from ffs_tpu.ops import dispersion as dops
+    from ffs_tpu.ops.cc2d_host import cc2d, filter_spots_host
 
     H, W = E2XE_16M_SLOW, E2XE_16M_FAST
     # capacities sized for realistic beamline frames (thaumatin rotation
@@ -37,18 +51,22 @@ def main() -> int:
     # higher capacity by the pipeline layer
     MAX_PX = int(os.environ.get("FFS_BENCH_MAX_PX", "8192"))
     MAX_SPOTS = int(os.environ.get("FFS_BENCH_MAX_SPOTS", "4096"))
-    VAL_MAX_PX, VAL_MAX_SPOTS = 16384, 16384  # anchors incl. the 9.5k-spot frame
+    VAL_MAX_PX = 16384  # anchors incl. the 9.5k-strong-pixel frame
     BATCH = int(os.environ.get("FFS_BENCH_BATCH", "8"))
     REPS = int(os.environ.get("FFS_BENCH_REPS", "8"))
 
     mask = jnp.asarray(sample_data.generate_mask())
 
     from ffs_tpu.ops.compact import compact_from_rowcum
-    from ffs_tpu.ops.dispersion_pallas import dispersion_fused
+    from ffs_tpu.ops.dispersion_pallas import dispersion_fused, mask_box_count
 
     on_tpu = jax.default_backend() == "tpu"
+    # frame-invariant: computed once per collection, reused every frame
+    mbox = jax.block_until_ready(mask_box_count(mask)) if on_tpu else None
 
     def make_batch_step(max_px, max_spots):
+        """One batch through the full pipeline -> per-frame scalars."""
+
         def _rest(image, pixels):
             root_slot = cc.label_compact_pixels(pixels, width=W)
             table = cc.spot_table_from_pixels(
@@ -59,33 +77,36 @@ def main() -> int:
 
         def batch_step(batch):
             if on_tpu:
-                # the fused kernel batches natively (grid over frames); the
-                # sparse stages run per frame via lax.map — their
-                # single-frame lowering (searchsorted/gather/segment ops) is
-                # far faster than the batched-gather form vmap produces
-                _, rowcum = dispersion_fused(batch, mask, 65535.0)
+                _, rowcum = dispersion_fused(
+                    batch, mask, 65535.0, mbox=mbox, emit_strong=False
+                )
 
                 def rest(args):
                     image, rc = args
-                    pixels = compact_from_rowcum(image, rc, max_pixels=max_px)
-                    return _rest(image, pixels)
+                    p = compact_from_rowcum(image, rc, max_pixels=max_px)
+                    return _rest(image, p)
 
+                # per-frame sparse stages: lax.map lowers gathers far
+                # better than the batched forms vmap produces
                 return jax.lax.map(rest, (batch, rowcum))
             strong = dops.dispersion(batch, mask, 65535.0, dtype=jnp.float32)
 
             def rest_cpu(args):
                 s, image = args
-                pixels = cc.compact_strong_pixels(s, image, max_pixels=max_px)
-                return _rest(image, pixels)
+                p = cc.compact_strong_pixels(s, image, max_pixels=max_px)
+                return _rest(image, p)
 
             return jax.lax.map(rest_cpu, (strong, batch))
 
         return jax.jit(batch_step)
 
     # --- correctness anchors (deterministic sample frames, full capacity) ----
+    # validated through BOTH CC backends: the on-device sparse union-find
+    # (what the throughput loop runs) and the host C++ union-find (what the
+    # production CLI runs)
     img2 = sample_data.generate_sample_image(2)
     img5 = sample_data.generate_sample_image(5)
-    val_step = make_batch_step(VAL_MAX_PX, VAL_MAX_SPOTS)
+    val_step = make_batch_step(VAL_MAX_PX, VAL_MAX_PX)
     counts, n_spots, _ = jax.device_get(
         val_step(jnp.stack([jnp.asarray(img2), jnp.asarray(img5)]))
     )
@@ -95,13 +116,38 @@ def main() -> int:
             f"VALIDATION MISMATCH: {list(counts)}/{list(n_spots)}", file=sys.stderr
         )
 
+    @jax.jit
+    def val_compact(batch):
+        if on_tpu:
+            _, rowcum = dispersion_fused(
+                batch, mask, 65535.0, mbox=mbox, emit_strong=False
+            )
+            def rest(args):
+                image, rc = args
+                p = compact_from_rowcum(image, rc, max_pixels=VAL_MAX_PX)
+                return p.linear_index, p.intensity, p.count
+            return jax.lax.map(rest, (batch, rowcum))
+        strong = dops.dispersion(batch, mask, 65535.0, dtype=jnp.float32)
+        def rest_cpu(args):
+            s, image = args
+            p = cc.compact_strong_pixels(s, image, max_pixels=VAL_MAX_PX)
+            return p.linear_index, p.intensity, p.count
+        return jax.lax.map(rest_cpu, (strong, batch))
+
+    lin_v, int_v, cts_v = jax.device_get(
+        val_compact(jnp.stack([jnp.asarray(img2), jnp.asarray(img5)]))
+    )
+    host_spots = []
+    for lin, inten, n in zip(lin_v, int_v, cts_v):
+        table = cc2d(lin[: int(n)], inten[: int(n)], W)
+        host_spots.append(table.n_spots)
+    if host_spots[0] != 9506 or [int(c) for c in cts_v] != [9506, 2388]:
+        print(f"HOST-CC VALIDATION MISMATCH: {cts_v}/{host_spots}", file=sys.stderr)
+        ok = False
+
     # --- throughput -----------------------------------------------------------
     # realistic beamline-like frames: Poisson background + ~300 Gaussian
     # spots of ~9 px (thaumatin-scale: ~2.5k strong px/frame), device-resident.
-    # REPS batch-steps are chained inside one jit so the measurement reflects
-    # on-device throughput (one process per chip in production feeds frames
-    # from local host RAM; the dev-tunnel's per-dispatch latency is not part
-    # of the pipeline being measured).
     rng = np.random.default_rng(12)
     base = rng.poisson(2.0, size=(H, W)).astype(np.uint16)
     frames = []
@@ -128,8 +174,11 @@ def main() -> int:
 
     @jax.jit
     def chained(batch):
+        # the input must depend on the loop counter or XLA hoists the whole
+        # body out of the loop (see module docstring); (i & 1) perturbs
+        # pixel values by at most 1
         def body(i, acc):
-            counts, _, kept = batch_step(batch + (i - i).astype(batch.dtype))
+            counts, _, kept = batch_step(batch + (i & 1).astype(batch.dtype))
             return acc + jnp.sum(counts) + jnp.sum(kept)
 
         return jax.lax.fori_loop(0, REPS, body, jnp.int32(0))

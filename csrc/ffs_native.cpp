@@ -14,9 +14,11 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC -o libffs_native.so ffs_native.cpp
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <vector>
 
 extern "C" {
 
@@ -316,6 +318,121 @@ long long ffs_bshuf_lz4_compress(const uint8_t* src, long long n_elem,
     }
     delete[] scratch;
     return static_cast<long long>(op - dst);
+}
+
+// ---------------------------------------------------------------------------
+// 2D connected components over compact strong pixels.
+//
+// The device computes the dispersion threshold and stream-compaction; the
+// host labels the resulting few-thousand-pixel list — the same split as the
+// reference, whose CUDA kernels threshold on the GPU and whose
+// boost::graph connected components run on the CPU (reference:
+// spotfinder/connected_components/connected_components.cc:17-139).
+// Union-find with path compression over the raster-sorted linear indices:
+// left neighbours are adjacent entries, up neighbours located by binary
+// search.  Per-spot statistics and ordering (ascending root linear index)
+// match ops/connected_components.py::spot_table_from_pixels.
+// ---------------------------------------------------------------------------
+
+static int32_t cc2d_find(int32_t* parent, int32_t i) {
+    int32_t root = i;
+    while (parent[root] != root) root = parent[root];
+    while (parent[i] != root) {
+        int32_t next = parent[i];
+        parent[i] = root;
+        i = next;
+    }
+    return root;
+}
+
+// Labels + per-spot statistics.  lin must be sorted ascending (raster
+// order).  Outputs sized n (spot arrays use the first *n_spots entries).
+// Returns 0 on success.
+int ffs_cc2d(const int32_t* lin, const int32_t* inten, int32_t n,
+             int32_t width,
+             int32_t* root_lin,   // (n) per-pixel root linear index
+             int32_t* spot_id,    // (n) per-pixel dense spot id
+             int32_t* n_spots_out,
+             int32_t* n_px,       // per-spot pixel count
+             long long* sum_i,    // per-spot intensity sum
+             long long* sum_ix,   // per-spot sum I*x
+             long long* sum_iy,   // per-spot sum I*y
+             int32_t* bbox,       // per-spot x_min, x_max, y_min, y_max
+             int32_t* peak_i,     // per-spot peak intensity
+             int32_t* peak_lin) { // per-spot peak linear index
+    if (n < 0) return -1;
+    if (n == 0) {
+        *n_spots_out = 0;
+        return 0;
+    }
+    std::vector<int32_t> parent(n);
+    for (int32_t i = 0; i < n; ++i) parent[i] = i;
+
+    for (int32_t i = 0; i < n; ++i) {
+        const int32_t l = lin[i];
+        const int32_t x = l % width;
+        // left neighbour: previous entry (raster-sorted), same row
+        if (i > 0 && x > 0 && lin[i - 1] == l - 1) {
+            int32_t a = cc2d_find(parent.data(), i);
+            int32_t b = cc2d_find(parent.data(), i - 1);
+            if (a != b) parent[a > b ? a : b] = a > b ? b : a;
+        }
+        // up neighbour: binary search for l - width
+        if (l >= width) {
+            const int32_t target = l - width;
+            const int32_t* lo =
+                std::lower_bound(lin, lin + i, target);
+            if (lo != lin + i && *lo == target) {
+                int32_t j = static_cast<int32_t>(lo - lin);
+                int32_t a = cc2d_find(parent.data(), i);
+                int32_t b = cc2d_find(parent.data(), j);
+                if (a != b) parent[a > b ? a : b] = a > b ? b : a;
+            }
+        }
+    }
+
+    // dense ids in raster order of roots: pixels ascend in lin, so the
+    // first pixel of each component IS its root (minimum linear index)
+    int32_t n_spots = 0;
+    for (int32_t i = 0; i < n; ++i) {
+        int32_t r = cc2d_find(parent.data(), i);
+        root_lin[i] = lin[r];
+        int32_t id;
+        if (r == i) {
+            id = n_spots++;
+            spot_id[i] = id;
+            n_px[id] = 0;
+            sum_i[id] = sum_ix[id] = sum_iy[id] = 0;
+            bbox[4 * id + 0] = INT32_MAX;
+            bbox[4 * id + 1] = -1;
+            bbox[4 * id + 2] = INT32_MAX;
+            bbox[4 * id + 3] = -1;
+            peak_i[id] = -1;
+            peak_lin[id] = INT32_MAX;
+        } else {
+            id = spot_id[r];
+            spot_id[i] = id;
+        }
+        const int32_t x = lin[i] % width;
+        const int32_t y = lin[i] / width;
+        const long long v = inten[i];
+        n_px[id] += 1;
+        sum_i[id] += v;
+        sum_ix[id] += v * x;
+        sum_iy[id] += v * y;
+        if (x < bbox[4 * id + 0]) bbox[4 * id + 0] = x;
+        if (x > bbox[4 * id + 1]) bbox[4 * id + 1] = x;
+        if (y < bbox[4 * id + 2]) bbox[4 * id + 2] = y;
+        if (y > bbox[4 * id + 3]) bbox[4 * id + 3] = y;
+        // peak: max intensity, ties -> smallest linear index (ascending
+        // iteration keeps the first maximum)
+        if (inten[i] > peak_i[id]) {
+            peak_i[id] = inten[i];
+            peak_lin[id] = lin[i];
+        }
+    }
+    *n_spots_out = n_spots;
+    return 0;
 }
 
 // ---------------------------------------------------------------------------

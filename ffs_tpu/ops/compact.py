@@ -50,13 +50,24 @@ def compact_from_rowcum(
     ks = jnp.arange(1, max_pixels + 1, dtype=jnp.int32)  # 1-based ranks
     valid = ks <= count
 
-    # row of the k-th strong pixel: first row with row_end >= k
-    row = _bsearch(lambda i: row_end[i], h, ks)
+    # row of the k-th strong pixel = #rows with row_end < k.  The queries
+    # are the consecutive integers 1..K, so instead of K binary searches
+    # (14 latency-bound gather steps) invert the monotone row_end with one
+    # histogram + prefix sum: D[j] = #rows with row_end == j, and
+    # row(k) = sum_{j<k} D[j] (zero-count rows duplicate their
+    # predecessor's row_end and drop out naturally).
+    dhist = jnp.zeros(max_pixels + 1, jnp.int32).at[
+        jnp.clip(row_end, 0, max_pixels)
+    ].add(1)
+    row = jnp.cumsum(dhist)[:max_pixels]
     row_c = jnp.clip(row, 0, h - 1)
     prev_end = jnp.where(row_c > 0, row_end[jnp.clip(row_c - 1, 0, h - 1)], 0)
     rank_in_row = ks - prev_end  # 1-based within the row
 
-    # column: first col with rowcum[row, col] >= rank
+    # column: first col with rowcum[row, col] >= rank (measured note: a
+    # two-level block search is NOT faster here — TPU gather cost is
+    # dominated by a fixed per-op latency, so fewer dense steps traded for
+    # extra small-table steps is a wash at best)
     col = _bsearch(lambda j: rowcum[row_c, jnp.clip(j, 0, w - 1)], w, rank_in_row)
     col_c = jnp.clip(col, 0, w - 1)
 

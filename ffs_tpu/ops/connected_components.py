@@ -88,6 +88,24 @@ def compact_strong_pixels(
     return CompactPixels(lin, inten, count)
 
 
+def _segmented_run_min(vals: jnp.ndarray, is_start: jnp.ndarray) -> jnp.ndarray:
+    """Min of ``vals`` over each run (runs delimited by ``is_start`` flags,
+    consecutive elements), via two segmented scans — no gathers."""
+
+    def combine(a, b):
+        av, astart = a
+        bv, bstart = b
+        return jnp.where(bstart, bv, jnp.minimum(av, bv)), astart | bstart
+
+    fwd, _ = jax.lax.associative_scan(combine, (vals, is_start))
+    # backward pass: run *ends* are the starts of the reversed sequence
+    is_end = jnp.concatenate([is_start[1:], jnp.ones(1, dtype=bool)])
+    bwd, _ = jax.lax.associative_scan(
+        combine, (vals[::-1], is_end[::-1])
+    )
+    return jnp.minimum(fwd, bwd[::-1])
+
+
 @functools.partial(jax.jit, static_argnames=("width",))
 def label_compact_pixels(pixels: CompactPixels, *, width: int) -> jnp.ndarray:
     """4-connected component roots over compacted pixels.
@@ -95,36 +113,88 @@ def label_compact_pixels(pixels: CompactPixels, *, width: int) -> jnp.ndarray:
     Returns (K,) int32: the *slot* of each pixel's component root (the
     component's minimum linear index — deterministic raster-order labels);
     slot of itself for padding entries.
+
+    Gather ops on TPU cost ~10 ns/element while sorts and scans are ~10x
+    cheaper, so the neighbour discovery avoids per-neighbour binary search:
+
+      * horizontal neighbours are *consecutive slots* in the raster-ordered
+        compact array, so whole runs collapse to their start slot with two
+        segmented scans — no gathers at all;
+      * vertical neighbours come from ONE 3K sort-merge: pixels (tag 0) and
+        up/down "requests" at lin -/+ width (tags 1/2) sort together; a
+        request that lands right of its target value resolves via two
+        monotone forward fills (cummax), then two segment-mins route the
+        matched slot back to the requesting pixel.
+
+    The min-propagation loop then needs only 3 gathers per round (labels at
+    the two vertical neighbours + one pointer jump); run uniformity is
+    restored each round by the segmented scans.
     """
     lin = pixels.linear_index
     k = lin.shape[0]
     slots = jnp.arange(k, dtype=jnp.int32)
     in_spot = lin < BIG
 
-    def neighbor_slot(target, extra_ok):
-        idx = jnp.clip(_searchsorted(lin, target), 0, k - 1)
-        ok = in_spot & extra_ok & (lin[idx] == target)
-        return jnp.where(ok, idx, slots)
-
+    # --- horizontal runs: consecutive slots with consecutive lin, same row
     col = lin % width
-    nb = jnp.stack(
+    same_run = jnp.concatenate(
         [
-            neighbor_slot(lin + 1, col < width - 1),
-            neighbor_slot(lin - 1, col > 0),
-            neighbor_slot(lin + width, in_spot),
-            neighbor_slot(lin - width, in_spot),
+            jnp.zeros(1, dtype=bool),
+            (lin[1:] == lin[:-1] + 1) & (col[1:] != 0) & in_spot[1:],
         ]
     )
+    is_start = ~same_run
+    # run-start slot by forward fill (slots ascend, so cummax == last start)
+    lbl0 = jax.lax.cummax(jnp.where(is_start, slots, -1))
+
+    # --- vertical edges via one sort-merge ---------------------------------
+    # i32-safe sentinel for padding entries (key = val * 4 + tag must not
+    # overflow; real lin +/- width stays far below this)
+    padv = (2**31 - 8) // 4
+    up_req = jnp.where(in_spot & (lin >= width), lin - width, padv)
+    down_req = jnp.where(in_spot, lin + width, padv)
+    vals = jnp.concatenate([jnp.where(in_spot, lin, padv), up_req, down_req])
+    tags = jnp.concatenate(
+        [
+            jnp.zeros(k, jnp.int32),
+            jnp.ones(k, jnp.int32),
+            jnp.full(k, 2, jnp.int32),
+        ]
+    )
+    pay = jnp.concatenate([slots, slots, slots])
+    skey, spay = jax.lax.sort(
+        (vals * 4 + tags, pay), dimension=0, num_keys=1
+    )
+    sval = skey // 4
+    stag = skey - sval * 4
+    is_a = stag == 0
+    # forward fill of the most recent pixel (tag 0): compact slots ascend
+    # with lin, so cummax gives the *latest* pixel's value and slot
+    fill_val = jax.lax.cummax(jnp.where(is_a, sval, -1))
+    fill_slot = jax.lax.cummax(jnp.where(is_a, spay, -1))
+    matched = (fill_val == sval) & (sval < padv) & ~is_a
+    # route matched neighbour slots back to the requesting slot
+    seg_up = jnp.where(matched & (stag == 1), spay, k)
+    seg_down = jnp.where(matched & (stag == 2), spay, k)
+    nbu = jax.ops.segment_min(
+        jnp.where(matched, fill_slot, BIG), seg_up, num_segments=k + 1
+    )[:k]
+    nbd = jax.ops.segment_min(
+        jnp.where(matched, fill_slot, BIG), seg_down, num_segments=k + 1
+    )[:k]
+    nbu = jnp.where(nbu < BIG, nbu, slots).astype(jnp.int32)
+    nbd = jnp.where(nbd < BIG, nbd, slots).astype(jnp.int32)
 
     def body(state):
         lbl, _ = state
-        prop = jnp.minimum(lbl, jnp.min(lbl[nb], axis=0))
+        prop = jnp.minimum(lbl, jnp.minimum(lbl[nbu], lbl[nbd]))
+        prop = _segmented_run_min(prop, is_start)
         jumped = prop[prop]  # pointer jumping
         new = jnp.minimum(prop, jumped)
         return new, jnp.any(new != lbl)
 
     lbl, _ = jax.lax.while_loop(
-        lambda s: s[1], body, (slots, jnp.bool_(True))
+        lambda s: s[1], body, (lbl0, jnp.bool_(True))
     )
     return lbl
 
@@ -177,37 +247,55 @@ def spot_table_from_pixels(
 
     sid = jnp.where(in_spot, jnp.minimum(spot_id, max_spots), max_spots)
 
-    def ssum(vals):
-        return jax.ops.segment_sum(
-            jnp.where(in_spot, vals, 0), sid, num_segments=max_spots + 1
-        )[:max_spots]
-
-    def smin(vals, fill):
-        return jax.ops.segment_min(
-            jnp.where(in_spot, vals, fill), sid, num_segments=max_spots + 1
-        )[:max_spots]
-
-    def smax(vals, fill):
-        return jax.ops.segment_max(
-            jnp.where(in_spot, vals, fill), sid, num_segments=max_spots + 1
-        )[:max_spots]
-
+    # Segment reductions are latency-bound on TPU (~70 us apiece regardless
+    # of payload width), so the twelve per-spot statistics are packed into
+    # four batched segment ops: one f32 sum (counts + three weighted sums),
+    # one i32 min, one i32 max, and the peak tie-break min.
     inten = pixels.intensity.astype(dtype)
-    n_pixels = ssum(jnp.ones_like(sid))
-    sum_i = ssum(inten)
-    sum_ix = ssum(inten * px_x.astype(dtype))
-    sum_iy = ssum(inten * px_y.astype(dtype))
-    x_min = smin(px_x, BIG)
-    x_max = smax(px_x, -1)
-    y_min = smin(px_y, BIG)
-    y_max = smax(px_y, -1)
-    z_min = smin(px_z, BIG)
-    z_max = smax(px_z, -1)
+    fsum = jax.ops.segment_sum(
+        jnp.where(
+            in_spot[:, None],
+            jnp.stack(
+                [
+                    jnp.ones_like(inten),
+                    inten,
+                    inten * px_x.astype(dtype),
+                    inten * px_y.astype(dtype),
+                ],
+                axis=1,
+            ),
+            0,
+        ),
+        sid,
+        num_segments=max_spots + 1,
+    )[:max_spots]
+    n_pixels = fsum[:, 0].astype(jnp.int32)
+    sum_i, sum_ix, sum_iy = fsum[:, 1], fsum[:, 2], fsum[:, 3]
+
+    imins = jax.ops.segment_min(
+        jnp.where(in_spot[:, None], jnp.stack([px_x, px_y], axis=1), BIG),
+        sid,
+        num_segments=max_spots + 1,
+    )[:max_spots]
+    x_min, y_min = imins[:, 0], imins[:, 1]
+    # Peak intensity rides in the max op (z == 0 in 2D: z_min/z_max are
+    # constants, not reductions)
+    imaxs = jax.ops.segment_max(
+        jnp.where(
+            in_spot[:, None],
+            jnp.stack([px_x, px_y, pixels.intensity], axis=1),
+            -1,
+        ),
+        sid,
+        num_segments=max_spots + 1,
+    )[:max_spots]
+    x_max, y_max, peak_i = imaxs[:, 0], imaxs[:, 1], imaxs[:, 2]
+    z_min = jnp.where(n_pixels > 0, 0, BIG)
+    z_max = jnp.where(n_pixels > 0, 0, -1)
 
     # Peak pixel: max intensity, ties -> smallest (z, y, x); z == 0 here so
     # the raster linear index is the exact tie-break order
     # (reference: connected_components.cc:143-157)
-    peak_i = smax(pixels.intensity, -1)
     is_peak = in_spot & (pixels.intensity == peak_i[jnp.clip(sid, 0, max_spots - 1)])
     peak_lin = jax.ops.segment_min(
         jnp.where(is_peak, lin, BIG), sid, num_segments=max_spots + 1

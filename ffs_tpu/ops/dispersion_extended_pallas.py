@@ -49,23 +49,24 @@ def _row_halo() -> int:
 def _ext_kernel(
     img_hbm,
     mask_strips,
-    strong_ref,
-    rowcum_ref,
-    img_v,  # (2, strip + 2*row_halo, wp) raw strips, origin row -row_halo
-    imf,  # (strip + 2*_IMG, wp) f32 masked I, origin (-_IMG, -_IMG)
-    mkf,  # same frame as imf
-    disp,  # (strip + 2*_APRON, wp) f32 first-pass mask, origin (-_APRON, -_APRON)
-    surv,  # (strip + 2*_RX, wp) f32 survived mask, origin (-_RX, -_RX)
-    work,  # (3, strip + 2*_APRON, wp) f32 sliding-sum scratch
-    sems,
-    *,
+    *refs,  # [strong_ref,] rowcum_ref, then scratch (see unpack below)
     strip: int,
     width: int,
     trusted_max: float,
     min_count: int,
     nsig_b: float,
     nsig_s: float,
+    emit_strong: bool,
 ):
+    # scratch: img_v (2, strip+2*row_halo, wp) raw strips (origin row
+    # -row_halo); imf/mkf (strip+2*_IMG, wp) f32 masked I / mask, origin
+    # (-_IMG, -_IMG); disp (strip+2*_APRON, wp) f32 first-pass mask, origin
+    # (-_APRON, -_APRON); surv (strip+2*_RX, wp) f32 survived mask, origin
+    # (-_RX, -_RX); work (3, strip+2*_APRON, wp) f32 sliding-sum scratch
+    if emit_strong:
+        strong_ref, rowcum_ref, img_v, imf, mkf, disp, surv, work, sems = refs
+    else:
+        rowcum_ref, img_v, imf, mkf, disp, surv, work, sems = refs
     batch_idx = pl.program_id(0)
     i = pl.program_id(1)
     n_strips = pl.num_programs(1)
@@ -219,12 +220,18 @@ def _ext_kernel(
         & local_ok
     )
 
-    strong_ref[0] = ok.astype(jnp.uint8)
+    if emit_strong:
+        # i32 store: Mosaic's bool->u8 lowering routes through an i32->u8
+        # convert that fails to compile under x64; the (non-production)
+        # wrapper casts to u8 in XLA instead
+        strong_ref[0] = ok.astype(jnp.int32)
     rowcum_ref[0] = ok.astype(jnp.int32)
     shift = 1
     while shift < width:
         cur = rowcum_ref[0]
-        rowcum_ref[0] = cur + jnp.pad(cur, ((0, 0), (shift, 0)))[:, :width]
+        rowcum_ref[0] = cur + jnp.pad(
+            cur, ((0, 0), (shift, 0)), constant_values=cur.dtype.type(0)
+        )[:, :width]
         shift *= 2
 
 
@@ -236,6 +243,7 @@ def _ext_kernel(
         "nsig_b",
         "nsig_s",
         "strip",
+        "emit_strong",
         "interpret",
     ),
 )
@@ -248,10 +256,12 @@ def dispersion_extended_fused(
     nsig_b: float = DEFAULT_NSIG_B,
     nsig_s: float = DEFAULT_NSIG_S,
     strip: int = DEFAULT_STRIP,
+    emit_strong: bool = True,
     interpret: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+) -> tuple[jnp.ndarray | None, jnp.ndarray]:
     """Fused extended dispersion -> (strong u8, rowcum i32); input (H, W) or
-    (B, H, W)."""
+    (B, H, W).  ``emit_strong=False`` drops the dense u8 output (compaction
+    needs only ``rowcum``) and returns (None, rowcum)."""
     squeeze = image.ndim == 2
     if squeeze:
         image = image[None]
@@ -275,8 +285,16 @@ def dispersion_extended_fused(
         min_count=min_count,
         nsig_b=nsig_b,
         nsig_s=nsig_s,
+        emit_strong=emit_strong,
     )
-    strong, rowcum = pl.pallas_call(
+    out_spec = pl.BlockSpec(
+        (1, strip, w), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    out_specs = [out_spec, out_spec] if emit_strong else [out_spec]
+    out_shape = [jax.ShapeDtypeStruct((nb, hp, w), jnp.int32)]
+    if emit_strong:
+        out_shape.insert(0, jax.ShapeDtypeStruct((nb, hp, w), jnp.int32))
+    outs = pl.pallas_call(
         kernel,
         grid=(nb, n_strips),
         in_specs=[
@@ -287,18 +305,8 @@ def dispersion_extended_fused(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, strip, w), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, strip, w), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nb, hp, w), jnp.uint8),
-            jax.ShapeDtypeStruct((nb, hp, w), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, strip + 2 * halo, wp), image.dtype),
             pltpu.VMEM((strip + 2 * _IMG, wp), jnp.float32),
@@ -313,7 +321,12 @@ def dispersion_extended_fused(
         ),
         interpret=interpret,
     )(img_p, mask_strips)
-    strong, rowcum = strong[:, :h], rowcum[:, :h]
+    strong, rowcum = outs if emit_strong else (None, outs[0])
+    rowcum = rowcum[:, :h]
+    if strong is not None:
+        strong = strong[:, :h].astype(jnp.uint8)
     if squeeze:
-        strong, rowcum = strong[0], rowcum[0]
+        rowcum = rowcum[0]
+        if strong is not None:
+            strong = strong[0]
     return strong, rowcum

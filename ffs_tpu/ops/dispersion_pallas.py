@@ -45,19 +45,24 @@ def _row_halo(radius: int) -> int:
     return ((radius + 7) // 8) * 8
 
 
+def mask_box_count(mask: jnp.ndarray, radius: int = KERNEL_RADIUS) -> jnp.ndarray:
+    """Per-pixel count of valid mask pixels in the (2r+1)^2 window, as u16.
+
+    The mask is fixed for a whole collection, so this is computed ONCE and
+    passed to :func:`dispersion_fused` as ``mbox`` — the kernel then skips
+    re-summing the mask grid on every frame (14 of ~50 full-grid adds).
+    Call eagerly (outside jit) so the result is cached, not re-derived
+    per frame.  u16 (not u8): Mosaic's u8 -> i32 conversion recurses under
+    x64, while the u16 -> i32 -> f32 widening is the image path's
+    known-good pattern.
+    """
+    from .dispersion import box_sum
+
+    return box_sum((mask != 0).astype(jnp.int32), radius).astype(jnp.uint16)
+
+
 def _dispersion_kernel(
-    img_hbm,
-    mask_strips,  # blocked input: (1, strip + 2*halo, wp) per grid step
-    strong_ref,
-    rowcum_ref,
-    img_v,  # (2, strip + 2*halo, wp) double-buffered image strips
-    imf,  # (strip + 2r, wp) f32 masked intensities
-    mkf,  # (strip + 2r, wp) f32 mask
-    imsq,  # (strip + 2r, wp) f32 masked squared intensities
-    vsum,  # (3, strip, wp) f32: vertical running sums of (mask, I, I^2)
-    hsum,  # (3, strip, wp) f32: horizontal box sums (only [:, :width] used)
-    sems,
-    *,
+    *args,  # inputs, [strong_ref,] rowcum_ref, scratch (see unpack below)
     strip: int,
     radius: int,
     width: int,
@@ -66,7 +71,24 @@ def _dispersion_kernel(
     nsig_b: float,
     nsig_s: float,
     signal_test: bool,
+    emit_strong: bool,
+    has_mbox: bool,
 ):
+    # inputs: img_hbm (full frame batch, ANY); mask_strips (1, strip+2*halo,
+    # wp) blocked; with has_mbox also mbox_strips (1, strip, wp) u8 — the
+    # frame-invariant mask box count precomputed once per collection.
+    # scratch: img_v (2, strip+2*halo, wp) double-buffered image strips;
+    # imf/mkf/imsq (strip+2r, wp) f32 masked I / mask / I^2; vsum/hsum
+    # (3, strip, wp) f32 vertical / horizontal box sums; sems DMA semaphores
+    if has_mbox:
+        img_hbm, mask_strips, mbox_strips, *refs = args
+    else:
+        img_hbm, mask_strips, *refs = args
+        mbox_strips = None
+    if emit_strong:
+        strong_ref, rowcum_ref, img_v, imf, mkf, imsq, vsum, hsum, sems = refs
+    else:
+        rowcum_ref, img_v, imf, mkf, imsq, vsum, hsum, sems = refs
     batch_idx = pl.program_id(0)
     i = pl.program_id(1)
     n_strips = pl.num_programs(1)
@@ -122,18 +144,18 @@ def _dispersion_kernel(
 
     # Vertical sliding sums, accumulated through scratch refs so only O(1)
     # temporaries are live at once (Mosaic stack-allocates all SSA values).
-    for dy in range(2 * r + 1):
-        if dy == 0:
-            vsum[0] = mkf[dy : dy + strip]
-            vsum[1] = imf[dy : dy + strip]
-            vsum[2] = imsq[dy : dy + strip]
-        else:
-            vsum[0] += mkf[dy : dy + strip]
-            vsum[1] += imf[dy : dy + strip]
-            vsum[2] += imsq[dy : dy + strip]
+    # When the frame-invariant mask box count arrives precomputed
+    # (has_mbox), only the I and I^2 grids are summed here.
+    grids = (imf, imsq) if has_mbox else (mkf, imf, imsq)
+    for k, src in enumerate(grids):
+        for dy in range(2 * r + 1):
+            if dy == 0:
+                vsum[k] = src[dy : dy + strip]
+            else:
+                vsum[k] += src[dy : dy + strip]
 
     # Horizontal sliding sums over the vertical sums.
-    for k in range(3):
+    for k in range(len(grids)):
         for dx in range(2 * r + 1):
             contrib = vsum[k, :, pl.ds(dx, width)]
             if dx == 0:
@@ -141,9 +163,18 @@ def _dispersion_kernel(
             else:
                 hsum[k, :, pl.ds(0, width)] += contrib
 
-    m = hsum[0, :, pl.ds(0, width)]
-    x = hsum[1, :, pl.ds(0, width)]
-    y = hsum[2, :, pl.ds(0, width)]
+    if has_mbox:
+        m = (
+            mbox_strips[0, :, pl.ds(0, width)]
+            .astype(jnp.int32)
+            .astype(jnp.float32)
+        )
+        x = hsum[0, :, pl.ds(0, width)]
+        y = hsum[1, :, pl.ds(0, width)]
+    else:
+        m = hsum[0, :, pl.ds(0, width)]
+        x = hsum[1, :, pl.ds(0, width)]
+        y = hsum[2, :, pl.ds(0, width)]
     # masked intensity == raw intensity wherever the predicate can pass
     # (mask_c != 0 is required), so reuse the f32 copy
     src = imf[r : r + strip, r : r + width]
@@ -159,7 +190,11 @@ def _dispersion_kernel(
         sig_rhs = nsig_s * jnp.sqrt(x * m)
         ok &= sig_lhs > sig_rhs
 
-    strong_ref[0] = ok.astype(jnp.uint8)
+    if emit_strong:
+        # i32 store: Mosaic's bool->u8 lowering routes through an i32->u8
+        # convert that fails to compile under x64; the (non-production)
+        # wrapper casts to u8 in XLA instead
+        strong_ref[0] = ok.astype(jnp.int32)
 
     # within-row inclusive prefix sum: log-shift accumulation through the
     # output ref keeps liveness bounded
@@ -167,7 +202,9 @@ def _dispersion_kernel(
     shift = 1
     while shift < width:
         cur = rowcum_ref[0]
-        rowcum_ref[0] = cur + jnp.pad(cur, ((0, 0), (shift, 0)))[:, :width]
+        rowcum_ref[0] = cur + jnp.pad(
+            cur, ((0, 0), (shift, 0)), constant_values=cur.dtype.type(0)
+        )[:, :width]
         shift *= 2
 
 
@@ -181,6 +218,7 @@ def _dispersion_kernel(
         "radius",
         "strip",
         "signal_test",
+        "emit_strong",
         "interpret",
     ),
 )
@@ -189,19 +227,26 @@ def dispersion_fused(
     mask: jnp.ndarray,
     trusted_max: float,
     *,
+    mbox: jnp.ndarray | None = None,
     min_count: int = DEFAULT_MIN_COUNT,
     nsig_b: float = DEFAULT_NSIG_B,
     nsig_s: float = DEFAULT_NSIG_S,
     radius: int = KERNEL_RADIUS,
     strip: int = DEFAULT_STRIP,
     signal_test: bool = True,
+    emit_strong: bool = True,
     interpret: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+) -> tuple[jnp.ndarray | None, jnp.ndarray]:
     """Fused dispersion threshold -> (strong u8, rowcum i32), same shape as
     ``image`` which may be (H, W) or batched (B, H, W).
 
     ``signal_test=False`` gives the extended algorithm's first pass
-    (background test only, thresholding.cu:253-342).
+    (background test only, thresholding.cu:253-342).  ``emit_strong=False``
+    skips the dense u8 mask output entirely (the compaction path only needs
+    ``rowcum``), saving one HBM output stream; returns (None, rowcum).
+    ``mbox`` is the frame-invariant mask box count from
+    :func:`mask_box_count`; when given, the kernel skips the mask grid's
+    sliding sums.
     """
     squeeze = image.ndim == 2
     if squeeze:
@@ -221,6 +266,7 @@ def dispersion_fused(
         lambda s0: jax.lax.dynamic_slice(mask_p, (s0, 0), (strip + 2 * halo, wp))
     )(strip_starts)
 
+    has_mbox = mbox is not None
     kernel = functools.partial(
         _dispersion_kernel,
         strip=strip,
@@ -231,30 +277,39 @@ def dispersion_fused(
         nsig_b=nsig_b,
         nsig_s=nsig_s,
         signal_test=signal_test,
+        emit_strong=emit_strong,
+        has_mbox=has_mbox,
     )
-    strong, rowcum = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(
+            (1, strip + 2 * halo, wp),
+            lambda b, i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    inputs = [img_p, mask_strips]
+    if has_mbox:
+        mbox_p = jnp.pad(mbox.astype(jnp.uint16), ((0, hp - h), (0, wp - w)))
+        in_specs.append(
+            pl.BlockSpec(
+                (1, strip, wp), lambda b, i: (0, i, 0), memory_space=pltpu.VMEM
+            )
+        )
+        inputs.append(mbox_p[None])
+    out_spec = pl.BlockSpec(
+        (1, strip, w), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    out_specs = [out_spec, out_spec] if emit_strong else [out_spec]
+    out_shape = [jax.ShapeDtypeStruct((nb, hp, w), jnp.int32)]
+    if emit_strong:
+        out_shape.insert(0, jax.ShapeDtypeStruct((nb, hp, w), jnp.int32))
+    outs = pl.pallas_call(
         kernel,
         grid=(nb, n_strips),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(
-                (1, strip + 2 * halo, wp),
-                lambda b, i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, strip, w), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, strip, w), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nb, hp, w), jnp.uint8),
-            jax.ShapeDtypeStruct((nb, hp, w), jnp.int32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, strip + 2 * halo, wp), image.dtype),
             pltpu.VMEM((strip + 2 * r, wp), jnp.float32),
@@ -264,9 +319,17 @@ def dispersion_fused(
             pltpu.VMEM((3, strip, wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
-    )(img_p, mask_strips)
-    strong, rowcum = strong[:, :h], rowcum[:, :h]
+    )(*inputs)
+    strong, rowcum = outs if emit_strong else (None, outs[0])
+    rowcum = rowcum[:, :h]
+    if strong is not None:
+        strong = strong[:, :h].astype(jnp.uint8)
     if squeeze:
-        strong, rowcum = strong[0], rowcum[0]
+        rowcum = rowcum[0]
+        if strong is not None:
+            strong = strong[0]
     return strong, rowcum

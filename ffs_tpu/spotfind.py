@@ -44,6 +44,11 @@ class SpotfindConfig:
     max_spots: int = 16384
     precision: str = "f64"  # "f64" (bit-parity with DIALS CPU) or "f32"
     use_pallas: bool | None = None  # None = auto (TPU + f32 + dispersion)
+    # "host" labels the compact pixels on the CPU (the reference's own
+    # GPU-threshold / CPU-boost-graph split; microseconds for ~3k pixels),
+    # "device" runs the sparse union-find on the accelerator (needed for
+    # multi-chip sharding), "auto" = host whenever the Pallas path is on.
+    cc_backend: str = "auto"  # "auto" | "host" | "device"
 
     @property
     def dtype(self):
@@ -53,6 +58,13 @@ class SpotfindConfig:
         if self.use_pallas is not None:
             return self.use_pallas
         return jax.default_backend() == "tpu" and self.precision == "f32"
+
+    def host_cc_enabled(self) -> bool:
+        if self.cc_backend == "host":
+            return True
+        if self.cc_backend == "device":
+            return False
+        return self.pallas_enabled()
 
 
 @dataclass
@@ -108,6 +120,22 @@ class SpotfindProcessor:
         dtype = cfg.dtype
 
         use_pallas = cfg.pallas_enabled()
+        self.host_cc = cfg.host_cc_enabled()
+
+        # Mosaic does not compile under jax_enable_x64 (i64 scalars leak
+        # into the kernel and fail lowering), so the Pallas f32 step is
+        # traced and executed under a local x64-off scope even when the
+        # process enables x64 globally for the DIALS f64 parity paths.
+        self._x64_off = use_pallas
+
+        # frame-invariant mask box count, computed ONCE per collection so
+        # the fused kernel skips the mask grid's sliding sums every frame
+        self.mbox = None
+        if use_pallas and cfg.algorithm == "dispersion":
+            from .ops.dispersion_pallas import mask_box_count
+
+            with jax.enable_x64(False):
+                self.mbox = jax.block_until_ready(mask_box_count(self.mask))
 
         def _step(image):
             if use_pallas:
@@ -115,19 +143,18 @@ class SpotfindProcessor:
                 from .ops.dispersion_extended_pallas import dispersion_extended_fused
                 from .ops.dispersion_pallas import dispersion_fused
 
-                fused = (
-                    dispersion_fused
-                    if cfg.algorithm == "dispersion"
-                    else dispersion_extended_fused
-                )
-                _, rowcum = fused(
-                    image,
-                    self.mask,
-                    self.trusted_max,
+                kwargs = dict(
                     min_count=cfg.min_count,
                     nsig_b=cfg.nsig_b,
                     nsig_s=cfg.nsig_s,
+                    emit_strong=False,  # compaction needs only rowcum
                 )
+                if cfg.algorithm == "dispersion":
+                    fused = dispersion_fused
+                    kwargs["mbox"] = self.mbox
+                else:
+                    fused = dispersion_extended_fused
+                _, rowcum = fused(image, self.mask, self.trusted_max, **kwargs)
                 pixels = compact_from_rowcum(
                     image, rowcum, max_pixels=cfg.max_strong_pixels
                 )
@@ -155,6 +182,11 @@ class SpotfindProcessor:
                 pixels = cc.compact_strong_pixels(
                     strong, image, max_pixels=cfg.max_strong_pixels
                 )
+            if self.host_cc:
+                # host backend: the device's job ends at compaction; CC,
+                # statistics and filters run on the CPU from the ~64 KB
+                # compact arrays (reference architecture split)
+                return (pixels,)
             root_slot = cc.label_compact_pixels(pixels, width=width)
             root_lin = pixels.linear_index[root_slot]
             table = cc.spot_table_from_pixels(
@@ -177,16 +209,22 @@ class SpotfindProcessor:
         self._step = jax.jit(_step)
 
     def warmup(self, dtype=np.uint16) -> None:
-        self._step(jnp.zeros((self.height, self.width), dtype=dtype))
+        self.dispatch(np.zeros((self.height, self.width), dtype=dtype))
 
     def dispatch(self, image: np.ndarray):
         """Asynchronously dispatch one frame; returns device futures."""
+        if self._x64_off:
+            with jax.enable_x64(False):
+                return self._step(jnp.asarray(image))
         return self._step(jnp.asarray(image))
 
     def collect(
         self, image_number: int, device_result, want_com: bool = False
     ) -> FrameResult:
         """Block on a dispatched frame and assemble the host result."""
+        if self.host_cc:
+            (pixels,) = jax.device_get(device_result)
+            return self._collect_host(image_number, pixels, want_com)
         pixels, root_lin, table, both_keep, n_boxes, n_px_filtered = jax.device_get(
             device_result
         )
@@ -228,6 +266,54 @@ class SpotfindProcessor:
             n_spots_prefilter=int(table.n_spots),
             n_strong_pixels_filtered=int(n_px_filtered),
             pixels=frame_pixels,
+            centers_of_mass=coms,
+        )
+
+    def _collect_host(
+        self, image_number: int, pixels, want_com: bool
+    ) -> FrameResult:
+        """Label + tabulate on the host (C++ union-find over ~3k pixels)."""
+        from .ops.cc2d_host import cc2d, filter_spots_host
+
+        cfg = self.config
+        n = int(pixels.count)
+        if n > len(pixels.linear_index):
+            import warnings
+
+            warnings.warn(
+                f"frame {image_number}: {n} strong pixels exceed the "
+                f"configured capacity {len(pixels.linear_index)}; spot "
+                "results truncated — raise SpotfindConfig.max_strong_pixels",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            n = len(pixels.linear_index)
+        lin = np.asarray(pixels.linear_index[:n])
+        inten = np.asarray(pixels.intensity[:n])
+        table = cc2d(lin, inten, self.width)
+        size_keep, _, _ = filter_spots_host(table, cfg.min_spot_size, -1.0)
+        both_keep, _, _ = filter_spots_host(
+            table, cfg.min_spot_size, cfg.max_peak_centroid_separation
+        )
+        coms = np.zeros((0, 3))
+        if want_com:
+            coms = np.stack(
+                [
+                    table.com_x[both_keep],
+                    table.com_y[both_keep],
+                    table.com_z[both_keep],
+                ],
+                axis=1,
+            )
+        return FrameResult(
+            image_number=image_number,
+            n_strong_pixels=n,
+            n_spots=int(size_keep.sum()),
+            n_spots_prefilter=table.n_spots,
+            n_strong_pixels_filtered=int(table.n_pixels[size_keep].sum()),
+            pixels=cc3d.FramePixels(
+                linear_index=lin, intensity=inten, root=table.root_lin
+            ),
             centers_of_mass=coms,
         )
 

@@ -65,4 +65,6 @@ def lib() -> ctypes.CDLL | None:
     l.ffs_bshuf_lz4_decompress.restype = ctypes.c_int
     l.ffs_bitshuffle_decode.restype = ctypes.c_int
     l.ffs_bitshuffle_encode.restype = ctypes.c_int
+    if hasattr(l, "ffs_cc2d"):
+        l.ffs_cc2d.restype = ctypes.c_int
     return l

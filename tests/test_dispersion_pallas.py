@@ -91,6 +91,28 @@ def test_extended_fused_matches_jnp_f32(small_frame):
     assert want.sum() > 0
 
 
+def test_fused_rowcum_only(small_frame):
+    # emit_strong=False drops the dense mask output; rowcum is unchanged
+    from ffs_tpu.ops.dispersion_extended_pallas import dispersion_extended_fused
+
+    image, mask = small_frame
+    tm = 65535.0
+    for fused in (dispersion_fused, dispersion_extended_fused):
+        _, want_rowcum = fused(
+            jnp.asarray(image), jnp.asarray(mask), tm, strip=64, interpret=True
+        )
+        strong, rowcum = fused(
+            jnp.asarray(image),
+            jnp.asarray(mask),
+            tm,
+            strip=64,
+            emit_strong=False,
+            interpret=True,
+        )
+        assert strong is None
+        np.testing.assert_array_equal(np.asarray(rowcum), np.asarray(want_rowcum))
+
+
 def test_extended_fused_batched(small_frame):
     from ffs_tpu.ops.dispersion_extended_pallas import dispersion_extended_fused
 
