@@ -53,7 +53,7 @@ def main() -> int:
     MAX_SPOTS = int(os.environ.get("FFS_BENCH_MAX_SPOTS", "4096"))
     VAL_MAX_PX = 16384  # anchors incl. the 9.5k-strong-pixel frame
     BATCH = int(os.environ.get("FFS_BENCH_BATCH", "8"))
-    REPS = int(os.environ.get("FFS_BENCH_REPS", "8"))
+    REPS = int(os.environ.get("FFS_BENCH_REPS", "16"))
 
     mask = jnp.asarray(sample_data.generate_mask())
 

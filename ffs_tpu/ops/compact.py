@@ -64,10 +64,14 @@ def compact_from_rowcum(
     prev_end = jnp.where(row_c > 0, row_end[jnp.clip(row_c - 1, 0, h - 1)], 0)
     rank_in_row = ks - prev_end  # 1-based within the row
 
-    # column: first col with rowcum[row, col] >= rank (measured note: a
-    # two-level block search is NOT faster here — TPU gather cost is
-    # dominated by a fixed per-op latency, so fewer dense steps traded for
-    # extra small-table steps is a wash at best)
+    # column: first col with rowcum[row, col] >= rank.  The plain unrolled
+    # binary search is the measured optimum.  Measured dead ends (all
+    # end-to-end, honest harness): k-ary probing (gather cost scales with
+    # total index count, so extra probes cost more than the steps saved),
+    # two-level block tables (small-table gathers hit the same ~70 us
+    # per-op floor), anchored search with a bracketed while_loop refinement
+    # (per-op floor on the K/8 anchor gathers + loop overhead), and
+    # top_k/sort over the dense frame (~50 ms at 16M px).
     col = _bsearch(lambda j: rowcum[row_c, jnp.clip(j, 0, w - 1)], w, rank_in_row)
     col_c = jnp.clip(col, 0, w - 1)
 
