@@ -78,3 +78,69 @@ def compact_from_rowcum(
     lin = jnp.where(valid, row_c * w + col_c, BIG).astype(jnp.int32)
     inten = jnp.where(valid, image[row_c, col_c].astype(jnp.int32), 0)
     return CompactPixels(lin, inten, count)
+
+
+@functools.partial(jax.jit, static_argnames=("max_pixels_total",))
+def compact_from_rowcum_flat(
+    images: jnp.ndarray,
+    rowcum: jnp.ndarray,
+    *,
+    max_pixels_total: int = 65536,
+) -> CompactPixels:
+    """Compact a whole BATCH of frames into ONE pixel list (tall-frame form).
+
+    Perf note (measured on v5e): this is NOT faster than per-frame
+    lax.map for throughput — TPU gather cost grows superlinearly past
+    ~8k indices per op, so one 64k-index op costs MORE than eight
+    8k-index ops.  The flat form exists for its semantics: shared
+    capacity across a batch, and a single spot table covering all frames
+    (``spot_table_from_pixels(..., frame_rows=H)`` yields per-frame
+    (x, y, frame) coordinates), which is the building block for on-device
+    multi-frame analyses.
+
+    The batch is treated as a single tall frame of ``B * (H + 1)`` rows:
+    one virtual empty row separates consecutive frames so 4-connected
+    components can never bridge a frame boundary.  Returned
+    ``linear_index`` values are TALL indices ``row_tall * W + x`` with
+    ``row_tall = b * (H + 1) + y``; downstream CC works on them unchanged
+    (vertical neighbours are still +-W), and
+    ``spot_table_from_pixels(..., frame_rows=H)`` recovers per-frame
+    (x, y, frame) coordinates.  Capacity is shared across the batch.
+    """
+    B, h, w = rowcum.shape
+    ht = h + 1  # +1 virtual gap row per frame
+    k = max_pixels_total
+    row_counts = rowcum[:, :, -1]  # (B, h)
+    flat_counts = jnp.pad(row_counts, ((0, 0), (0, 1))).reshape(-1)
+    row_end = jnp.cumsum(flat_counts)  # (B*ht,) inclusive
+    count = row_end[-1]
+
+    ks = jnp.arange(1, k + 1, dtype=jnp.int32)
+    valid = ks <= count
+
+    # tall row of the k-th pixel: histogram inversion as in
+    # compact_from_rowcum (gap rows duplicate their predecessor's row_end
+    # and drop out like any zero-count row)
+    dhist = jnp.zeros(k + 1, jnp.int32).at[jnp.clip(row_end, 0, k)].add(1)
+    row_t = jnp.cumsum(dhist)[:k]
+    row_tc = jnp.clip(row_t, 0, B * ht - 1)
+    prev_end = jnp.where(row_tc > 0, row_end[jnp.clip(row_tc - 1, 0, B * ht - 1)], 0)
+    rank_in_row = ks - prev_end
+
+    # gap rows are never selected for valid ks (zero counts); clip for the
+    # padding slots so the gathers stay in range
+    b_idx = row_tc // ht
+    y_idx = jnp.minimum(row_tc - b_idx * ht, h - 1)
+    src_row_base = (b_idx * h + y_idx) * w  # flat offset into rowcum/images
+
+    flat_rc = rowcum.reshape(-1)
+    col = _bsearch(
+        lambda j: flat_rc[src_row_base + jnp.clip(j, 0, w - 1)], w, rank_in_row
+    )
+    col_c = jnp.clip(col, 0, w - 1)
+
+    lin = jnp.where(valid, row_tc * w + col_c, BIG).astype(jnp.int32)
+    inten = jnp.where(
+        valid, images.reshape(-1)[src_row_base + col_c].astype(jnp.int32), 0
+    )
+    return CompactPixels(lin, inten, count)

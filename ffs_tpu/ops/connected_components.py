@@ -220,7 +220,9 @@ class SpotTable(NamedTuple):
     peak_z: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("width", "max_spots", "dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("width", "max_spots", "dtype", "frame_rows")
+)
 def spot_table_from_pixels(
     pixels: CompactPixels,
     root_slot: jnp.ndarray,
@@ -228,8 +230,18 @@ def spot_table_from_pixels(
     width: int,
     max_spots: int = DEFAULT_MAX_SPOTS,
     dtype=jnp.float32,
+    frame_rows: int | None = None,
 ) -> SpotTable:
-    """Per-spot statistics from compacted, labelled pixels (2D, z = 0)."""
+    """Per-spot statistics from compacted, labelled pixels.
+
+    Single-frame form (``frame_rows=None``): z = 0 for every pixel.
+    Flat-batch form (``frame_rows=H``): linear indices are TALL indices
+    from :func:`ffs_tpu.ops.compact.compact_from_rowcum_flat` — y is
+    recovered modulo the (H + 1)-row virtual frame pitch and the frame
+    index becomes z, so one call tabulates a whole batch (spots never
+    span frames thanks to the gap row, and the raster tie-break order is
+    exactly the (z, y, x) order the reference uses).
+    """
     lin = pixels.linear_index
     k = lin.shape[0]
     slots = jnp.arange(k, dtype=jnp.int32)
@@ -242,8 +254,14 @@ def spot_table_from_pixels(
     spot_id = spot_seq[root_slot]
 
     px_x = jnp.where(in_spot, lin % width, 0)
-    px_y = jnp.where(in_spot, lin // width, 0)
-    px_z = jnp.zeros_like(px_x)
+    row_t = lin // width
+    if frame_rows is not None:
+        ht = frame_rows + 1
+        px_z = jnp.where(in_spot, row_t // ht, 0)
+        px_y = jnp.where(in_spot, row_t - px_z * ht, 0)
+    else:
+        px_y = jnp.where(in_spot, row_t, 0)
+        px_z = jnp.zeros_like(px_x)
 
     sid = jnp.where(in_spot, jnp.minimum(spot_id, max_spots), max_spots)
 
@@ -273,13 +291,13 @@ def spot_table_from_pixels(
     sum_i, sum_ix, sum_iy = fsum[:, 1], fsum[:, 2], fsum[:, 3]
 
     imins = jax.ops.segment_min(
-        jnp.where(in_spot[:, None], jnp.stack([px_x, px_y], axis=1), BIG),
+        jnp.where(in_spot[:, None], jnp.stack([px_x, px_y, px_z], axis=1), BIG),
         sid,
         num_segments=max_spots + 1,
     )[:max_spots]
-    x_min, y_min = imins[:, 0], imins[:, 1]
-    # Peak intensity rides in the max op (z == 0 in 2D: z_min/z_max are
-    # constants, not reductions)
+    x_min, y_min, z_min = imins[:, 0], imins[:, 1], imins[:, 2]
+    # Peak intensity rides in the max op; z is constant within a spot
+    # (frames never bridge), so z_max == z_min — no extra reduction
     imaxs = jax.ops.segment_max(
         jnp.where(
             in_spot[:, None],
@@ -290,19 +308,26 @@ def spot_table_from_pixels(
         num_segments=max_spots + 1,
     )[:max_spots]
     x_max, y_max, peak_i = imaxs[:, 0], imaxs[:, 1], imaxs[:, 2]
-    z_min = jnp.where(n_pixels > 0, 0, BIG)
-    z_max = jnp.where(n_pixels > 0, 0, -1)
+    z_max = jnp.where(n_pixels > 0, z_min, -1)
+    z_min = jnp.where(n_pixels > 0, z_min, BIG)
 
-    # Peak pixel: max intensity, ties -> smallest (z, y, x); z == 0 here so
-    # the raster linear index is the exact tie-break order
+    # Peak pixel: max intensity, ties -> smallest (z, y, x); the (tall)
+    # raster linear index is the exact tie-break order
     # (reference: connected_components.cc:143-157)
     is_peak = in_spot & (pixels.intensity == peak_i[jnp.clip(sid, 0, max_spots - 1)])
     peak_lin = jax.ops.segment_min(
         jnp.where(is_peak, lin, BIG), sid, num_segments=max_spots + 1
     )[:max_spots]
     peak_x = peak_lin % width
-    peak_y = jnp.where(peak_lin < BIG, peak_lin // width, BIG)
-    peak_z = jnp.zeros_like(peak_x)
+    peak_row_t = jnp.where(peak_lin < BIG, peak_lin // width, BIG)
+    if frame_rows is not None:
+        peak_z = jnp.where(peak_lin < BIG, peak_row_t // (frame_rows + 1), 0)
+        peak_y = jnp.where(
+            peak_lin < BIG, peak_row_t - peak_z * (frame_rows + 1), BIG
+        )
+    else:
+        peak_y = peak_row_t
+        peak_z = jnp.zeros_like(peak_x)
 
     safe_sum = jnp.where(sum_i > 0, sum_i, 1)
     valid = jnp.arange(max_spots, dtype=jnp.int32) < jnp.minimum(n_spots, max_spots)
@@ -313,7 +338,8 @@ def spot_table_from_pixels(
         sum_intensity=sum_i,
         com_x=sum_ix / safe_sum + 0.5,
         com_y=sum_iy / safe_sum + 0.5,
-        com_z=jnp.zeros_like(sum_i) + 0.5,
+        # z is constant within a spot, so the weighted mean is z + 0.5
+        com_z=jnp.where(n_pixels > 0, z_min, 0).astype(dtype) + 0.5,
         x_min=x_min,
         x_max=x_max,
         y_min=y_min,

@@ -186,3 +186,105 @@ def test_filters():
     keep_d, n_size_d, n_sep_d = cc.filter_spots(table, 3, 2.0)
     assert int(n_size_d) == 1
     assert int(keep_d.sum()) == 1
+
+
+def test_flat_batch_pipeline_matches_per_frame():
+    """compact_from_rowcum_flat + frame_rows tabulation == per-frame loop."""
+    import jax.numpy as jnp
+
+    from ffs_tpu.ops import dispersion as jops
+    from ffs_tpu.ops.compact import compact_from_rowcum, compact_from_rowcum_flat
+
+    rng = np.random.default_rng(5)
+    B, H, W = 3, 256, 320
+    imgs = rng.poisson(2.0, (B, H, W)).astype(np.uint16)
+    for b in range(B):
+        for _ in range(40):
+            y, x = rng.integers(4, H - 4), rng.integers(4, W - 4)
+            imgs[b, y - 1 : y + 2, x - 1 : x + 2] += rng.poisson(
+                60, (3, 3)
+            ).astype(np.uint16)
+    # spots touching frame edges stress the virtual gap row
+    imgs[0, H - 2 : H, 100:103] += 500
+    imgs[1, 0:2, 100:103] += 500
+    mask = jnp.ones((H, W), jnp.uint8)
+    strong = jops.dispersion(jnp.asarray(imgs), mask, 65535.0, dtype=jnp.float32)
+    rowcum = jnp.cumsum(strong.astype(jnp.int32), axis=2)
+
+    pf = compact_from_rowcum_flat(jnp.asarray(imgs), rowcum, max_pixels_total=8192)
+    slotf = cc.label_compact_pixels(pf, width=W)
+    tf = cc.spot_table_from_pixels(
+        pf, slotf, width=W, max_spots=4096, dtype=jnp.float64, frame_rows=H
+    )
+    keepf, _, _ = cc.filter_spots(tf, 3, 2.0)
+    Sf = int(tf.n_spots)
+
+    rows = []
+    for b in range(B):
+        p = compact_from_rowcum(jnp.asarray(imgs[b]), rowcum[b], max_pixels=4096)
+        slot = cc.label_compact_pixels(p, width=W)
+        t = cc.spot_table_from_pixels(
+            p, slot, width=W, max_spots=2048, dtype=jnp.float64
+        )
+        keep, _, _ = cc.filter_spots(t, 3, 2.0)
+        for i in range(int(t.n_spots)):
+            rows.append(
+                (b, float(t.com_x[i]), float(t.com_y[i]), int(t.n_pixels[i]),
+                 int(t.x_min[i]), int(t.x_max[i]), int(t.y_min[i]),
+                 int(t.y_max[i]), int(t.peak_x[i]), int(t.peak_y[i]),
+                 float(t.sum_intensity[i]), bool(keep[i]))
+            )
+    rows_flat = [
+        (int(tf.z_min[i]), float(tf.com_x[i]), float(tf.com_y[i]),
+         int(tf.n_pixels[i]), int(tf.x_min[i]), int(tf.x_max[i]),
+         int(tf.y_min[i]), int(tf.y_max[i]), int(tf.peak_x[i]),
+         int(tf.peak_y[i]), float(tf.sum_intensity[i]), bool(keepf[i]))
+        for i in range(Sf)
+    ]
+    assert len(rows) == Sf
+    assert rows == rows_flat
+    for i in range(Sf):
+        assert int(tf.z_max[i]) == int(tf.z_min[i])
+        assert abs(float(tf.com_z[i]) - (int(tf.z_min[i]) + 0.5)) < 1e-12
+
+
+def test_host_cc2d_matches_device():
+    """The C++ host union-find reproduces the device path bit-exactly."""
+    import jax.numpy as jnp
+
+    from ffs_tpu.ops import cc2d_host as hc
+    from ffs_tpu.ops import dispersion as jops
+
+    rng = np.random.default_rng(1)
+    H, W = 512, 640
+    img = rng.poisson(2.0, (H, W)).astype(np.uint16)
+    for _ in range(120):
+        y, x = rng.integers(5, H - 5), rng.integers(5, W - 5)
+        img[y - 2 : y + 3, x - 2 : x + 3] += rng.poisson(50, (5, 5)).astype(
+            np.uint16
+        )
+    mask = jnp.ones((H, W), jnp.uint8)
+    strong = jops.dispersion(jnp.asarray(img), mask, 65535.0, dtype=jnp.float32)
+    p = cc.compact_strong_pixels(strong, jnp.asarray(img), max_pixels=16384)
+    slot = cc.label_compact_pixels(p, width=W)
+    t = cc.spot_table_from_pixels(
+        p, slot, width=W, max_spots=16384, dtype=jnp.float64
+    )
+    keep_d, ns_d, nsep_d = cc.filter_spots(t, 3, 2.0)
+
+    n = int(p.count)
+    h = hc.cc2d(np.asarray(p.linear_index[:n]), np.asarray(p.intensity[:n]), W)
+    keep_h, ns_h, nsep_h = hc.filter_spots_host(h, 3, 2.0)
+    S = h.n_spots
+    assert S == int(t.n_spots) and S > 50
+    np.testing.assert_array_equal(np.asarray(p.linear_index[slot])[:n], h.root_lin)
+    for dv, hv in [
+        (t.n_pixels, h.n_pixels), (t.sum_intensity, h.sum_intensity),
+        (t.com_x, h.com_x), (t.com_y, h.com_y),
+        (t.x_min, h.x_min), (t.x_max, h.x_max),
+        (t.y_min, h.y_min), (t.y_max, h.y_max),
+        (t.peak_x, h.peak_x), (t.peak_y, h.peak_y),
+    ]:
+        np.testing.assert_allclose(np.asarray(dv)[:S], hv, rtol=1e-12)
+    assert (int(ns_d), int(nsep_d)) == (ns_h, nsep_h)
+    np.testing.assert_array_equal(np.asarray(keep_d)[:S], keep_h)
