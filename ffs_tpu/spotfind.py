@@ -137,24 +137,57 @@ class SpotfindProcessor:
             with jax.enable_x64(False):
                 self.mbox = jax.block_until_ready(mask_box_count(self.mask))
 
+        def _fused_rowcum(image):
+            from .ops.dispersion_extended_pallas import dispersion_extended_fused
+            from .ops.dispersion_pallas import dispersion_fused
+
+            kwargs = dict(
+                min_count=cfg.min_count,
+                nsig_b=cfg.nsig_b,
+                nsig_s=cfg.nsig_s,
+                emit_strong=False,  # compaction needs only rowcum
+            )
+            if cfg.algorithm == "dispersion":
+                fused = dispersion_fused
+                kwargs["mbox"] = self.mbox
+            else:
+                fused = dispersion_extended_fused
+            _, rowcum = fused(image, self.mask, self.trusted_max, **kwargs)
+            return rowcum
+
+        # Adaptive compaction capacity (host-CC path): compaction cost
+        # scales with the static capacity K, so the kernel step first
+        # returns the exact strong-pixel total and the host picks the
+        # smallest tier that fits — typical frames (~3k strong px) run at
+        # K=4096 instead of paying for the 65536 worst-case every frame.
+        self._capacity_tiers = sorted(
+            {
+                t
+                for t in (4096, 16384, cfg.max_strong_pixels)
+                if t <= cfg.max_strong_pixels
+            }
+        )
+
+        @jax.jit
+        def _rowcum_step(image):
+            rowcum = _fused_rowcum(image)
+            return rowcum, jnp.sum(rowcum[:, -1])
+
+        def _compact_step(image, rowcum, max_pixels):
+            from .ops.compact import compact_from_rowcum
+
+            return compact_from_rowcum(image, rowcum, max_pixels=max_pixels)
+
+        self._rowcum_step = _rowcum_step
+        self._compact_step = jax.jit(
+            _compact_step, static_argnames=("max_pixels",)
+        )
+
         def _step(image):
             if use_pallas:
                 from .ops.compact import compact_from_rowcum
-                from .ops.dispersion_extended_pallas import dispersion_extended_fused
-                from .ops.dispersion_pallas import dispersion_fused
 
-                kwargs = dict(
-                    min_count=cfg.min_count,
-                    nsig_b=cfg.nsig_b,
-                    nsig_s=cfg.nsig_s,
-                    emit_strong=False,  # compaction needs only rowcum
-                )
-                if cfg.algorithm == "dispersion":
-                    fused = dispersion_fused
-                    kwargs["mbox"] = self.mbox
-                else:
-                    fused = dispersion_extended_fused
-                _, rowcum = fused(image, self.mask, self.trusted_max, **kwargs)
+                rowcum = _fused_rowcum(image)
                 pixels = compact_from_rowcum(
                     image, rowcum, max_pixels=cfg.max_strong_pixels
                 )
@@ -215,6 +248,11 @@ class SpotfindProcessor:
         """Asynchronously dispatch one frame; returns device futures."""
         if self._x64_off:
             with jax.enable_x64(False):
+                if self.host_cc:
+                    # tiered path: kernel now, compaction sized in collect()
+                    img_dev = jnp.asarray(image)
+                    rowcum, count = self._rowcum_step(img_dev)
+                    return ("tiered", img_dev, rowcum, count)
                 return self._step(jnp.asarray(image))
         return self._step(jnp.asarray(image))
 
@@ -222,6 +260,20 @@ class SpotfindProcessor:
         self, image_number: int, device_result, want_com: bool = False
     ) -> FrameResult:
         """Block on a dispatched frame and assemble the host result."""
+        if isinstance(device_result, tuple) and (
+            len(device_result) == 4 and device_result[0] == "tiered"
+        ):
+            _, img_dev, rowcum, count = device_result
+            n = int(count)
+            tier = next(
+                (t for t in self._capacity_tiers if n <= t),
+                self._capacity_tiers[-1],
+            )
+            with jax.enable_x64(False):
+                pixels = self._compact_step(img_dev, rowcum, max_pixels=tier)
+            return self._collect_host(
+                image_number, jax.device_get(pixels), want_com
+            )
         if self.host_cc:
             (pixels,) = jax.device_get(device_result)
             return self._collect_host(image_number, pixels, want_com)
