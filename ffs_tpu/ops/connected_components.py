@@ -185,9 +185,14 @@ def label_compact_pixels(pixels: CompactPixels, *, width: int) -> jnp.ndarray:
     nbu = jnp.where(nbu < BIG, nbu, slots).astype(jnp.int32)
     nbd = jnp.where(nbd < BIG, nbd, slots).astype(jnp.int32)
 
+    # both neighbour lookups ride one gather (per-op overhead amortises;
+    # 2K indices is still below the superlinear-gather regime)
+    nb2 = jnp.concatenate([nbu, nbd])
+
     def body(state):
         lbl, _ = state
-        prop = jnp.minimum(lbl, jnp.minimum(lbl[nbu], lbl[nbd]))
+        v = lbl[nb2]
+        prop = jnp.minimum(lbl, jnp.minimum(v[:k], v[k:]))
         prop = _segmented_run_min(prop, is_start)
         jumped = prop[prop]  # pointer jumping
         new = jnp.minimum(prop, jumped)
