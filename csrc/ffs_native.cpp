@@ -171,9 +171,11 @@ long long ffs_lz4_compress_block(const uint8_t* src,
 // Bitshuffle (https://github.com/kiyo-masui/bitshuffle data layout)
 //
 // Within a block of n elements (n multiple of 8) of elem_size bytes, the
-// shuffled layout stores, for each element-byte j and each bit k (MSB
-// first), a packed row of n/8 bytes where byte m holds bit (7-k) of the j-th
-// byte of elements 8m..8m+7 (element 8m+t at bit position t).
+// shuffled layout stores, for each element-byte j and each bit k (LSB plane
+// in row 0), a packed row of n/8 bytes where byte m holds bit k of the j-th
+// byte of elements 8m..8m+7 (element 8m+t at bit position t).  Upstream's
+// AVX2 kernel writes movemask(MSB) to row 7-kk then shifts left, i.e. row r
+// is bit plane r.
 // ---------------------------------------------------------------------------
 
 static void bshuf_untranspose_block(const uint8_t* in,
@@ -187,7 +189,7 @@ static void bshuf_untranspose_block(const uint8_t* in,
             uint8_t b[8] = {0, 0, 0, 0, 0, 0, 0, 0};
             for (size_t kk = 0; kk < 8; ++kk) {
                 const uint8_t r = rows[kk * nb + m];
-                const uint8_t bit = static_cast<uint8_t>(7 - kk);
+                const uint8_t bit = static_cast<uint8_t>(kk);
                 // spread: bit t of r -> bit `bit` of element 8m+t
                 for (size_t t = 0; t < 8; ++t) {
                     b[t] |= static_cast<uint8_t>(((r >> t) & 1u) << bit);
@@ -209,7 +211,7 @@ static void bshuf_transpose_block(const uint8_t* in,
         uint8_t* rows = out + j * n;
         for (size_t m = 0; m < nb; ++m) {
             for (size_t kk = 0; kk < 8; ++kk) {
-                const uint8_t bit = static_cast<uint8_t>(7 - kk);
+                const uint8_t bit = static_cast<uint8_t>(kk);
                 uint8_t r = 0;
                 for (size_t t = 0; t < 8; ++t) {
                     r |= static_cast<uint8_t>(

@@ -72,9 +72,10 @@ def bitshuffle_decode_np(buf: np.ndarray, n_elem: int, elem_size: int) -> np.nda
     out = np.empty(n_elem * elem_size, dtype=np.uint8)
     if n8:
         body = buf[: n8 * elem_size].reshape(elem_size, 8, n8 // 8)
-        # bit t of row byte m -> element 8m+t; row kk holds element bit (7-kk)
+        # bit t of row byte m -> element 8m+t; row kk holds element bit kk
+        # (LSB plane first: upstream AVX2 writes movemask(MSB) to row 7-kk)
         bits = np.unpackbits(body, axis=2, bitorder="little")  # (S, 8, n8)
-        weights = (1 << (7 - np.arange(8, dtype=np.uint16))).astype(np.uint16)
+        weights = (1 << np.arange(8, dtype=np.uint16)).astype(np.uint16)
         elems = (bits.astype(np.uint16) * weights[None, :, None]).sum(axis=1)
         out[: n8 * elem_size] = elems.astype(np.uint8).T.reshape(-1)
     out[n8 * elem_size :] = buf[n8 * elem_size : n_elem * elem_size]
@@ -89,8 +90,8 @@ def bitshuffle_encode_np(data: np.ndarray, elem_size: int) -> np.ndarray:
     if n8:
         elems = data[: n8 * elem_size].reshape(n8, elem_size).T  # (S, n8)
         bits = np.unpackbits(
-            elems.reshape(elem_size, n8, 1), axis=2, bitorder="big"
-        )  # (S, n8, 8) MSB first -> index kk matches bit (7-kk)
+            elems.reshape(elem_size, n8, 1), axis=2, bitorder="little"
+        )  # (S, n8, 8) LSB first -> index kk matches bit plane kk
         rows = np.packbits(
             bits.transpose(0, 2, 1), axis=2, bitorder="little"
         )  # (S, 8, n8//8)

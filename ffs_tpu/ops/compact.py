@@ -109,6 +109,15 @@ def compact_from_rowcum_flat(
     """
     B, h, w = rowcum.shape
     ht = h + 1  # +1 virtual gap row per frame
+    # downstream label_compact_pixels builds int32 sort keys lin*4 + tag;
+    # the largest tall linear index must leave that headroom or the
+    # sort-merge silently corrupts — fail loudly instead (ADVICE r1).
+    if B * ht * w * 4 >= 2**31:
+        raise ValueError(
+            f"flat batch too tall for i32 CC sort keys: B*{ht}*{w}*4 = "
+            f"{B * ht * w * 4} >= 2^31; split the batch (max "
+            f"{(2**31 // (4 * ht * w))} frames at this geometry)"
+        )
     k = max_pixels_total
     row_counts = rowcum[:, :, -1]  # (B, h)
     flat_counts = jnp.pad(row_counts, ((0, 0), (0, 1))).reshape(-1)
@@ -144,3 +153,108 @@ def compact_from_rowcum_flat(
         valid, images.reshape(-1)[src_row_base + col_c].astype(jnp.int32), 0
     )
     return CompactPixels(lin, inten, count)
+
+
+def _select_bit(word: jnp.ndarray, rank: jnp.ndarray) -> jnp.ndarray:
+    """Position (0-based) of the ``rank``-th (1-based) set bit of each u32
+    word — 5 elementwise popcount steps, no gathers."""
+    pos = jnp.zeros_like(rank)
+    for b in (16, 8, 4, 2, 1):
+        width = pos + b
+        mask = jnp.where(
+            width >= 32,
+            jnp.int32(-1),
+            (jnp.int32(1) << jnp.minimum(width, 31)) - 1,
+        )
+        c = jax.lax.population_count(word & mask)
+        pos = jnp.where(c < rank, width, pos)
+    return pos
+
+
+@functools.partial(jax.jit, static_argnames=("max_pixels_total",))
+def compact_from_words_flat(
+    images: jnp.ndarray,
+    words: jnp.ndarray,
+    pc: jnp.ndarray,
+    *,
+    max_pixels_total: int = 24576,
+) -> CompactPixels:
+    """Compact a whole batch from packed strong-pixel words (tall-frame form).
+
+    Inputs come from :func:`ffs_tpu.ops.dispersion_pallas.dispersion_packed`:
+    ``words`` (B, H, nwl) packs strong flags (bit t of word j = column
+    32j + t), ``pc`` (B, H, nwl) is the inclusive per-row word-level count
+    prefix.  Compared to :func:`compact_from_rowcum_flat` this replaces the
+    dense per-pixel rowcum (72 MB/frame at Eiger 16M) with ~4 MB/frame of
+    words, and the 14-step in-row binary search with an 8-step word search
+    plus 5 gather-free popcount steps — the whole batch shares ONE set of
+    sparse ops (reference throughput architecture: spotfinder.cc:751-1008;
+    here redesigned around the TPU cost model in tools/measure_ops.py).
+
+    Returns tall linear indices with the (H + 1)-row virtual gap pitch of
+    :func:`compact_from_rowcum_flat` (CC-safe across frames); with B == 1
+    the indices coincide with plain single-frame raster indices.
+    """
+    B, h, nwl = pc.shape
+    w = images.shape[-1]
+    ht = h + 1
+    if B * ht * w * 4 >= 2**31:
+        raise ValueError(
+            f"flat batch too tall for i32 CC sort keys: B*{ht}*{w}*4 = "
+            f"{B * ht * w * 4} >= 2^31; split the batch (max "
+            f"{(2**31 // (4 * ht * w))} frames at this geometry)"
+        )
+    k = max_pixels_total
+    row_counts = pc[:, :, -1]  # (B, h)
+    flat_counts = jnp.pad(row_counts, ((0, 0), (0, 1))).reshape(-1)
+    row_end = jnp.cumsum(flat_counts)  # (B*ht,) inclusive
+    count = row_end[-1]
+
+    ks = jnp.arange(1, k + 1, dtype=jnp.int32)
+    valid = ks <= count
+
+    # tall row via histogram inversion (see compact_from_rowcum)
+    dhist = jnp.zeros(k + 1, jnp.int32).at[jnp.clip(row_end, 0, k)].add(1)
+    row_t = jnp.cumsum(dhist)[:k]
+    row_tc = jnp.clip(row_t, 0, B * ht - 1)
+    prev_end = jnp.where(row_tc > 0, row_end[jnp.clip(row_tc - 1, 0, B * ht - 1)], 0)
+    rank_in_row = ks - prev_end  # 1-based
+
+    b_idx = row_tc // ht
+    y_idx = jnp.minimum(row_tc - b_idx * ht, h - 1)
+    prow = b_idx * h + y_idx  # physical row into words/pc/images
+
+    # word: first j with pc[prow, j] >= rank (8 gather steps over nwl lanes)
+    pcf = pc.reshape(-1)
+    base = prow * nwl
+    jw = _bsearch(lambda j: pcf[base + jnp.clip(j, 0, nwl - 1)], nwl, rank_in_row)
+    jw_c = jnp.clip(jw, 0, nwl - 1)
+    word = words.reshape(-1)[base + jw_c]
+    before = jnp.where(jw_c > 0, pcf[base + jnp.clip(jw_c - 1, 0, nwl - 1)], 0)
+    bit = _select_bit(word, rank_in_row - before)
+    col = jnp.clip(jw_c * 32 + bit, 0, w - 1)
+
+    lin = jnp.where(valid, row_tc * w + col, BIG).astype(jnp.int32)
+    inten = jnp.where(
+        valid, images.reshape(-1)[prow * w + col].astype(jnp.int32), 0
+    )
+    return CompactPixels(lin, inten, count)
+
+
+@functools.partial(jax.jit, static_argnames=("max_pixels",))
+def compact_from_words(
+    image: jnp.ndarray,
+    words: jnp.ndarray,
+    pc: jnp.ndarray,
+    *,
+    max_pixels: int = 32768,
+) -> CompactPixels:
+    """Single-frame word-based compaction (plain raster linear indices)."""
+    h, w = image.shape
+    p = compact_from_words_flat(
+        image[None], words[None], pc[None], max_pixels_total=max_pixels
+    )
+    # B == 1: tall pitch (h+1) never hosts pixels in the gap row, and
+    # row_t * w + col == row * w + col for rows < h, so indices are already
+    # plain raster indices.
+    return p

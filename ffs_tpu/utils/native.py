@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import ctypes
 import functools
+import hashlib
 import pathlib
 import subprocess
 import tempfile
@@ -41,17 +42,23 @@ def _build(so_path: pathlib.Path) -> bool:
 
 @functools.lru_cache(maxsize=1)
 def lib() -> ctypes.CDLL | None:
-    """The loaded native library, building it on demand; None if unavailable."""
+    """The loaded native library, building it on demand; None if unavailable.
+
+    The build cache is keyed on a hash of the source (not mtimes), so a stale
+    or foreign binary can never shadow the reviewed source after a clone.
+    """
     if not _SOURCE.exists():
         return None
-    so_path = _CSRC / "libffs_native.so"
-    if not so_path.exists() or so_path.stat().st_mtime < _SOURCE.stat().st_mtime:
+    digest = hashlib.sha256(_SOURCE.read_bytes()).hexdigest()[:12]
+    so_name = f"libffs_native-{digest}.so"
+    so_path = _CSRC / so_name
+    if not so_path.exists():
         target = so_path
         try:
             target.parent.mkdir(parents=True, exist_ok=True)
         except OSError:
-            target = pathlib.Path(tempfile.gettempdir()) / "libffs_native.so"
-        if not _build(target):
+            target = pathlib.Path(tempfile.gettempdir()) / so_name
+        if not target.exists() and not _build(target):
             return None
         so_path = target
     try:

@@ -1,0 +1,133 @@
+"""DIALS-derived golden oracles for the background models.
+
+Expected values transcribed from the reference's host unit tests
+(reference: integrator/tests/test_background.cc).  The GLM means there were
+produced by DIALS RobustPoissonMean (c=1.345, tol=1e-3, max_iter=100) on the
+expanded histograms, so asserting them here asserts parity with DIALS
+itself — the reference's own correctness anchor (BASELINE.md: GLM parity at
+1e-6 relative).
+"""
+
+import numpy as np
+import pytest
+
+from ffs_tpu.integration import background as bg
+
+DIALS_PARITY_TOL = 1e-6  # reference: test_background.cc kDialsParityTol
+
+
+def run(bins_dict, overflow=0, model="tukey", num_bins=bg.NUM_BG_BINS):
+    b = np.zeros((1, num_bins), np.int64)
+    for v, c in bins_dict.items():
+        b[0, v] = c
+    mean, wsum, valid = bg.estimate_background(
+        b, np.array([overflow]), model
+    )
+    return float(mean[0]), float(wsum[0]), bool(valid[0])
+
+
+# --- Tukey (reference: test_background.cc:33-97) ---------------------------
+
+
+def test_tukey_empty_histogram_fails():
+    _, _, valid = run({}, num_bins=16)
+    assert not valid
+
+
+def test_tukey_uniform_no_outliers():
+    # q1=2, q3=6, IQR=4 -> bounds [-4, 12]; all of 0..9 survive
+    mean, wsum, valid = run({v: 1 for v in range(10)}, num_bins=64)
+    assert valid and wsum == 45.0 and mean == 4.5
+
+
+def test_tukey_high_outlier_in_overflow_rejected():
+    mean, wsum, valid = run({v: 1 for v in range(10)}, overflow=1, num_bins=64)
+    assert valid and wsum == 45.0 and mean == 4.5
+
+
+def test_tukey_high_outlier_in_bins_rejected():
+    bins = {v: 1 for v in range(10)}
+    bins[60] = 1  # clear outlier well above q3 + 1.5*IQR
+    mean, wsum, valid = run(bins, num_bins=64)
+    assert valid and wsum == 45.0 and mean == 4.5
+
+
+def test_tukey_upper_fence_reaching_overflow_rejected():
+    # q1=3, q3=11, IQR=8 -> upper bound 23 >= num_bins (16)
+    _, _, valid = run({v: 1 for v in range(16)}, num_bins=16)
+    assert not valid
+
+
+def test_tukey_constant_value():
+    mean, wsum, valid = run({5: 20}, num_bins=64)
+    assert valid and mean == 5.0 and wsum == 100.0
+
+
+# --- GLM vs DIALS RobustPoissonMean (test_background.cc:133-216) -----------
+
+
+def test_glm_tight_low_no_outliers():
+    mean, wsum, valid = run({2: 3, 3: 5, 4: 8, 5: 6, 6: 2}, model="glm")
+    assert valid
+    assert mean == pytest.approx(4.0304431542, abs=DIALS_PARITY_TOL)
+    assert wsum == pytest.approx(mean * 24.0, abs=0)
+
+
+def test_glm_high_outlier_downweighted():
+    mean, wsum, valid = run(
+        {2: 3, 3: 5, 4: 8, 5: 6, 6: 2, 120: 1}, model="glm"
+    )
+    assert valid
+    assert mean == pytest.approx(4.1427022177, abs=DIALS_PARITY_TOL)
+    assert wsum == pytest.approx(mean * 25.0, abs=0)
+
+
+def test_glm_overflow_tail_clips():
+    mean, wsum, valid = run(
+        {2: 10, 3: 20, 4: 30, 5: 25}, overflow=4, model="glm"
+    )
+    assert valid
+    assert mean == pytest.approx(4.0257619071, abs=DIALS_PARITY_TOL)
+    assert wsum == pytest.approx(mean * 89.0, abs=0)
+
+
+def test_glm_moderate_level():
+    mean, wsum, valid = run(
+        {48: 4, 50: 10, 52: 8, 55: 3, 60: 2}, model="glm"
+    )
+    assert valid
+    assert mean == pytest.approx(51.6834964586, abs=DIALS_PARITY_TOL)
+    assert wsum == pytest.approx(mean * 27.0, abs=0)
+
+
+def test_glm_too_few_pixels_fails():
+    _, _, valid = run({v: 1 for v in range(3, 8)}, model="glm")  # N=5
+    assert not valid
+
+
+def test_glm_excessive_overflow_rejected():
+    _, _, valid = run({3: 10, 4: 10}, overflow=20, model="glm")  # 50%
+    assert not valid
+
+
+# --- batched form: all golden cases in ONE (N, 256) call --------------------
+
+
+def test_glm_batched_matches_per_case():
+    """The vectorised (N, bins) path must reproduce each scalar case."""
+    cases = [
+        ({2: 3, 3: 5, 4: 8, 5: 6, 6: 2}, 0, 4.0304431542),
+        ({2: 3, 3: 5, 4: 8, 5: 6, 6: 2, 120: 1}, 0, 4.1427022177),
+        ({2: 10, 3: 20, 4: 30, 5: 25}, 4, 4.0257619071),
+        ({48: 4, 50: 10, 52: 8, 55: 3, 60: 2}, 0, 51.6834964586),
+    ]
+    bins = np.zeros((len(cases), bg.NUM_BG_BINS), np.int64)
+    ovf = np.zeros(len(cases), np.int64)
+    for i, (d, o, _) in enumerate(cases):
+        for v, c in d.items():
+            bins[i, v] = c
+        ovf[i] = o
+    mean, _, valid = bg.glm_constant_background(bins, ovf)
+    assert valid.all()
+    for i, (_, _, expect) in enumerate(cases):
+        assert mean[i] == pytest.approx(expect, abs=DIALS_PARITY_TOL)

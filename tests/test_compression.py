@@ -65,16 +65,49 @@ def test_bitshuffle_native_matches_numpy(rng, elem_size):
 
 
 def test_bitshuffle_layout_convention():
+    """Upstream bitshuffle stores the LSB plane in row 0.
+
+    The AVX2 kernel (bitshuffle_core.c bshuf_trans_bit_byte_AVX) writes
+    movemask(current MSB) to row 7-kk and shifts left, so row r holds bit
+    plane r; within a row, element 8m+t lands at bit t of byte m.
+    """
     # 8 single-byte elements, only element 0 has bit 7 set:
-    # row kk=0 (bit 7) must contain byte 0b00000001, all other rows zero.
+    # row 7 (bit plane 7) must contain byte 0b00000001, all other rows zero.
     data = np.array([0x80, 0, 0, 0, 0, 0, 0, 0], dtype=np.uint8)
     enc = comp.bitshuffle_encode_np(data, 1)
-    assert enc[0] == 1 and not enc[1:].any()
-    # element 3 with bit 0 set -> last row (kk=7), bit position 3
+    assert enc[7] == 1 and not enc[:7].any()
+    # element 3 with bit 0 set -> row 0 (LSB plane), bit position 3
     data = np.zeros(8, np.uint8)
     data[3] = 1
     enc = comp.bitshuffle_encode_np(data, 1)
-    assert enc[7] == (1 << 3) and not enc[:7].any()
+    assert enc[0] == (1 << 3) and not enc[1:].any()
+
+
+def test_bitshuffle_spec_vector_u16():
+    """Hand-authored filter-32008 layout vector for 16-bit elements.
+
+    Layout (per upstream bshuf_trans_bit_elem): byte-position-major sections
+    (all low bytes of the LE u16s first), each section 8 bit-plane rows, LSB
+    plane in row 0, element 8m+t at bit t of row byte m.
+    """
+    vals = np.array([1, 2, 4, 8, 16, 32, 64, 128], dtype="<u2")
+    enc = comp.bitshuffle_encode_np(vals.view(np.uint8), 2)
+    # section 0 = low bytes: element e has only bit e set -> row r byte is
+    # the one-hot 1<<r (element r contributes bit r at bit position r).
+    np.testing.assert_array_equal(enc[:8], (1 << np.arange(8)).astype(np.uint8))
+    # section 1 = high bytes: all zero
+    assert not enc[8:].any()
+
+    vals = np.array([0x100, 0, 0, 0, 0, 0, 0, 0x8000], dtype="<u2")
+    enc = comp.bitshuffle_encode_np(vals.view(np.uint8), 2)
+    assert not enc[:8].any()  # low bytes all zero
+    hi = enc[8:]
+    # element 0 high-byte bit 0 -> section 1 row 0, bit pos 0
+    # element 7 high-byte bit 7 -> section 1 row 7, bit pos 7
+    assert hi[0] == 1 and hi[7] == (1 << 7) and not hi[1:7].any()
+    # decode must invert
+    dec = comp.bitshuffle_decode_np(enc, 8, 2)
+    np.testing.assert_array_equal(dec.view("<u2"), vals)
 
 
 @pytest.mark.parametrize("dtype", [np.uint16, np.uint32])
