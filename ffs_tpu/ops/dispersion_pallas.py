@@ -208,6 +208,300 @@ def _dispersion_kernel(
         shift *= 2
 
 
+def _n_word_lanes(wp: int) -> int:
+    """Packed-word lane count: ceil(wp/32) rounded up to the 128-lane tile."""
+    return ((wp // 32 + 127) // 128) * 128
+
+
+def _pack_weights(wp: int, nwl: int):
+    """Constant (wp, 3*nwl) bf16 matrix that bit-packs a 0/1 row via one MXU
+    matmul: column blocks are [lo16 | hi16 | count] per 32-lane word.
+
+    All weights are powers of two (exact in bf16) and the accumulated sums
+    stay below 2^16 (exact in f32), so the pack is lossless.
+    """
+    import numpy as np
+
+    m = np.zeros((wp, 3 * nwl), np.float32)
+    l = np.arange(wp)
+    j, t = l // 32, l % 32
+    m[l, j] = np.where(t < 16, 2.0**t, 0.0)
+    m[l, nwl + j] = np.where(t >= 16, 2.0 ** (t - 16), 0.0)
+    m[l, 2 * nwl + j] = 1.0
+    return jnp.asarray(m, dtype=jnp.bfloat16)
+
+
+def _emit_packed(okf, m_ref, w32_ref, pc_ref, *, nwl: int):
+    """Pack the f32 0/1 strong grid ``okf`` (strip, wp) into u32 words and a
+    per-row inclusive word-count prefix, via one bf16 matmul.
+
+    ``w32_ref``/``pc_ref`` are (1, strip, nwl) i32 output refs.
+    """
+    prod = jax.lax.dot_general(
+        okf.astype(jnp.bfloat16),
+        m_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (strip, 3*nwl)
+    lo = prod[:, :nwl].astype(jnp.int32)
+    hi = prod[:, nwl : 2 * nwl].astype(jnp.int32)
+    w32_ref[0] = lo | (hi << 16)
+    # inclusive prefix of per-word counts along the word lanes (log-shift;
+    # counts <= W < 2^24 stay exact in f32)
+    cnt = prod[:, 2 * nwl :]
+    shift = 1
+    while shift < nwl:
+        cnt = cnt + jnp.pad(cnt, ((0, 0), (shift, 0)))[:, :nwl]
+        shift *= 2
+    pc_ref[0] = cnt.astype(jnp.int32)
+
+
+def _dispersion_packed_kernel(
+    *args,
+    strip: int,
+    radius: int,
+    width: int,
+    wp: int,
+    nwl: int,
+    trusted_max: float,
+    min_count: int,
+    nsig_b: float,
+    nsig_s: float,
+    signal_test: bool,
+    has_mbox: bool,
+):
+    """dispersion predicate -> packed u32 strong words + word-prefix counts.
+
+    Identical threshold arithmetic to :func:`_dispersion_kernel`, but instead
+    of materialising a dense per-pixel rowcum (72 MB/frame at Eiger 16M, plus
+    a 13-pass in-row prefix sum), the 0/1 mask is bit-packed on the MXU and
+    only (H, nwl) words + prefix counts leave the kernel (~4 MB/frame).
+    """
+    if has_mbox:
+        img_hbm, mask_strips, mbox_strips, m_ref, *refs = args
+    else:
+        img_hbm, mask_strips, m_ref, *refs = args
+        mbox_strips = None
+    w32_ref, pc_ref, img_v, imf, mkf, imsq, vsum, hsum, okf, sems = refs
+    batch_idx = pl.program_id(0)
+    i = pl.program_id(1)
+    n_strips = pl.num_programs(1)
+    r = radius
+    halo = _row_halo(r)
+
+    def start_dma(slot, bb, ii):
+        pltpu.make_async_copy(
+            img_hbm.at[bb, pl.ds(ii * strip, strip + 2 * halo), :],
+            img_v.at[slot],
+            sems.at[slot],
+        ).start()
+
+    g = batch_idx * n_strips + i
+    slot = jax.lax.rem(g, jnp.asarray(2, g.dtype))
+    next_slot = jax.lax.rem(g + 1, jnp.asarray(2, g.dtype))
+
+    @pl.when(g == 0)
+    def _():
+        start_dma(slot, batch_idx, i)
+
+    @pl.when(i + 1 < n_strips)
+    def _():
+        start_dma(next_slot, batch_idx, i + 1)
+
+    @pl.when((i + 1 >= n_strips) & (batch_idx + 1 < pl.num_programs(0)))
+    def _():
+        start_dma(next_slot, batch_idx + 1, 0)
+
+    pltpu.make_async_copy(
+        img_hbm.at[batch_idx, pl.ds(i * strip, strip + 2 * halo), :],
+        img_v.at[slot],
+        sems.at[slot],
+    ).wait()
+
+    off = halo - r
+    imf[...] = (
+        img_v[slot, off : off + strip + 2 * r].astype(jnp.int32).astype(jnp.float32)
+    )
+    mkf[...] = (
+        mask_strips[0, off : off + strip + 2 * r]
+        .astype(jnp.int32)
+        .astype(jnp.float32)
+    )
+    imf[...] *= mkf[...]
+    imsq[...] = imf[...] * imf[...]
+
+    grids = (imf, imsq) if has_mbox else (mkf, imf, imsq)
+    for k, src in enumerate(grids):
+        for dy in range(2 * r + 1):
+            if dy == 0:
+                vsum[k] = src[dy : dy + strip]
+            else:
+                vsum[k] += src[dy : dy + strip]
+
+    for k in range(len(grids)):
+        for dx in range(2 * r + 1):
+            contrib = vsum[k, :, pl.ds(dx, width)]
+            if dx == 0:
+                hsum[k, :, pl.ds(0, width)] = contrib
+            else:
+                hsum[k, :, pl.ds(0, width)] += contrib
+
+    if has_mbox:
+        m = (
+            mbox_strips[0, :, pl.ds(0, width)]
+            .astype(jnp.int32)
+            .astype(jnp.float32)
+        )
+        x = hsum[0, :, pl.ds(0, width)]
+        y = hsum[1, :, pl.ds(0, width)]
+    else:
+        m = hsum[0, :, pl.ds(0, width)]
+        x = hsum[1, :, pl.ds(0, width)]
+        y = hsum[2, :, pl.ds(0, width)]
+    src = imf[r : r + strip, r : r + width]
+    mask_c = mask_strips[0, halo : halo + strip, r : r + width]
+
+    a = m * y - x * x - x * (m - 1.0)
+    c = x * nsig_b * jnp.sqrt(jnp.maximum(2.0 * (m - 1.0), 0.0))
+    ok = (mask_c != 0) & (src <= trusted_max) & (m >= min_count) & (m > 1)
+    ok &= a > c
+    if signal_test:
+        sig_lhs = m * src - x
+        sig_rhs = nsig_s * jnp.sqrt(x * m)
+        ok &= sig_lhs > sig_rhs
+
+    okf[:, pl.ds(0, width)] = ok.astype(jnp.float32)
+    if wp > width:
+        okf[:, pl.ds(width, wp - width)] = jnp.zeros(
+            (strip, wp - width), jnp.float32
+        )
+    _emit_packed(okf[...], m_ref, w32_ref, pc_ref, nwl=nwl)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "trusted_max",
+        "min_count",
+        "nsig_b",
+        "nsig_s",
+        "radius",
+        "strip",
+        "signal_test",
+        "interpret",
+    ),
+)
+def dispersion_packed(
+    image: jnp.ndarray,
+    mask: jnp.ndarray,
+    trusted_max: float,
+    *,
+    mbox: jnp.ndarray | None = None,
+    min_count: int = DEFAULT_MIN_COUNT,
+    nsig_b: float = DEFAULT_NSIG_B,
+    nsig_s: float = DEFAULT_NSIG_S,
+    radius: int = KERNEL_RADIUS,
+    strip: int = DEFAULT_STRIP,
+    signal_test: bool = True,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused dispersion threshold -> (words u32-in-i32, pc i32).
+
+    ``words[..., h, j]`` packs strong flags for columns 32j..32j+31 (bit t =
+    column 32j+t); ``pc[..., h, j]`` is the inclusive count of strong pixels
+    in row h through word j.  Shapes (B?, H, nwl) where nwl is the padded
+    word-lane count (:func:`_n_word_lanes`).  Input contract matches
+    :func:`dispersion_fused`; downstream compaction uses
+    :func:`ffs_tpu.ops.compact.compact_from_words_flat`.
+    """
+    squeeze = image.ndim == 2
+    if squeeze:
+        image = image[None]
+    nb, h, w = image.shape
+    n_strips = pl.cdiv(h, strip)
+    hp = n_strips * strip
+    r = radius
+    halo = _row_halo(r)
+    wp = ((w + 2 * r + 127) // 128) * 128
+    nwl = _n_word_lanes(wp)
+    img_p = jnp.pad(image, ((0, 0), (halo, hp - h + halo), (r, wp - w - r)))
+    mask_p = jnp.pad(mask, ((halo, hp - h + halo), (r, wp - w - r)))
+    strip_starts = jnp.arange(n_strips) * strip
+    mask_strips = jax.vmap(
+        lambda s0: jax.lax.dynamic_slice(mask_p, (s0, 0), (strip + 2 * halo, wp))
+    )(strip_starts)
+
+    has_mbox = mbox is not None
+    kernel = functools.partial(
+        _dispersion_packed_kernel,
+        strip=strip,
+        radius=r,
+        width=w,
+        wp=wp,
+        nwl=nwl,
+        trusted_max=float(trusted_max),
+        min_count=min_count,
+        nsig_b=nsig_b,
+        nsig_s=nsig_s,
+        signal_test=signal_test,
+        has_mbox=has_mbox,
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(
+            (1, strip + 2 * halo, wp),
+            lambda b, i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    inputs = [img_p, mask_strips]
+    if has_mbox:
+        mbox_p = jnp.pad(mbox.astype(jnp.uint16), ((0, hp - h), (0, wp - w)))
+        in_specs.append(
+            pl.BlockSpec(
+                (1, strip, wp), lambda b, i: (0, i, 0), memory_space=pltpu.VMEM
+            )
+        )
+        inputs.append(mbox_p[None])
+    in_specs.append(
+        pl.BlockSpec((wp, 3 * nwl), lambda b, i: (0, 0), memory_space=pltpu.VMEM)
+    )
+    inputs.append(_pack_weights(wp, nwl))
+
+    out_spec = pl.BlockSpec(
+        (1, strip, nwl), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nb, n_strips),
+        in_specs=in_specs,
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, hp, nwl), jnp.int32),
+            jax.ShapeDtypeStruct((nb, hp, nwl), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, strip + 2 * halo, wp), image.dtype),
+            pltpu.VMEM((strip + 2 * r, wp), jnp.float32),
+            pltpu.VMEM((strip + 2 * r, wp), jnp.float32),
+            pltpu.VMEM((strip + 2 * r, wp), jnp.float32),
+            pltpu.VMEM((3, strip, wp), jnp.float32),
+            pltpu.VMEM((3, strip, wp), jnp.float32),
+            pltpu.VMEM((strip, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*inputs)
+    w32, pc = outs
+    w32, pc = w32[:, :h], pc[:, :h]
+    if squeeze:
+        w32, pc = w32[0], pc[0]
+    return w32, pc
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -129,3 +129,93 @@ def test_extended_fused_batched(small_frame):
             )
         )
         np.testing.assert_array_equal(np.asarray(strong[b]).astype(bool), want)
+
+
+def _pack_words_np(strong: np.ndarray, nwl: int):
+    """NumPy oracle for the packed-words contract of dispersion_packed."""
+    h, w = strong.shape
+    bits = np.zeros((h, nwl * 32), np.uint32)
+    bits[:, :w] = strong.astype(np.uint32)
+    words = (
+        bits.reshape(h, nwl, 32) << np.arange(32, dtype=np.uint32)[None, None, :]
+    ).sum(axis=2, dtype=np.uint32)
+    pc = np.cumsum(bits.reshape(h, nwl, 32).sum(axis=2, dtype=np.int64), axis=1)
+    return words.astype(np.int64), pc
+
+
+def test_packed_matches_jnp_f32(small_frame):
+    from ffs_tpu.ops.dispersion_pallas import _n_word_lanes, dispersion_packed
+
+    image, mask = small_frame
+    tm = float(np.iinfo(np.uint16).max)
+    w32, pc = dispersion_packed(
+        jnp.asarray(image), jnp.asarray(mask), tm, strip=64, interpret=True
+    )
+    want = np.asarray(
+        jops.dispersion(jnp.asarray(image), jnp.asarray(mask), tm, dtype=jnp.float32)
+    )
+    nwl = _n_word_lanes(((image.shape[1] + 2 * 3 + 127) // 128) * 128)
+    exp_words, exp_pc = _pack_words_np(want, nwl)
+    got_words = np.asarray(w32).astype(np.int64) & 0xFFFFFFFF
+    np.testing.assert_array_equal(got_words, exp_words)
+    np.testing.assert_array_equal(np.asarray(pc), exp_pc)
+
+
+def test_compact_from_words_matches_direct(small_frame):
+    from ffs_tpu.ops.dispersion_pallas import _n_word_lanes
+
+    image, mask = small_frame
+    tm = float(np.iinfo(np.uint16).max)
+    strong = jops.dispersion(
+        jnp.asarray(image), jnp.asarray(mask), tm, dtype=jnp.float32
+    )
+    nwl = _n_word_lanes(((image.shape[1] + 2 * 3 + 127) // 128) * 128)
+    words_np, pc_np = _pack_words_np(np.asarray(strong), nwl)
+    got = comp.compact_from_words(
+        jnp.asarray(image),
+        jnp.asarray(words_np.astype(np.int64) & 0xFFFFFFFF, dtype=jnp.uint32).astype(jnp.int32),
+        jnp.asarray(pc_np, dtype=jnp.int32),
+        max_pixels=2048,
+    )
+    want = cc.compact_strong_pixels(strong, jnp.asarray(image), max_pixels=2048)
+    assert int(got.count) == int(want.count)
+    n = int(want.count)
+    np.testing.assert_array_equal(
+        np.asarray(got.linear_index)[:n], np.asarray(want.linear_index)[:n]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.intensity)[:n], np.asarray(want.intensity)[:n]
+    )
+
+
+def test_compact_from_words_flat_batch(small_frame):
+    from ffs_tpu.ops.dispersion_pallas import _n_word_lanes
+
+    image, mask = small_frame
+    h, w = image.shape
+    tm = float(np.iinfo(np.uint16).max)
+    rng = np.random.default_rng(5)
+    batch = np.stack([image, np.roll(image, 7, axis=1), (image // 2)])
+    words_l, pc_l, strongs = [], [], []
+    nwl = _n_word_lanes(((w + 2 * 3 + 127) // 128) * 128)
+    for f in batch:
+        s = np.asarray(
+            jops.dispersion(jnp.asarray(f), jnp.asarray(mask), tm, dtype=jnp.float32)
+        )
+        strongs.append(s)
+        wn, pn = _pack_words_np(s, nwl)
+        words_l.append(wn)
+        pc_l.append(pn)
+    wordsb = jnp.asarray(np.stack(words_l).astype(np.int64) & 0xFFFFFFFF).astype(jnp.int32)
+    pcb = jnp.asarray(np.stack(pc_l), dtype=jnp.int32)
+    got = comp.compact_from_words_flat(
+        jnp.asarray(batch), wordsb, pcb, max_pixels_total=8192
+    )
+    # oracle: tall linear indices with the (h+1)-row gap pitch
+    exp = []
+    for b, s in enumerate(strongs):
+        ys, xs = np.nonzero(s)
+        exp.extend(((b * (h + 1) + ys) * w + xs).tolist())
+    n = int(got.count)
+    assert n == len(exp)
+    np.testing.assert_array_equal(np.asarray(got.linear_index)[:n], exp)

@@ -149,3 +149,40 @@ def test_pia_service_requeues_out_of_order(spotfinder_env):
     service.handle(rw, header, {"m": 1}, base_path="/nonexistent")
     # out-of-order (expected 0, got 5): acked + checkpointed, nothing sent
     assert rw.transport.acked and rw.checkpoints and not rw.sent
+
+
+def test_mu_tabulated_si_matches_dx2_anchor():
+    """Si attenuation must reproduce the dx2/DIALS value (NIST SRD-126 grid
+    + log-log interpolation, the cctbx attenuation_coefficient scheme)."""
+    from ffs_tpu.service.detectors import (
+        calculate_mu_for_material_at_wavelength as mu,
+    )
+
+    assert mu("Si", 0.9762458439949315) == pytest.approx(
+        3.9219876752936167, rel=1e-12
+    )
+    # NIST grid points are exact by construction: 10 keV -> 33.89 cm^2/g
+    assert mu("Si", 12.398419843320026 / 10.0) == pytest.approx(
+        33.89 * 2.33 / 10.0, rel=1e-12
+    )
+    assert mu("Si", 12.398419843320026 / 15.0) == pytest.approx(
+        10.34 * 2.33 / 10.0, rel=1e-12
+    )
+
+
+def test_mu_tabulated_cdte_physical():
+    """CdTe: monotone between edges, Cd K-edge jump at 26.71 keV, and in the
+    physically-known range at 20.7 keV (mu/rho ~ 15 cm^2/g)."""
+    from ffs_tpu.service.detectors import (
+        calculate_mu_for_material_at_wavelength as mu,
+    )
+
+    hc = 12.398419843320026
+    v20 = mu("CdTe", hc / 20.66)
+    assert 6.0 < v20 < 12.0  # mm^-1
+    # K-edge discontinuity: just above the Cd edge absorbs more
+    below = mu("CdTe", hc / 26.5)
+    above = mu("CdTe", hc / 27.0)
+    assert above > 2.0 * below
+    # harder X-rays attenuate less within an edge-free band
+    assert mu("CdTe", 0.5) < mu("CdTe", 0.55) < mu("CdTe", 0.6)

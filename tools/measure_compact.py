@@ -1,0 +1,134 @@
+"""Decompose compact_from_words_flat cost on the TPU with FRESH inputs.
+
+The microbenchmarks (measure_ops.py) showed ~2 us gathers into
+loop-invariant tables, yet the real pipeline pays ~1 ms/frame for
+compaction.  This times cumulative prefixes of the compaction program with
+the packed kernel actually producing the tables each iteration, so operand
+freshness/placement matches production.
+"""
+
+import os
+import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/ffs_tpu_xla")
+)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ffs_tpu.constants import E2XE_16M_FAST, E2XE_16M_SLOW
+from ffs_tpu.io import sample_data
+from ffs_tpu.ops.compact import _bsearch, _select_bit
+from ffs_tpu.ops.connected_components import BIG
+from ffs_tpu.ops.dispersion_pallas import dispersion_packed, mask_box_count
+
+H, W = E2XE_16M_SLOW, E2XE_16M_FAST
+B = int(os.environ.get("B", "8"))
+REPS = int(os.environ.get("REPS", "10"))
+K = 24576
+
+
+def timeit(name, fn, *args, reps=REPS):
+    @jax.jit
+    def chained(*a):
+        def body(i, acc):
+            return acc + fn(i, *a)
+
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    jax.block_until_ready(chained(*args))
+    t0 = time.perf_counter()
+    jax.block_until_ready(chained(*args))
+    dt = (time.perf_counter() - t0) / reps
+    print(f"{name:58s} {dt * 1e3:9.3f} ms/batch")
+    return dt
+
+
+def main():
+    print(f"backend={jax.default_backend()} B={B} reps={REPS} K={K}")
+    rng = np.random.default_rng(12)
+    base = rng.poisson(2.0, size=(H, W)).astype(np.uint16)
+    mask_np = sample_data.generate_mask()
+    frames = []
+    for _ in range(B):
+        f = base.copy()
+        ys = rng.integers(8, H - 8, 300)
+        xs = rng.integers(8, W - 8, 300)
+        for yy, xx in zip(ys, xs):
+            f[yy - 1 : yy + 2, xx - 1 : xx + 2] += rng.poisson(
+                60.0, size=(3, 3)
+            ).astype(np.uint16)
+        f[mask_np == 0] = 0
+        frames.append(f)
+    batch = jax.device_put(jnp.asarray(np.stack(frames)))
+    mask = jnp.asarray(mask_np)
+    mbox = jax.block_until_ready(mask_box_count(mask))
+
+    def vary(i, b):
+        return b + (i & 1).astype(b.dtype)
+
+    def stage(upto):
+        def f(i, b):
+            bb = vary(i, b)
+            w32, pc = dispersion_packed(bb, mask, 65535.0, mbox=mbox)
+            Bn, h, nwl = pc.shape
+            ht = h + 1
+            acc = jnp.float32(0.0)
+            row_counts = pc[:, :, -1]
+            flat_counts = jnp.pad(row_counts, ((0, 0), (0, 1))).reshape(-1)
+            row_end = jnp.cumsum(flat_counts)
+            count = row_end[-1]
+            acc += count.astype(jnp.float32) + jnp.sum(w32[0, 0]).astype(jnp.float32)
+            if upto >= 1:  # row phase
+                ks = jnp.arange(1, K + 1, dtype=jnp.int32)
+                valid = ks <= count
+                dhist = jnp.zeros(K + 1, jnp.int32).at[
+                    jnp.clip(row_end, 0, K)
+                ].add(1)
+                row_t = jnp.cumsum(dhist)[:K]
+                row_tc = jnp.clip(row_t, 0, Bn * ht - 1)
+                prev_end = jnp.where(
+                    row_tc > 0, row_end[jnp.clip(row_tc - 1, 0, Bn * ht - 1)], 0
+                )
+                rank = ks - prev_end
+                b_idx = row_tc // ht
+                y_idx = jnp.minimum(row_tc - b_idx * ht, h - 1)
+                prow = b_idx * h + y_idx
+                acc += jnp.sum(prow % 97).astype(jnp.float32) + jnp.sum(rank % 89).astype(jnp.float32)
+            if upto >= 2:  # word bsearch
+                pcf = pc.reshape(-1)
+                base_i = prow * nwl
+                jw = _bsearch(
+                    lambda j: pcf[base_i + jnp.clip(j, 0, nwl - 1)], nwl, rank
+                )
+                jw_c = jnp.clip(jw, 0, nwl - 1)
+                acc += jnp.sum(jw_c % 83).astype(jnp.float32)
+            if upto >= 3:  # word gather + bit select
+                word = w32.reshape(-1)[base_i + jw_c]
+                before = jnp.where(
+                    jw_c > 0, pcf[base_i + jnp.clip(jw_c - 1, 0, nwl - 1)], 0
+                )
+                bit = _select_bit(word, rank - before)
+                col = jnp.clip(jw_c * 32 + bit, 0, W - 1)
+                lin = jnp.where(valid, row_tc * W + col, BIG).astype(jnp.int32)
+                acc += jnp.sum(lin % 79).astype(jnp.float32)
+            if upto >= 4:  # intensity gather from images
+                inten = jnp.where(
+                    valid, bb.reshape(-1)[prow * W + col].astype(jnp.int32), 0
+                )
+                acc += jnp.sum(inten).astype(jnp.float32)
+            return acc
+
+        return f
+
+    timeit("kernel + row-count prefix only", stage(0), batch)
+    timeit("+ row phase (dhist scatter + inversion)", stage(1), batch)
+    timeit("+ word bsearch (8 gathers into pc)", stage(2), batch)
+    timeit("+ word gather + bit select", stage(3), batch)
+    timeit("+ intensity gather (= full compact)", stage(4), batch)
+
+
+if __name__ == "__main__":
+    main()
