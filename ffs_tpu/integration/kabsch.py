@@ -81,7 +81,7 @@ class KabschIntegrator:
         delta_m: float,
         algorithm: str = "ellipsoid",
         box_pad: int = 8,
-        max_active: int = 512,  # bounds the one-hot histogram buffer to ~135 MB
+        max_active: int = 512,  # reflections per device step (padded chunk)
     ):
         import jax
         import jax.numpy as jnp
@@ -245,32 +245,63 @@ class KabschIntegrator:
         fg = fg & valid_px
         bg = (~fg) & valid_px
 
-        inten = windows
-        fg_f = fg.astype(jnp.float32)
+        # Foreground accumulation in float64: the reference deliberately
+        # uses double/u64 atomics here for bit-exact, run-stable intensities
+        # (reference: integrator.cc:785-794, kabsch.cu:585-599); XLA's fixed
+        # reduction order makes these sums deterministic between runs.
+        inten = windows.astype(jnp.float64)
+        fg_f = fg.astype(jnp.float64)
         fg_sum = jnp.sum(inten * fg_f, axis=(1, 2))
         fg_count = jnp.sum(fg, axis=(1, 2)).astype(jnp.int32)
-        sum_ix = jnp.sum(inten * fg_f * (px[:, None, :] + 0.5), axis=(1, 2))
-        sum_iy = jnp.sum(inten * fg_f * (py[:, :, None] + 0.5), axis=(1, 2))
+        sum_ix = jnp.sum(
+            inten * fg_f * (px[:, None, :].astype(jnp.float64) + 0.5), axis=(1, 2)
+        )
+        sum_iy = jnp.sum(
+            inten * fg_f * (py[:, :, None].astype(jnp.float64) + 0.5), axis=(1, 2)
+        )
         sum_iz = fg_sum * (z_value + 0.5)
 
+        # Background histogram as ONE segment-sum over (reflection, bin) ids
+        # instead of a (A, bh, bw, 256) one-hot (was ~135 MB of admission at
+        # A=512): id = slot * (NB + 2) + bin, with lane NB for the overflow
+        # tail and lane NB+1 as the trash lane for non-background pixels.
         vals = jnp.clip(windows.astype(jnp.int32), 0, None)
-        overflow = jnp.sum(bg & (vals >= NUM_BG_BINS), axis=(1, 2)).astype(
-            jnp.int32
+        nb2 = NUM_BG_BINS + 2
+        slot = jnp.arange(A, dtype=jnp.int32)[:, None, None]
+        lane = jnp.where(
+            bg,
+            jnp.where(vals < NUM_BG_BINS, vals, NUM_BG_BINS),
+            NUM_BG_BINS + 1,
         )
-        in_range = bg & (vals < NUM_BG_BINS)
-        onehot = (
-            vals[:, :, :, None] == jnp.arange(NUM_BG_BINS)[None, None, None, :]
-        ) & in_range[:, :, :, None]
-        hist = jnp.sum(onehot, axis=(1, 2)).astype(jnp.int32)
+        seg = (slot * nb2 + lane).reshape(-1)
+        flat = jax.ops.segment_sum(
+            jnp.ones_like(seg, dtype=jnp.int32),
+            seg,
+            num_segments=A * nb2,
+            indices_are_sorted=False,
+        )
+        hist_all = flat.reshape(A, nb2)
+        hist = hist_all[:, :NUM_BG_BINS]
+        overflow = hist_all[:, NUM_BG_BINS]
         bg_count = jnp.sum(bg, axis=(1, 2)).astype(jnp.int32)
 
         return fg_sum, fg_count, sum_ix, sum_iy, sum_iz, hist, overflow, bg_count
 
     # --- host driver ---------------------------------------------------------
 
-    def integrate(self, reader, image_numbers, acc: Accumulators) -> None:
-        """Stream frames through the classification step, accumulating."""
-        import jax
+    def integrate(
+        self, reader, image_numbers, acc: Accumulators, depth: int = 3
+    ) -> None:
+        """Stream frames through the classification step, accumulating.
+
+        Dispatches up to ``depth`` chunks ahead of collection (the same
+        software pipeline the spotfinder CLI uses), so host-side decode and
+        accumulation overlap the asynchronous XLA steps instead of blocking
+        on ``np.asarray`` after every chunk (reference overlap architecture:
+        integrator.cc frame loop + CUDA streams).
+        """
+        from collections import deque
+
         import jax.numpy as jnp
 
         osc_start, osc_width = self.scan.oscillation
@@ -280,6 +311,22 @@ class KabschIntegrator:
         cs_e2 = np.cross(self.s1, cs_e1)
         cs_e2 /= np.linalg.norm(cs_e2, axis=1, keepdims=True)
         zeta = cs_e1 @ np.asarray(self._m2)
+
+        inflight: deque = deque()
+
+        def collect_one():
+            chunk, a, out = inflight.popleft()
+            (
+                fg_sum, fg_count, sum_ix, sum_iy, sum_iz, hist, overflow, bg_count,
+            ) = (np.asarray(v) for v in out)
+            acc.fg_sum[chunk] += fg_sum[:a]
+            acc.fg_count[chunk] += fg_count[:a]
+            acc.sum_ix[chunk] += sum_ix[:a]
+            acc.sum_iy[chunk] += sum_iy[:a]
+            acc.sum_iz[chunk] += sum_iz[:a]
+            acc.bg_hist[chunk] += hist[:a]
+            acc.bg_overflow[chunk] += overflow[:a]
+            acc.bg_count[chunk] += bg_count[:a]
 
         for img_no in image_numbers:
             sel = np.nonzero(
@@ -291,11 +338,12 @@ class KabschIntegrator:
             det_mask = reader.get_mask()
             if det_mask is None:
                 det_mask = np.ones_like(image, dtype=np.uint8)
-            h, w = image.shape
             pad_img = np.pad(image, ((self.box_h, self.box_h), (self.box_w, self.box_w)))
             pad_mask = np.pad(
                 det_mask, ((self.box_h, self.box_h), (self.box_w, self.box_w))
             )
+            img_dev = jnp.asarray(pad_img)
+            mask_dev = jnp.asarray(pad_mask)
 
             phi_low = np.deg2rad(osc_start + (img_no - (z0 - 1)) * osc_width)
             phi_high = np.deg2rad(osc_start + (img_no + 1 - (z0 - 1)) * osc_width)
@@ -309,8 +357,8 @@ class KabschIntegrator:
                     return np.concatenate([v, np.full((pad_n,) + v.shape[1:], fill, v.dtype)])
 
                 out = self._step(
-                    jnp.asarray(pad_img),
-                    jnp.asarray(pad_mask),
+                    img_dev,
+                    mask_dev,
                     jnp.asarray(padi(self.bboxes[chunk, 0])),
                     jnp.asarray(padi(self.bboxes[chunk, 2])),
                     jnp.asarray(padi(self.bboxes[chunk])),
@@ -325,14 +373,9 @@ class KabschIntegrator:
                     float(img_no),
                     centre_slices=True,
                 )
-                (
-                    fg_sum, fg_count, sum_ix, sum_iy, sum_iz, hist, overflow, bg_count,
-                ) = (np.asarray(v) for v in out)
-                acc.fg_sum[chunk] += fg_sum[:a]
-                acc.fg_count[chunk] += fg_count[:a]
-                acc.sum_ix[chunk] += sum_ix[:a]
-                acc.sum_iy[chunk] += sum_iy[:a]
-                acc.sum_iz[chunk] += sum_iz[:a]
-                acc.bg_hist[chunk] += hist[:a]
-                acc.bg_overflow[chunk] += overflow[:a]
-                acc.bg_count[chunk] += bg_count[:a]
+                inflight.append((chunk, a, out))
+                while len(inflight) > depth:
+                    collect_one()
+
+        while inflight:
+            collect_one()

@@ -47,9 +47,7 @@ def _row_halo() -> int:
 
 
 def _ext_kernel(
-    img_hbm,
-    mask_strips,
-    *refs,  # [strong_ref,] rowcum_ref, then scratch (see unpack below)
+    *args,  # inputs, output refs, scratch (see unpack below)
     strip: int,
     width: int,
     trusted_max: float,
@@ -57,15 +55,24 @@ def _ext_kernel(
     nsig_b: float,
     nsig_s: float,
     emit_strong: bool,
+    packed: bool = False,
+    wp: int = 0,
+    nwl: int = 0,
 ):
     # scratch: img_v (2, strip+2*row_halo, wp) raw strips (origin row
     # -row_halo); imf/mkf (strip+2*_IMG, wp) f32 masked I / mask, origin
     # (-_IMG, -_IMG); disp (strip+2*_APRON, wp) f32 first-pass mask, origin
     # (-_APRON, -_APRON); surv (strip+2*_RX, wp) f32 survived mask, origin
-    # (-_RX, -_RX); work (3, strip+2*_APRON, wp) f32 sliding-sum scratch
-    if emit_strong:
+    # (-_RX, -_RX); work (3, strip+2*_APRON, wp) f32 sliding-sum scratch;
+    # with packed also m_ref (pack-weight input) + okf scratch
+    if packed:
+        img_hbm, mask_strips, m_ref, *refs = args
+        w32_ref, pc_ref, img_v, imf, mkf, disp, surv, work, okf, sems = refs
+    elif emit_strong:
+        img_hbm, mask_strips, *refs = args
         strong_ref, rowcum_ref, img_v, imf, mkf, disp, surv, work, sems = refs
     else:
+        img_hbm, mask_strips, *refs = args
         rowcum_ref, img_v, imf, mkf, disp, surv, work, sems = refs
     batch_idx = pl.program_id(0)
     i = pl.program_id(1)
@@ -220,6 +227,16 @@ def _ext_kernel(
         & local_ok
     )
 
+    if packed:
+        from .dispersion_pallas import _emit_packed
+
+        okf[:, pl.ds(0, width)] = ok.astype(jnp.float32)
+        if wp > width:
+            okf[:, pl.ds(width, wp - width)] = jnp.zeros(
+                (strip, wp - width), jnp.float32
+            )
+        _emit_packed(okf[...], m_ref, w32_ref, pc_ref, nwl=nwl)
+        return
     if emit_strong:
         # i32 store: Mosaic's bool->u8 lowering routes through an i32->u8
         # convert that fails to compile under x64; the (non-production)
@@ -330,3 +347,107 @@ def dispersion_extended_fused(
         if strong is not None:
             strong = strong[0]
     return strong, rowcum
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "trusted_max",
+        "min_count",
+        "nsig_b",
+        "nsig_s",
+        "strip",
+        "interpret",
+    ),
+)
+def dispersion_extended_packed(
+    image: jnp.ndarray,
+    mask: jnp.ndarray,
+    trusted_max: float,
+    *,
+    min_count: int = DEFAULT_MIN_COUNT,
+    nsig_b: float = DEFAULT_NSIG_B,
+    nsig_s: float = DEFAULT_NSIG_S,
+    strip: int = DEFAULT_STRIP,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused extended dispersion -> (packed words, word-prefix counts).
+
+    Same output contract as
+    :func:`ffs_tpu.ops.dispersion_pallas.dispersion_packed`, fed by the
+    three-stage extended algorithm; downstream compaction is
+    :func:`ffs_tpu.ops.compact.compact_from_words_flat`.
+    """
+    from .dispersion_pallas import _n_word_lanes, _pack_weights
+
+    squeeze = image.ndim == 2
+    if squeeze:
+        image = image[None]
+    nb, h, w = image.shape
+    n_strips = pl.cdiv(h, strip)
+    hp = n_strips * strip
+    halo = _row_halo()
+    wp = ((w + 2 * _IMG + 127) // 128) * 128
+    nwl = _n_word_lanes(wp)
+    img_p = jnp.pad(image, ((0, 0), (halo, hp - h + halo), (_IMG, wp - w - _IMG)))
+    mask_p = jnp.pad(mask, ((halo, hp - h + halo), (_IMG, wp - w - _IMG)))
+    strip_starts = jnp.arange(n_strips) * strip
+    mask_strips = jax.vmap(
+        lambda s0: jax.lax.dynamic_slice(mask_p, (s0, 0), (strip + 2 * halo, wp))
+    )(strip_starts)
+
+    kernel = functools.partial(
+        _ext_kernel,
+        strip=strip,
+        width=w,
+        trusted_max=float(trusted_max),
+        min_count=min_count,
+        nsig_b=nsig_b,
+        nsig_s=nsig_s,
+        emit_strong=False,
+        packed=True,
+        wp=wp,
+        nwl=nwl,
+    )
+    out_spec = pl.BlockSpec(
+        (1, strip, nwl), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nb, n_strips),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, strip + 2 * halo, wp),
+                lambda b, i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (wp, 3 * nwl), lambda b, i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, hp, nwl), jnp.int32),
+            jax.ShapeDtypeStruct((nb, hp, nwl), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, strip + 2 * halo, wp), image.dtype),
+            pltpu.VMEM((strip + 2 * _IMG, wp), jnp.float32),
+            pltpu.VMEM((strip + 2 * _IMG, wp), jnp.float32),
+            pltpu.VMEM((strip + 2 * _APRON, wp), jnp.float32),
+            pltpu.VMEM((strip + 2 * _RX, wp), jnp.float32),
+            pltpu.VMEM((3, strip + 2 * _APRON, wp), jnp.float32),
+            pltpu.VMEM((strip, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(img_p, mask_strips, _pack_weights(wp, nwl))
+    w32, pc = outs
+    w32, pc = w32[:, :h], pc[:, :h]
+    if squeeze:
+        w32, pc = w32[0], pc[0]
+    return w32, pc

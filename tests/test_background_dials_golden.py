@@ -131,3 +131,61 @@ def test_glm_batched_matches_per_case():
     assert valid.all()
     for i, (_, _, expect) in enumerate(cases):
         assert mean[i] == pytest.approx(expect, abs=DIALS_PARITY_TOL)
+
+
+# --- device (jnp) implementations must match the NumPy oracle ---------------
+
+
+def _random_histograms(n=64, seed=7):
+    rng = np.random.default_rng(seed)
+    bins = np.zeros((n, bg.NUM_BG_BINS), np.int64)
+    for i in range(n):
+        level = rng.uniform(1, 80)
+        vals = rng.poisson(level, size=rng.integers(10, 200))
+        vals = np.clip(vals, 0, bg.NUM_BG_BINS - 1)
+        np.add.at(bins[i], vals, 1)
+    ovf = rng.integers(0, 3, n)
+    return bins, ovf
+
+
+def test_device_tukey_matches_numpy_1e12():
+    from ffs_tpu.integration.background_jax import tukey_constant_background_jax
+
+    bins, ovf = _random_histograms()
+    m_np, w_np, v_np = bg.tukey_constant_background(bins, ovf)
+    m_j, w_j, v_j = tukey_constant_background_jax(bins, ovf)
+    np.testing.assert_array_equal(np.asarray(v_j), v_np)
+    np.testing.assert_allclose(np.asarray(m_j), m_np, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(w_j), w_np, rtol=0, atol=1e-12)
+
+
+def test_device_glm_matches_numpy_1e12():
+    from ffs_tpu.integration.background_jax import glm_constant_background_jax
+
+    bins, ovf = _random_histograms(seed=11)
+    m_np, w_np, v_np = bg.glm_constant_background(bins, ovf)
+    m_j, w_j, v_j = glm_constant_background_jax(bins, ovf)
+    np.testing.assert_array_equal(np.asarray(v_j), v_np)
+    np.testing.assert_allclose(np.asarray(m_j), m_np, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(w_j), w_np, rtol=1e-12, atol=1e-10)
+
+
+def test_device_glm_matches_dials_goldens():
+    from ffs_tpu.integration.background_jax import glm_constant_background_jax
+
+    cases = [
+        ({2: 3, 3: 5, 4: 8, 5: 6, 6: 2}, 0, 4.0304431542),
+        ({2: 3, 3: 5, 4: 8, 5: 6, 6: 2, 120: 1}, 0, 4.1427022177),
+        ({2: 10, 3: 20, 4: 30, 5: 25}, 4, 4.0257619071),
+        ({48: 4, 50: 10, 52: 8, 55: 3, 60: 2}, 0, 51.6834964586),
+    ]
+    bins = np.zeros((len(cases), bg.NUM_BG_BINS), np.int64)
+    ovf = np.zeros(len(cases), np.int64)
+    for i, (d, o, _) in enumerate(cases):
+        for v, c in d.items():
+            bins[i, v] = c
+        ovf[i] = o
+    mean, _, valid = glm_constant_background_jax(bins, ovf)
+    assert np.asarray(valid).all()
+    for i, (_, _, expect) in enumerate(cases):
+        assert float(mean[i]) == pytest.approx(expect, abs=DIALS_PARITY_TOL)

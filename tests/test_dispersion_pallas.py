@@ -219,3 +219,27 @@ def test_compact_from_words_flat_batch(small_frame):
     n = int(got.count)
     assert n == len(exp)
     np.testing.assert_array_equal(np.asarray(got.linear_index)[:n], exp)
+
+
+def test_extended_packed_matches_jnp_f32(small_frame):
+    from ffs_tpu.ops.dispersion_extended_pallas import (
+        _IMG,
+        dispersion_extended_packed,
+    )
+    from ffs_tpu.ops.dispersion_pallas import _n_word_lanes
+
+    image, mask = small_frame
+    tm = float(np.iinfo(np.uint16).max)
+    w32, pc = dispersion_extended_packed(
+        jnp.asarray(image), jnp.asarray(mask), tm, strip=64, interpret=True
+    )
+    want = np.asarray(
+        jops.dispersion_extended(
+            jnp.asarray(image), jnp.asarray(mask), tm, dtype=jnp.float32
+        )
+    )
+    nwl = _n_word_lanes(((image.shape[1] + 2 * _IMG + 127) // 128) * 128)
+    exp_words, exp_pc = _pack_words_np(want, nwl)
+    got_words = np.asarray(w32).astype(np.int64) & 0xFFFFFFFF
+    np.testing.assert_array_equal(got_words, exp_words)
+    np.testing.assert_array_equal(np.asarray(pc), exp_pc)

@@ -152,3 +152,50 @@ def test_validate_mode(tmp_path):
     log = proc.stdout.decode()
     assert proc.returncode == 0, log + proc.stderr.decode()
     assert log.count("Compared: Match") == 2
+
+
+def test_validate_pixel_exact_catches_swapped_pixels(small_frame):
+    """Equal counts with swapped pixels must FAIL validation (the reference
+    compares the full mask per image: spotfinder.cc:1011-1053)."""
+    from ffs_tpu.ops import reference as ref
+    from ffs_tpu.pipeline.spotfinder import validate_strong_pixels
+
+    image, mask = small_frame
+    h, w = image.shape
+    tm = float(np.iinfo(np.uint16).max)
+    want = np.asarray(ref.dispersion(image, mask, tm), dtype=bool)
+    lin = np.flatnonzero(want.reshape(-1))
+    assert len(lin) > 2
+
+    ok, msg = validate_strong_pixels(image, mask, tm, "dispersion", lin, h, w, 0)
+    assert ok and "Match" in msg
+
+    # swap one strong pixel for a non-strong one: count unchanged
+    non_strong = np.flatnonzero(~want.reshape(-1) & (mask.reshape(-1) != 0))
+    perturbed = lin.copy()
+    perturbed[0] = non_strong[0]
+    ok, msg = validate_strong_pixels(
+        image, mask, tm, "dispersion", perturbed, h, w, 3
+    )
+    assert not ok
+    assert "Mismatch" in msg and "first differing pixel" in msg
+    # reported coordinate is a real difference
+    import re
+
+    mx, my = map(int, re.search(r"x=(\d+) y=(\d+)", msg).groups())
+    got = np.zeros((h, w), dtype=bool)
+    got.reshape(-1)[perturbed] = True
+    assert got[my, mx] != want[my, mx]
+
+
+def test_decode_threads_equivalence(rotation_nexus, tmp_path):
+    """--threads N (decode pool) must produce identical per-image results
+    to the serial reader, in order (reference: N reader threads,
+    spotfinder.cc:724-855)."""
+    path, _, _ = rotation_nexus
+    out = {}
+    for n in (1, 4):
+        proc, _ = _run_cli([str(path), "--threads", str(n)], tmp_path)
+        assert proc.returncode == 0, proc.stdout.decode() + proc.stderr.decode()
+        out[n] = re.findall(PIXELS_RE, proc.stdout.decode())
+    assert out[1] == out[4] and len(out[1]) > 0

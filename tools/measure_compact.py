@@ -67,7 +67,11 @@ def main():
     mbox = jax.block_until_ready(mask_box_count(mask))
 
     def vary(i, b):
-        return b + (i & 1).astype(b.dtype)
+        # materialize the varied batch ONCE (production images are resident
+        # host-uploaded arrays, not fused compute); without the barrier XLA
+        # re-derives the batch inside each consumer (gathers become ~300x
+        # slower than resident-table gathers)
+        return jax.lax.optimization_barrier(b + (i & 1).astype(b.dtype))
 
     def stage(upto):
         def f(i, b):
@@ -119,15 +123,67 @@ def main():
                     valid, bb.reshape(-1)[prow * W + col].astype(jnp.int32), 0
                 )
                 acc += jnp.sum(inten).astype(jnp.float32)
+            if upto >= 5:  # intensity gather from the RESIDENT batch
+                inten2 = jnp.where(
+                    valid, b.reshape(-1)[prow * W + col].astype(jnp.int32), 0
+                )
+                acc += jnp.sum(inten2).astype(jnp.float32)
             return acc
 
         return f
 
-    timeit("kernel + row-count prefix only", stage(0), batch)
-    timeit("+ row phase (dhist scatter + inversion)", stage(1), batch)
-    timeit("+ word bsearch (8 gathers into pc)", stage(2), batch)
-    timeit("+ word gather + bit select", stage(3), batch)
-    timeit("+ intensity gather (= full compact)", stage(4), batch)
+    def stage_slice(intensity_src):
+        """col phase via 2 row-slice-gathers + dense reductions (no
+        point gathers into pc/w32 at all)."""
+        def f(i, b):
+            bb = vary(i, b)
+            w32, pc = dispersion_packed(bb, mask, 65535.0, mbox=mbox)
+            Bn, h, nwl = pc.shape
+            ht = h + 1
+            row_counts = pc[:, :, -1]
+            flat_counts = jnp.pad(row_counts, ((0, 0), (0, 1))).reshape(-1)
+            row_end = jnp.cumsum(flat_counts)
+            count = row_end[-1]
+            ks = jnp.arange(1, K + 1, dtype=jnp.int32)
+            valid = ks <= count
+            dhist = jnp.zeros(K + 1, jnp.int32).at[jnp.clip(row_end, 0, K)].add(1)
+            row_t = jnp.cumsum(dhist)[:K]
+            row_tc = jnp.clip(row_t, 0, Bn * ht - 1)
+            prev_end = jnp.where(
+                row_tc > 0, row_end[jnp.clip(row_tc - 1, 0, Bn * ht - 1)], 0
+            )
+            rank = ks - prev_end
+            b_idx = row_tc // ht
+            y_idx = jnp.minimum(row_tc - b_idx * ht, h - 1)
+            prow = b_idx * h + y_idx
+            # --- row-slice gathers: each pixel fetches its whole pc/w32 row
+            pc_rows = pc.reshape(-1, nwl)[prow]        # (K, nwl)
+            w_rows = w32.reshape(-1, nwl)[prow]        # (K, nwl)
+            below = pc_rows < rank[:, None]
+            jw = jnp.sum(below.astype(jnp.int32), axis=1)
+            jw_c = jnp.clip(jw, 0, nwl - 1)
+            before = jnp.max(jnp.where(below, pc_rows, 0), axis=1)
+            onehot = jnp.arange(nwl, dtype=jnp.int32)[None, :] == jw_c[:, None]
+            word = jnp.sum(jnp.where(onehot, w_rows, 0), axis=1)
+            bit = _select_bit(word, rank - before)
+            col = jnp.clip(jw_c * 32 + bit, 0, W - 1)
+            lin = jnp.where(valid, row_tc * W + col, BIG).astype(jnp.int32)
+            src = bb if intensity_src == "fresh" else b
+            inten = jnp.where(
+                valid, src.reshape(-1)[prow * W + col].astype(jnp.int32), 0
+            )
+            return (jnp.sum(lin % 79) + jnp.sum(inten)).astype(jnp.float32)
+        return f
+
+    if not os.environ.get("SLICE_ONLY"):
+        timeit("kernel + row-count prefix only", stage(0), batch)
+        timeit("+ row phase (dhist scatter + inversion)", stage(1), batch)
+        timeit("+ word bsearch (8 gathers into pc)", stage(2), batch)
+        timeit("+ word gather + bit select", stage(3), batch)
+        timeit("+ intensity gather (= full compact)", stage(4), batch)
+        timeit("+ RESIDENT intensity gather variant", stage(5), batch)
+    timeit("SLICE-GATHER col phase + fresh intensity", stage_slice("fresh"), batch)
+    timeit("SLICE-GATHER col phase + resident intensity", stage_slice("resident"), batch)
 
 
 if __name__ == "__main__":
