@@ -319,15 +319,30 @@ def _dispersion_packed_kernel(
     ).wait()
 
     off = halo - r
-    imf[...] = (
-        img_v[slot, off : off + strip + 2 * r].astype(jnp.int32).astype(jnp.float32)
-    )
-    mkf[...] = (
-        mask_strips[0, off : off + strip + 2 * r]
-        .astype(jnp.int32)
-        .astype(jnp.float32)
-    )
-    imf[...] *= mkf[...]
+    if has_mbox:
+        # mask box counts arrive precomputed, so the f32 mask grid is never
+        # summed — mask the intensities with a select on the raw u8 strip
+        # instead of materialising mkf (saves two convert passes + a
+        # multiply over the (strip+2r, wp) grid every strip).
+        imf[...] = jnp.where(
+            mask_strips[0, off : off + strip + 2 * r] != 0,
+            img_v[slot, off : off + strip + 2 * r]
+            .astype(jnp.int32)
+            .astype(jnp.float32),
+            0.0,
+        )
+    else:
+        imf[...] = (
+            img_v[slot, off : off + strip + 2 * r]
+            .astype(jnp.int32)
+            .astype(jnp.float32)
+        )
+        mkf[...] = (
+            mask_strips[0, off : off + strip + 2 * r]
+            .astype(jnp.int32)
+            .astype(jnp.float32)
+        )
+        imf[...] *= mkf[...]
     imsq[...] = imf[...] * imf[...]
 
     grids = (imf, imsq) if has_mbox else (mkf, imf, imsq)

@@ -70,6 +70,13 @@ def _build_parser(version: str) -> argparse.ArgumentParser:
         default="f64",
         help="Decision arithmetic precision (f64 = DIALS bit-parity)",
     )
+    p.add_argument(
+        "--profile",
+        action="store_true",
+        help="Per-image stage timing breakdown (upload/kernel/compact/post),"
+        " mirroring the reference's CUDA-event per-image report; disables"
+        " the dispatch-ahead pipeline so stages time individually",
+    )
     return p
 
 
@@ -312,7 +319,11 @@ def run(argv=None, default_pixel_depth: int = 16) -> int:
 
     def _emit(image_num: int, result, image_host):
         nonlocal completed, validate_failures
-        res = processor.collect(image_num, result, want_com=want_com)
+        timings = None
+        if isinstance(result, tuple) and len(result) == 3 and result[0] == "profiled":
+            _, res, timings = result
+        else:
+            res = processor.collect(image_num, result, want_com=want_com)
         n_strong = res.n_strong_pixels
         n_boxes = res.n_spots
         if rotation:
@@ -377,6 +388,11 @@ def run(argv=None, default_pixel_depth: int = 16) -> int:
                 f"strong pixels, {n_boxes:4d} filtered reflections "
                 f"({res.n_strong_pixels_filtered} pixels)"
             )
+        if timings is not None:
+            # per-image stage breakdown (reference: per-image CUDA-event
+            # report, spotfinder.cc:1054-1087)
+            for stage_name, ms in timings.items():
+                print(f"    {stage_name:>12s}: {ms:7.1f} ms")
         completed += 1
 
     # Reader-thread data parallelism (reference: N reader threads with
@@ -393,7 +409,13 @@ def run(argv=None, default_pixel_depth: int = 16) -> int:
         executor = ThreadPoolExecutor(max_workers=args.threads)
 
     def _dispatch_image(num, image):
-        inflight.append((num, processor.dispatch(image), image))
+        if args.profile:
+            res, timings = processor.process_frame_profiled(
+                num, image, want_com=want_com
+            )
+            inflight.append((num, ("profiled", res, timings), image))
+        else:
+            inflight.append((num, processor.dispatch(image), image))
         if len(inflight) >= depth:
             _emit(*inflight.popleft())
 

@@ -157,20 +157,14 @@ def predict_rotation(
     hkl = hkl_grid(A, dmin)
 
     if use_device:
-        import jax
-        import jax.numpy as jnp
+        return _predict_rotation_device(
+            experiment, sv, hkl, dmin, d_osc, osc0, z0, n_images
+        )
 
-        xp = jnp
-        rays_jit = jax.jit(
-            lambda hkl, a1, a2, s0_1, s0_2, phi_beg: _rays_for_image(
-                jnp, hkl, a1, a2, s0_1, s0_2, dmin, phi_beg, d_osc
-            )
-        )
-    else:
-        xp = np
-        rays_jit = lambda hkl, a1, a2, s0_1, s0_2, phi_beg: _rays_for_image(
-            np, hkl, a1, a2, s0_1, s0_2, dmin, phi_beg, d_osc
-        )
+    xp = np
+    rays_jit = lambda hkl, a1, a2, s0_1, s0_2, phi_beg: _rays_for_image(
+        np, hkl, a1, a2, s0_1, s0_2, dmin, phi_beg, d_osc
+    )
 
     def rot(angle_deg):
         t = np.deg2rad(angle_deg)
@@ -267,6 +261,181 @@ def predict_rotation(
         xyzcal_px=np.concatenate(out_px),
         xyzcal_mm=np.concatenate(out_mm),
         panel=np.concatenate(out_panel),
+        entering=np.concatenate(out_entering),
+        flags=np.full(len(hkl_all), PREDICTED, dtype=np.uint64),
+    )
+
+
+def _predict_rotation_device(
+    experiment,
+    sv: ScanVaryingData,
+    hkl: np.ndarray,
+    dmin: float,
+    d_osc: float,
+    osc0: float,
+    z0: int,
+    n_images: int,
+    img_block: int = 8,
+    cap_per_image: int = 4096,
+) -> PredictedReflections:
+    """Device path: ONE dispatch per image block, not per (image, chunk).
+
+    The whole hkl grid is ray-tested for ``img_block`` images in a single
+    jitted program (vmap over the image axis), and the surviving
+    (image, hkl) pairs are compacted ON DEVICE via a fixed-capacity
+    ``jnp.nonzero`` before the single per-block host transfer — at 3600
+    images this is ~450 dispatches instead of ~10^4 (r1 review weak #8).
+    Capacity overflow is detected from the exact survivor count and the
+    block is re-run at doubled capacity.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    panel = experiment.panel
+    gonio = experiment.goniometer
+    beam = experiment.beam
+    crystal = experiment.crystal
+    m2 = gonio.rotation_axis / np.linalg.norm(gonio.rotation_axis)
+    r_fixed = gonio.fixed_rotation
+    r_setting = gonio.setting_rotation
+    A = crystal.a_matrix
+    s0 = beam.s0
+
+    def rot(angle_deg):
+        t = np.deg2rad(angle_deg)
+        c, s = np.cos(t), np.sin(t)
+        x, y, z = m2
+        K = np.array([[0, -z, y], [z, 0, -x], [-y, x, 0]])
+        return c * np.eye(3) + s * K + (1 - c) * np.outer(m2, m2)
+
+    # host-side per-image model states (cheap 3x3 algebra)
+    nblk = (n_images + img_block - 1) // img_block
+    n_pad_img = nblk * img_block
+    A1f = np.tile(np.eye(3), (n_pad_img, 1, 1))
+    A2f = np.tile(np.eye(3), (n_pad_img, 1, 1))
+    s01 = np.tile(s0, (n_pad_img, 1))
+    s02 = np.tile(s0, (n_pad_img, 1))
+    phis = np.zeros(n_pad_img)
+    live = np.zeros(n_pad_img, dtype=bool)
+    for i in range(n_images):
+        s01[i] = s0 if sv.s0_at_scan_points is None else sv.s0_at_scan_points[i]
+        s02[i] = s0 if sv.s0_at_scan_points is None else sv.s0_at_scan_points[i + 1]
+        Ai1 = A if sv.a_at_scan_points is None else sv.a_at_scan_points[i]
+        Ai2 = A if sv.a_at_scan_points is None else sv.a_at_scan_points[i + 1]
+        rs1 = (
+            r_setting
+            if sv.setting_at_scan_points is None
+            else sv.setting_at_scan_points[i]
+        )
+        rs2 = (
+            r_setting
+            if sv.setting_at_scan_points is None
+            else sv.setting_at_scan_points[i + 1]
+        )
+        phis[i] = osc0 + i * d_osc
+        A1f[i] = rs1 @ rot(phis[i]) @ r_fixed @ Ai1
+        A2f[i] = rs2 @ rot(phis[i] + d_osc) @ r_fixed @ Ai2
+        live[i] = True
+
+    n_hkl = len(hkl)
+    hkl_d = jnp.asarray(hkl, dtype=jnp.float64)
+
+    def make_block_fn(cap):
+        @jax.jit
+        def block(a1b, a2b, s01b, s02b, phib, liveb):
+            def one(a1, a2, s01_, s02_, pb):
+                return _rays_for_image(
+                    jnp, hkl_d, a1, a2, s01_, s02_, dmin, pb, d_osc
+                )
+
+            ok, s1, ang, ent = jax.vmap(one)(a1b, a2b, s01b, s02b, phib)
+            ok = ok & liveb[:, None]
+            okf = ok.reshape(-1)
+            total = okf.shape[0]
+            count = jnp.sum(okf.astype(jnp.int32))
+            (idx,) = jnp.nonzero(okf, size=cap, fill_value=total)
+            valid = idx < total
+            idxc = jnp.minimum(idx, total - 1)
+            img_i = (idxc // n_hkl).astype(jnp.int32)
+            hkl_i = (idxc % n_hkl).astype(jnp.int32)
+            return (
+                img_i,
+                hkl_i,
+                s1.reshape(-1, 3)[idxc],
+                ang.reshape(-1)[idxc],
+                ent.reshape(-1)[idxc],
+                valid,
+                count,
+            )
+
+        return block
+
+    cap = img_block * cap_per_image
+    block_fn = make_block_fn(cap)
+
+    out_hkl, out_s1, out_px, out_mm, out_panel, out_entering = (
+        [], [], [], [], [], [],
+    )
+    w, hh = panel.image_size
+    for b0 in range(0, n_pad_img, img_block):
+        sl = slice(b0, b0 + img_block)
+        args = (
+            jnp.asarray(A1f[sl]),
+            jnp.asarray(A2f[sl]),
+            jnp.asarray(s01[sl]),
+            jnp.asarray(s02[sl]),
+            jnp.asarray(phis[sl]),
+            jnp.asarray(live[sl]),
+        )
+        img_i, hkl_i, s1c, angc, entc, valid, count = (
+            np.asarray(v) for v in block_fn(*args)
+        )
+        while int(count) > cap:  # block overflow: re-run at higher capacity
+            cap *= 2
+            block_fn = make_block_fn(cap)
+            img_i, hkl_i, s1c, angc, entc, valid, count = (
+                np.asarray(v) for v in block_fn(*args)
+            )
+        keep = valid
+        if not keep.any():
+            continue
+        img_i, hkl_i = img_i[keep], hkl_i[keep]
+        s1c, angc, entc = s1c[keep], angc[keep], entc[keep]
+
+        xmm, ymm = panel.get_ray_intersection(s1c)
+        x_px, y_px = panel.mm_to_px(xmm, ymm)
+        on_panel = (x_px >= 0) & (x_px < w) & (y_px >= 0) & (y_px < hh)
+        if not on_panel.any():
+            continue
+        sel = np.nonzero(on_panel)[0]
+        frame = z0 + (angc[sel] - osc0) / d_osc
+        out_hkl.append(hkl[hkl_i[sel]])
+        out_s1.append(s1c[sel])
+        out_px.append(np.stack([x_px[sel], y_px[sel], frame], axis=1))
+        out_mm.append(
+            np.stack([xmm[sel], ymm[sel], np.deg2rad(angc[sel])], axis=1)
+        )
+        out_panel.append((b0 + img_i[sel]) * 0)  # single panel
+        out_entering.append(entc[sel].astype(bool))
+
+    if not out_hkl:
+        empty3 = np.zeros((0, 3))
+        return PredictedReflections(
+            hkl=np.zeros((0, 3), np.int64),
+            s1=empty3,
+            xyzcal_px=empty3,
+            xyzcal_mm=empty3,
+            panel=np.zeros(0, np.uint64),
+            entering=np.zeros(0, bool),
+            flags=np.zeros(0, np.uint64),
+        )
+    hkl_all = np.concatenate(out_hkl)
+    return PredictedReflections(
+        hkl=hkl_all.astype(np.int64),
+        s1=np.concatenate(out_s1),
+        xyzcal_px=np.concatenate(out_px),
+        xyzcal_mm=np.concatenate(out_mm),
+        panel=np.concatenate(out_panel).astype(np.uint64),
         entering=np.concatenate(out_entering),
         flags=np.full(len(hkl_all), PREDICTED, dtype=np.uint64),
     )

@@ -373,3 +373,70 @@ class SpotfindProcessor:
         self, image_number: int, image: np.ndarray, want_com: bool = False
     ) -> FrameResult:
         return self.collect(image_number, self.dispatch(image), want_com)
+
+    def process_frame_profiled(
+        self, image_number: int, image: np.ndarray, want_com: bool = False
+    ) -> tuple[FrameResult, dict]:
+        """Synchronous per-stage timing of one frame.
+
+        Equivalent of the reference's per-image CUDA-event breakdown
+        (reference: spotfinder/spotfinder.cc:1054-1087); each stage blocks
+        before the next is timed, so the numbers are wall-clock per stage —
+        slower in aggregate than the pipelined dispatch/collect path, which
+        is why this only runs under --profile.
+        Stages: upload (host->device copy), kernel (threshold + prefix
+        counts), compact (stream compaction), post (CC + table + filters,
+        device or host C++ according to cc_backend).
+        """
+        import time
+
+        timings: dict[str, float] = {}
+
+        def tick(name, fn):
+            t0 = time.perf_counter()
+            out = fn()
+            timings[name] = (time.perf_counter() - t0) * 1e3
+            return out
+
+        if self._x64_off:
+            ctx = jax.enable_x64(False)
+        else:
+            import contextlib
+
+            ctx = contextlib.nullcontext()
+        with ctx:
+            img_dev = tick(
+                "upload",
+                lambda: jax.block_until_ready(jnp.asarray(image)),
+            )
+            if self.host_cc:
+                rowcum, count = tick(
+                    "kernel",
+                    lambda: jax.block_until_ready(self._rowcum_step(img_dev)),
+                )
+                n = int(count)
+                tier = next(
+                    (t for t in self._capacity_tiers if n <= t),
+                    self._capacity_tiers[-1],
+                )
+                pixels = tick(
+                    "compact",
+                    lambda: jax.block_until_ready(
+                        self._compact_step(img_dev, rowcum, max_pixels=tier)
+                    ),
+                )
+                result = tick(
+                    "post",
+                    lambda: self._collect_host(
+                        image_number, jax.device_get(pixels), want_com
+                    ),
+                )
+                return result, timings
+            device_result = tick(
+                "kernel+compact+post (fused device step)",
+                lambda: jax.block_until_ready(self._step(img_dev)),
+            )
+        result = tick(
+            "collect", lambda: self.collect(image_number, device_result, want_com)
+        )
+        return result, timings

@@ -101,3 +101,86 @@ def test_laue_stills_on_ewald_sphere():
     # wavenumbers within the bandpass
     assert (out["wavenumber"][ok] >= 1 / 1.6 - 1e-12).all()
     assert (out["wavenumber"][ok] <= 1 / 0.8 + 1e-12).all()
+
+
+def test_reeke_limits_parity(experiment):
+    """The conservative hkl-grid predictor and a direct port of the
+    reference's Reeke loop limits must select the SAME reflections for an
+    image (reference: include/predictor/index_generators.hpp:27-388).
+
+    The Reeke enumeration is a tight candidate superset; the Ewald-crossing
+    ray test is the arbiter.  Identical surviving hkl sets prove our grid
+    never misses a Reeke-reachable reflection.
+    """
+    from ffs_tpu.prediction.reeke import reeke_indices
+    from ffs_tpu.prediction.rotation import _rays_for_image
+
+    dmin = 4.0
+    A = experiment.crystal.a_matrix
+    s0 = experiment.beam.s0
+    gonio = experiment.goniometer
+    osc0, d_osc = experiment.scan.oscillation
+    m2 = gonio.rotation_axis / np.linalg.norm(gonio.rotation_axis)
+
+    def rot(angle_deg):
+        t = np.deg2rad(angle_deg)
+        c, s = np.cos(t), np.sin(t)
+        x, y, z = m2
+        K = np.array([[0, -z, y], [z, 0, -x], [-y, x, 0]])
+        return c * np.eye(3) + s * K + (1 - c) * np.outer(m2, m2)
+
+    def surviving(hkl, A1_full, A2_full, phi_beg):
+        if len(hkl) == 0:
+            return set()
+        ok, _, _, _ = _rays_for_image(
+            np, hkl.astype(np.float64), A1_full, A2_full, s0, s0,
+            dmin, phi_beg, d_osc,
+        )
+        ok = ok & ~(hkl == 0).all(axis=1)
+        return {tuple(v) for v in hkl[ok]}
+
+    grid = hkl_grid(A, dmin)
+    n_checked = 0
+    for image_index in (0, 7, 19):
+        phi_beg = osc0 + image_index * d_osc
+        A1_full = (
+            gonio.setting_rotation @ rot(phi_beg) @ gonio.fixed_rotation @ A
+        )
+        A2_full = (
+            gonio.setting_rotation
+            @ rot(phi_beg + d_osc)
+            @ gonio.fixed_rotation
+            @ A
+        )
+        reeke = reeke_indices(A1_full, A2_full, s0, s0, dmin)
+        assert len(reeke) > 0
+        # Reeke is a candidate enumeration far smaller than the full grid
+        assert len(reeke) < len(grid) / 5
+
+        got_grid = surviving(grid, A1_full, A2_full, phi_beg)
+        got_reeke = surviving(reeke, A1_full, A2_full, phi_beg)
+        assert got_grid == got_reeke
+        n_checked += len(got_grid)
+    assert n_checked > 20  # the comparison was not vacuous
+
+
+def test_device_block_prediction_matches_host(experiment):
+    """The batched device path (one dispatch per image block, on-device
+    survivor compaction) must reproduce the per-image host path exactly."""
+    host = predict_rotation(experiment, dmin=4.0, use_device=False)
+    dev = predict_rotation(experiment, dmin=4.0, use_device=True)
+    assert len(dev.hkl) == len(host.hkl) > 20
+
+    def key(p):
+        order = np.lexsort(
+            (p.xyzcal_px[:, 2], p.hkl[:, 2], p.hkl[:, 1], p.hkl[:, 0])
+        )
+        return order
+
+    oh, od = key(host), key(dev)
+    np.testing.assert_array_equal(dev.hkl[od], host.hkl[oh])
+    np.testing.assert_allclose(
+        dev.xyzcal_px[od], host.xyzcal_px[oh], rtol=0, atol=1e-9
+    )
+    np.testing.assert_allclose(dev.s1[od], host.s1[oh], rtol=0, atol=1e-12)
+    np.testing.assert_array_equal(dev.entering[od], host.entering[oh])

@@ -199,3 +199,13 @@ def test_decode_threads_equivalence(rotation_nexus, tmp_path):
         assert proc.returncode == 0, proc.stdout.decode() + proc.stderr.decode()
         out[n] = re.findall(PIXELS_RE, proc.stdout.decode())
     assert out[1] == out[4] and len(out[1]) > 0
+
+
+def test_profile_mode_prints_stage_timings(rotation_nexus, tmp_path):
+    path, _, _ = rotation_nexus
+    proc, _ = _run_cli([str(path), "--profile", "--images", "2"], tmp_path)
+    assert proc.returncode == 0, proc.stdout.decode() + proc.stderr.decode()
+    log = proc.stdout.decode()
+    assert "upload:" in log and "ms" in log
+    # per-image breakdown appears for every image
+    assert log.count("upload:") == 2
