@@ -98,6 +98,36 @@ class _UnionFind:
         self.parent = p
         return p[idx]
 
+    def union_edges(self, u: np.ndarray, v: np.ndarray) -> None:
+        """Batch union of edge arrays via iterated min-hooking.
+
+        Vectorised replacement for a per-edge Python loop (r1 review weak
+        #5: a 3600-frame collection with dense inter-slice edges): each
+        round fully compresses, hooks every still-split edge's larger root
+        onto the smallest root contending for it (np.minimum.at resolves
+        conflicts), and repeats — O(log n) rounds.  Produces the same
+        min-root partition as sequential keep-smaller-root unions.
+        """
+        if len(u) == 0:
+            return
+        u = np.asarray(u, dtype=np.int64)
+        v = np.asarray(v, dtype=np.int64)
+        while True:
+            p = self.parent
+            while True:
+                pp = p[p]
+                if np.array_equal(pp, p):
+                    break
+                p = pp
+            self.parent = p
+            ru, rv = p[u], p[v]
+            split = ru != rv
+            if not split.any():
+                return
+            lo = np.minimum(ru[split], rv[split])
+            hi = np.maximum(ru[split], rv[split])
+            np.minimum.at(self.parent, hi, lo)
+
 
 def merge_frames(
     frames: list[FramePixels],
@@ -120,6 +150,7 @@ def merge_frames(
         total_frags += len(roots)
 
     uf = _UnionFind(total_frags)
+    edges_u, edges_v = [], []
     for z in range(len(frames) - 1):
         a, b = frames[z], frames[z + 1]
         if len(a.linear_index) == 0 or len(b.linear_index) == 0:
@@ -127,10 +158,10 @@ def merge_frames(
         common, ia, ib = np.intersect1d(
             a.linear_index, b.linear_index, assume_unique=True, return_indices=True
         )
-        fa = frag_ids[z][ia] + frag_offsets[z]
-        fb = frag_ids[z + 1][ib] + frag_offsets[z + 1]
-        for u, v in zip(fa.tolist(), fb.tolist()):
-            uf.union(u, v)
+        edges_u.append(frag_ids[z][ia] + frag_offsets[z])
+        edges_v.append(frag_ids[z + 1][ib] + frag_offsets[z + 1])
+    if edges_u:
+        uf.union_edges(np.concatenate(edges_u), np.concatenate(edges_v))
 
     # flatten pixels with global fragment ids
     all_frag = np.concatenate(

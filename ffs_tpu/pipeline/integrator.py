@@ -47,6 +47,12 @@ def run(argv=None) -> int:
     )
     p.add_argument("-a", "--algorithm", default="ellipsoid", choices=["ellipsoid", "dials"])
     p.add_argument("--background", default="constant", choices=["constant", "glm"])
+    p.add_argument(
+        "--bg-device",
+        action="store_true",
+        help="Run background reduction on the accelerator (one (N, bins) "
+        "program; reference GPU reduction: background.cu:29-99)",
+    )
     p.add_argument("--min_zeta", type=float, default=0.05)
     p.add_argument("--output", default="integrated.refl")
     p.add_argument("--sample", action="store_true", help="Use generated test data")
@@ -161,11 +167,22 @@ def run(argv=None) -> int:
     integ.integrate(reader, range(z0 - 1, z0 - 1 + n_images), acc)
 
     fin_mod.check_overflow(acc.bg_count, acc.bg_overflow)
-    bg_mean, bg_wsum, bg_valid = bg_mod.estimate_background(
-        acc.bg_hist,
-        acc.bg_overflow,
-        "tukey" if args.background == "constant" else "glm",
-    )
+    bg_model = "tukey" if args.background == "constant" else "glm"
+    if args.bg_device:
+        # device reduction: whole reflection batch as one (N, bins) XLA
+        # program (reference: integrator/background.cu:29-99)
+        from ..integration.background_jax import estimate_background_device
+
+        bg_mean, bg_wsum, bg_valid = (
+            np.asarray(v)
+            for v in estimate_background_device(
+                acc.bg_hist, acc.bg_overflow, bg_model
+            )
+        )
+    else:
+        bg_mean, bg_wsum, bg_valid = bg_mod.estimate_background(
+            acc.bg_hist, acc.bg_overflow, bg_model
+        )
     result = fin_mod.finalize(
         acc=acc,
         bg_mean=bg_mean,

@@ -288,3 +288,22 @@ def test_host_cc2d_matches_device():
         np.testing.assert_allclose(np.asarray(dv)[:S], hv, rtol=1e-12)
     assert (int(ns_d), int(nsep_d)) == (ns_h, nsep_h)
     np.testing.assert_array_equal(np.asarray(keep_d)[:S], keep_h)
+
+
+def test_union_edges_matches_sequential(rng):
+    """Batched min-hook union must produce the same partition as
+    sequential keep-smaller-root unions on a random edge soup."""
+    from ffs_tpu.ops.cc3d import _UnionFind
+
+    n = 500
+    u = rng.integers(0, n, 2000)
+    v = rng.integers(0, n, 2000)
+
+    seq = _UnionFind(n)
+    for a, b in zip(u.tolist(), v.tolist()):
+        seq.union(a, b)
+    batch = _UnionFind(n)
+    batch.union_edges(u, v)
+
+    idx = np.arange(n)
+    np.testing.assert_array_equal(seq.find_all(idx), batch.find_all(idx))

@@ -202,3 +202,48 @@ def test_integration_end_to_end(integration_experiment):
     assert (result.d > 3.9).all()
     # LP corrections positive
     assert (result.lp > 0).all()
+
+
+def test_integration_bit_stable_between_runs(integration_experiment):
+    """Two identical integrate() runs must produce bit-identical
+    accumulators (the reference uses double/u64 atomics for exactly this
+    guarantee: integrator.cc:785-794; here XLA's fixed reduction order +
+    f64 sums provide it)."""
+    expt = integration_experiment
+    pred = predict_rotation(expt, dmin=4.0, use_device=False)
+    x, y, z = pred.xyzcal_px.T
+    keep = (x > 20) & (x < 220) & (y > 20) & (y < 240) & (z > 1.5) & (z < 10.5)
+    s1 = pred.s1[keep]
+    phi = pred.xyzcal_mm[keep][:, 2]
+
+    import types
+
+    P = types.SimpleNamespace(
+        hkl=pred.hkl[keep], s1=s1,
+        xyzcal_px=pred.xyzcal_px[keep], xyzcal_mm=pred.xyzcal_mm[keep],
+    )
+    reader = _SyntheticReader(expt, P)
+    sigma_b, sigma_m = np.deg2rad(0.08), np.deg2rad(0.4)
+    bboxes = extent_mod.compute_kabsch_bounding_boxes(
+        expt.beam.s0, expt.goniometer.rotation_axis, s1, phi,
+        sigma_b, sigma_m, expt.panel, expt.scan,
+    )
+    w, h = expt.panel.image_size
+    for j, lim in ((0, w - 1), (1, w - 1), (2, h - 1), (3, h - 1)):
+        bboxes[:, j] = np.clip(bboxes[:, j], 0, lim)
+
+    accs = []
+    for _ in range(2):
+        integ = kb.KabschIntegrator(
+            panel=expt.panel, beam=expt.beam, gonio=expt.goniometer,
+            scan=expt.scan, s1=s1, phi=phi, bboxes=bboxes,
+            delta_b=3 * sigma_b * 2, delta_m=3 * sigma_m, max_active=256,
+        )
+        acc = kb.Accumulators.zeros(len(s1))
+        integ.integrate(reader, range(0, 12), acc)
+        accs.append(acc)
+    for f in ("fg_sum", "sum_ix", "sum_iy", "sum_iz"):
+        a, b = getattr(accs[0], f), getattr(accs[1], f)
+        np.testing.assert_array_equal(a, b)  # BITWISE equality, no tolerance
+    np.testing.assert_array_equal(accs[0].bg_hist, accs[1].bg_hist)
+    np.testing.assert_array_equal(accs[0].fg_count, accs[1].fg_count)

@@ -107,3 +107,20 @@ def test_glm_vs_tukey_background_cli_option():
     for model in ("tukey", "glm", "constant", "dials"):
         mean, _, valid = estimate_background(bins, np.zeros(1, int), model)
         assert valid[0] and abs(mean[0] - 6.0) < 1.0
+
+
+def test_bg_device_dispatch_matches_host():
+    from ffs_tpu.integration.background import estimate_background
+    from ffs_tpu.integration.background_jax import estimate_background_device
+
+    rng = np.random.default_rng(1)
+    bins = np.zeros((16, 256), np.int64)
+    for i in range(16):
+        vals = rng.poisson(rng.uniform(2, 60), size=200).clip(0, 255)
+        np.add.at(bins[i], vals, 1)
+    ovf = rng.integers(0, 2, 16)
+    for model in ("tukey", "glm"):
+        mh, wh, vh = estimate_background(bins, ovf, model)
+        md, wd, vd = estimate_background_device(bins, ovf, model)
+        np.testing.assert_array_equal(np.asarray(vd), vh)
+        np.testing.assert_allclose(np.asarray(md), mh, rtol=1e-12, atol=1e-12)
