@@ -34,6 +34,23 @@ def _bsearch(gather, n: int, targets: jnp.ndarray) -> jnp.ndarray:
     return lo
 
 
+def _widened_flat(images: jnp.ndarray) -> jnp.ndarray:
+    """Flattened i32 view of the frame batch for intensity gathers.
+
+    TPU gathers from sub-32-bit arrays take a ~30x slower path (measured
+    ~200 ns/index u16 vs ~6.5 ns/index i32 on v5e, tools/measure_compact);
+    widening to a REAL i32 buffer first (the barrier stops XLA re-fusing
+    the convert into the gather) costs ~1 ms per 8-frame Eiger batch and
+    buys back ~4 ms of gather.
+    """
+    flat = images.reshape(-1)
+    if flat.dtype.itemsize < 4:
+        flat = jax.lax.optimization_barrier(flat.astype(jnp.int32))
+    elif flat.dtype != jnp.int32:
+        flat = flat.astype(jnp.int32)
+    return flat
+
+
 @functools.partial(jax.jit, static_argnames=("max_pixels",))
 def compact_from_rowcum(
     image: jnp.ndarray,
@@ -76,7 +93,7 @@ def compact_from_rowcum(
     col_c = jnp.clip(col, 0, w - 1)
 
     lin = jnp.where(valid, row_c * w + col_c, BIG).astype(jnp.int32)
-    inten = jnp.where(valid, image[row_c, col_c].astype(jnp.int32), 0)
+    inten = jnp.where(valid, _widened_flat(image)[row_c * w + col_c], 0)
     return CompactPixels(lin, inten, count)
 
 
@@ -149,9 +166,7 @@ def compact_from_rowcum_flat(
     col_c = jnp.clip(col, 0, w - 1)
 
     lin = jnp.where(valid, row_tc * w + col_c, BIG).astype(jnp.int32)
-    inten = jnp.where(
-        valid, images.reshape(-1)[src_row_base + col_c].astype(jnp.int32), 0
-    )
+    inten = jnp.where(valid, _widened_flat(images)[src_row_base + col_c], 0)
     return CompactPixels(lin, inten, count)
 
 
@@ -235,9 +250,7 @@ def compact_from_words_flat(
     col = jnp.clip(jw_c * 32 + bit, 0, w - 1)
 
     lin = jnp.where(valid, row_tc * w + col, BIG).astype(jnp.int32)
-    inten = jnp.where(
-        valid, images.reshape(-1)[prow * w + col].astype(jnp.int32), 0
-    )
+    inten = jnp.where(valid, _widened_flat(images)[prow * w + col], 0)
     return CompactPixels(lin, inten, count)
 
 
@@ -258,3 +271,99 @@ def compact_from_words(
     # row_t * w + col == row * w + col for rows < h, so indices are already
     # plain raster indices.
     return p
+
+
+@functools.partial(jax.jit, static_argnames=("max_pixels_total",))
+def compact_from_pcw_flat(
+    images: jnp.ndarray,
+    pcw: jnp.ndarray,
+    *,
+    max_pixels_total: int = 24576,
+) -> CompactPixels:
+    """Batch compaction from the combined [pc | w32] kernel rows.
+
+    Hot-path variant of :func:`compact_from_words_flat`: each pixel fetches
+    its row's prefix counts AND packed words with ONE (K, 2*nwl) row
+    gather, then the word index, preceding count, and word value all fall
+    out of dense lane-wise reductions — no dependent point-gather chain at
+    all (measured ~2x faster than the 9-step binary search on v5e for
+    fresh kernel outputs; see tools/measure_compact.py).
+    """
+    B, h, nwl2 = pcw.shape  # h = pcw row count, possibly strip-padded
+    nwl = nwl2 // 2
+    h_img, w = images.shape[-2], images.shape[-1]
+    ht = h + 1
+    if B * ht * w * 4 >= 2**31:
+        raise ValueError(
+            f"flat batch too tall for i32 CC sort keys: B*{ht}*{w}*4 = "
+            f"{B * ht * w * 4} >= 2^31; split the batch (max "
+            f"{(2**31 // (4 * ht * w))} frames at this geometry)"
+        )
+    k = max_pixels_total
+    row_counts = pcw[:, :, nwl - 1]  # (B, h) per-row totals
+    flat_counts = jnp.pad(row_counts, ((0, 0), (0, 1))).reshape(-1)
+    row_end = jnp.cumsum(flat_counts)  # (B*ht,) inclusive
+    count = row_end[-1]
+
+    ks = jnp.arange(1, k + 1, dtype=jnp.int32)
+    valid = ks <= count
+
+    dhist = jnp.zeros(k + 1, jnp.int32).at[jnp.clip(row_end, 0, k)].add(1)
+    row_t = jnp.cumsum(dhist)[:k]
+    row_tc = jnp.clip(row_t, 0, B * ht - 1)
+    prev_end = jnp.where(row_tc > 0, row_end[jnp.clip(row_tc - 1, 0, B * ht - 1)], 0)
+    rank = ks - prev_end  # 1-based within the row
+
+    b_idx = row_tc // ht
+    y_idx = jnp.minimum(row_tc - b_idx * ht, h - 1)
+    prow = b_idx * h + y_idx  # row into pcw
+    # image rows may be fewer than (strip-padded) pcw rows; padded rows
+    # never host pixels, so the clamp below only affects padding slots
+    prow_img = b_idx * h_img + jnp.minimum(y_idx, h_img - 1)
+
+    rows = pcw.reshape(-1, nwl2)[prow]  # (K, 2*nwl) single row gather
+    pc_rows = rows[:, :nwl]
+    w_rows = rows[:, nwl:]
+    below = pc_rows < rank[:, None]
+    jw = jnp.sum(below.astype(jnp.int32), axis=1)
+    jw_c = jnp.clip(jw, 0, nwl - 1)
+    before = jnp.max(jnp.where(below, pc_rows, 0), axis=1)
+    onehot = jnp.arange(nwl, dtype=jnp.int32)[None, :] == jw_c[:, None]
+    word = jnp.sum(jnp.where(onehot, w_rows, 0), axis=1)
+    bit = _select_bit(word, rank - before)
+    col = jnp.clip(jw_c * 32 + bit, 0, w - 1)
+
+    lin = jnp.where(valid, row_tc * w + col, BIG).astype(jnp.int32)
+    # Intensity gather: TPU gathers from sub-32-bit arrays take a ~30x
+    # slower path (measured ~200 ns/index u16 vs ~6.5 ns/index i32 on v5e,
+    # tools/measure_compact.py), so widen the frame batch to a REAL i32
+    # buffer first — the barrier stops XLA re-fusing the convert into the
+    # gather, which would silently reinstate the u16 path.  The widening
+    # pass (~1 ms/batch at 8x Eiger 16M) buys back ~4 ms of gather.
+    # Intensity gather, chunked per frame: gathers into fresh arrays are
+    # fast only while the table is VMEM-stageable (~6.5 ns/index into the
+    # 34 MB pc rows vs ~200 ns/index into the 288 MB batch, measured in
+    # tools/measure_compact.py) — so fetch from one 36 MB frame at a time,
+    # each forced to a real single-frame buffer with a barrier.
+    local = jnp.clip((prow_img - b_idx * h_img) * w + col, 0, h_img * w - 1)
+    inten = jnp.zeros(k, jnp.int32)
+    for b in range(B):
+        tab = jax.lax.optimization_barrier(images[b].reshape(-1))
+        vals = tab[local].astype(jnp.int32)
+        inten = jnp.where(b_idx == b, vals, inten)
+    inten = jnp.where(valid, inten, 0)
+    return CompactPixels(lin, inten, count)
+
+
+@functools.partial(jax.jit, static_argnames=("max_pixels",))
+def compact_from_pcw(
+    image: jnp.ndarray,
+    pcw: jnp.ndarray,
+    *,
+    max_pixels: int = 32768,
+) -> CompactPixels:
+    """Single-frame combined-row compaction (plain raster linear indices;
+    see :func:`compact_from_words` for why B == 1 tall indices coincide)."""
+    return compact_from_pcw_flat(
+        image[None], pcw[None], max_pixels_total=max_pixels
+    )

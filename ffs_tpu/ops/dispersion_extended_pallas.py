@@ -66,8 +66,8 @@ def _ext_kernel(
     # (-_RX, -_RX); work (3, strip+2*_APRON, wp) f32 sliding-sum scratch;
     # with packed also m_ref (pack-weight input) + okf scratch
     if packed:
-        img_hbm, mask_strips, m_ref, *refs = args
-        w32_ref, pc_ref, img_v, imf, mkf, disp, surv, work, okf, sems = refs
+        img_hbm, mask_strips, *refs = args
+        strong_ref, img_v, imf, mkf, disp, surv, work, sems = refs
     elif emit_strong:
         img_hbm, mask_strips, *refs = args
         strong_ref, rowcum_ref, img_v, imf, mkf, disp, surv, work, sems = refs
@@ -228,14 +228,9 @@ def _ext_kernel(
     )
 
     if packed:
-        from .dispersion_pallas import _emit_packed
+        from .dispersion_pallas import _emit_strong8
 
-        okf[:, pl.ds(0, width)] = ok.astype(jnp.float32)
-        if wp > width:
-            okf[:, pl.ds(width, wp - width)] = jnp.zeros(
-                (strip, wp - width), jnp.float32
-            )
-        _emit_packed(okf[...], m_ref, w32_ref, pc_ref, nwl=nwl)
+        _emit_strong8(ok, strong_ref, strip=strip, width=width, wp=wp)
         return
     if emit_strong:
         # i32 store: Mosaic's bool->u8 lowering routes through an i32->u8
@@ -374,11 +369,42 @@ def dispersion_extended_packed(
     """Fused extended dispersion -> (packed words, word-prefix counts).
 
     Same output contract as
-    :func:`ffs_tpu.ops.dispersion_pallas.dispersion_packed`, fed by the
-    three-stage extended algorithm; downstream compaction is
-    :func:`ffs_tpu.ops.compact.compact_from_words_flat`.
+    :func:`ffs_tpu.ops.dispersion_pallas.dispersion_packed` (lane-slices of
+    one combined [pc | w32] output, see dispersion_extended_packed_raw);
+    downstream compaction is compact_from_words_flat / compact_from_pcw_flat.
     """
-    from .dispersion_pallas import _n_word_lanes, _pack_weights
+    pcw = dispersion_extended_packed_raw(
+        image, mask, trusted_max, min_count=min_count, nsig_b=nsig_b,
+        nsig_s=nsig_s, strip=strip, interpret=interpret,
+    )
+    nwl = pcw.shape[-1] // 2
+    return pcw[..., nwl:], pcw[..., :nwl]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "trusted_max",
+        "min_count",
+        "nsig_b",
+        "nsig_s",
+        "strip",
+        "interpret",
+    ),
+)
+def dispersion_extended_packed_raw(
+    image: jnp.ndarray,
+    mask: jnp.ndarray,
+    trusted_max: float,
+    *,
+    min_count: int = DEFAULT_MIN_COUNT,
+    nsig_b: float = DEFAULT_NSIG_B,
+    nsig_s: float = DEFAULT_NSIG_S,
+    strip: int = DEFAULT_STRIP,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Combined-row form: (B?, H, 2*nwl) i32 with lanes [pc | w32]."""
+    from .dispersion_pallas import _n_word_lanes, _pack_pcw
 
     squeeze = image.ndim == 2
     if squeeze:
@@ -410,7 +436,7 @@ def dispersion_extended_packed(
         nwl=nwl,
     )
     out_spec = pl.BlockSpec(
-        (1, strip, nwl), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        (1, strip, wp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
     )
     outs = pl.pallas_call(
         kernel,
@@ -422,14 +448,10 @@ def dispersion_extended_packed(
                 lambda b, i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (wp, 3 * nwl), lambda b, i: (0, 0), memory_space=pltpu.VMEM
-            ),
         ],
-        out_specs=[out_spec, out_spec],
+        out_specs=[out_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((nb, hp, nwl), jnp.int32),
-            jax.ShapeDtypeStruct((nb, hp, nwl), jnp.int32),
+            jax.ShapeDtypeStruct((nb, hp, wp), jnp.int8),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, strip + 2 * halo, wp), image.dtype),
@@ -438,16 +460,14 @@ def dispersion_extended_packed(
             pltpu.VMEM((strip + 2 * _APRON, wp), jnp.float32),
             pltpu.VMEM((strip + 2 * _RX, wp), jnp.float32),
             pltpu.VMEM((3, strip + 2 * _APRON, wp), jnp.float32),
-            pltpu.VMEM((strip, wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(img_p, mask_strips, _pack_weights(wp, nwl))
-    w32, pc = outs
-    w32, pc = w32[:, :h], pc[:, :h]
+    )(img_p, mask_strips)
+    pcw = _pack_pcw(outs[0], nwl)[:, :h]
     if squeeze:
-        w32, pc = w32[0], pc[0]
-    return w32, pc
+        pcw = pcw[0]
+    return pcw

@@ -37,6 +37,8 @@ from ..constants import (
 )
 
 DEFAULT_STRIP = 64
+# packed kernel: 128-row strips measured fastest on v5e (tools/measure_stages)
+DEFAULT_STRIP_PACKED = 128
 
 
 def _row_halo(radius: int) -> int:
@@ -209,51 +211,71 @@ def _dispersion_kernel(
 
 
 def _n_word_lanes(wp: int) -> int:
-    """Packed-word lane count: ceil(wp/32) rounded up to the 128-lane tile."""
-    return ((wp // 32 + 127) // 128) * 128
+    """Packed-word lane count: ceil(wp/32) rounded up to 8 lanes.
+
+    Kept tight (not 128-padded): the compaction slice-gathers whole
+    (2*nwl)-lane rows per pixel, so every padding lane is wasted gather
+    bandwidth; Mosaic pads the in-kernel tiles internally either way.
+    """
+    return ((wp // 32 + 7) // 8) * 8
 
 
-def _pack_weights(wp: int, nwl: int):
-    """Constant (wp, 3*nwl) bf16 matrix that bit-packs a 0/1 row via one MXU
-    matmul: column blocks are [lo16 | hi16 | count] per 32-lane word.
+def _pack_pcw(strong8: jnp.ndarray, nwl: int) -> jnp.ndarray:
+    """XLA-side bit pack: dense 0/1 strong bytes -> combined [pc | w32] rows.
 
-    All weights are powers of two (exact in bf16) and the accumulated sums
-    stay below 2^16 (exact in f32), so the pack is lossless.
+    History: three in-kernel MXU packing schemes (bf16 16-bit halves, bf16
+    byte groups, full f32) all dropped the SAME specific products on real
+    v5e hardware (one strong bit per 128-lane group on even sublanes, while
+    an all-ones count column in the same matmul stayed exact) — a
+    positional Mosaic/MXU lowering defect, not a precision issue.  The
+    kernels therefore emit the plain dense mask and this verified XLA
+    reduction does the packing.
     """
     import numpy as np
 
-    m = np.zeros((wp, 3 * nwl), np.float32)
-    l = np.arange(wp)
+    b, hp, wp = strong8.shape
+    need = nwl * 32
+    sb = strong8
+    if wp < need:
+        sb = jnp.pad(sb, ((0, 0), (0, 0), (0, need - wp)))
+    elif wp > need:
+        sb = sb[..., :need]
+    # One bf16 matmul against a byte-group weight matrix: column blocks
+    # [byte0..byte3 | count] per 32-lane word, every partial sum <= 255 so
+    # the pack is exact at any accumulation precision.  (XLA's matmul
+    # lowering — unlike the Mosaic in-kernel dot, see above — is correct.)
+    m = np.zeros((need, 5 * nwl), np.float32)
+    l = np.arange(need)
     j, t = l // 32, l % 32
-    m[l, j] = np.where(t < 16, 2.0**t, 0.0)
-    m[l, nwl + j] = np.where(t >= 16, 2.0 ** (t - 16), 0.0)
-    m[l, 2 * nwl + j] = 1.0
-    return jnp.asarray(m, dtype=jnp.bfloat16)
-
-
-def _emit_packed(okf, m_ref, w32_ref, pc_ref, *, nwl: int):
-    """Pack the f32 0/1 strong grid ``okf`` (strip, wp) into u32 words and a
-    per-row inclusive word-count prefix, via one bf16 matmul.
-
-    ``w32_ref``/``pc_ref`` are (1, strip, nwl) i32 output refs.
-    """
+    for q in range(4):
+        m[l, q * nwl + j] = np.where((t // 8) == q, 2.0 ** (t % 8), 0.0)
+    m[l, 4 * nwl + j] = 1.0
     prod = jax.lax.dot_general(
-        okf.astype(jnp.bfloat16),
-        m_ref[...],
+        sb.reshape(b * hp, need).astype(jnp.bfloat16),
+        jnp.asarray(m, dtype=jnp.bfloat16),
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (strip, 3*nwl)
-    lo = prod[:, :nwl].astype(jnp.int32)
-    hi = prod[:, nwl : 2 * nwl].astype(jnp.int32)
-    w32_ref[0] = lo | (hi << 16)
-    # inclusive prefix of per-word counts along the word lanes (log-shift;
-    # counts <= W < 2^24 stay exact in f32)
-    cnt = prod[:, 2 * nwl :]
-    shift = 1
-    while shift < nwl:
-        cnt = cnt + jnp.pad(cnt, ((0, 0), (shift, 0)))[:, :nwl]
-        shift *= 2
-    pc_ref[0] = cnt.astype(jnp.int32)
+    ).reshape(b, hp, 5 * nwl)
+    b0 = prod[..., :nwl].astype(jnp.int32)
+    b1 = prod[..., nwl : 2 * nwl].astype(jnp.int32)
+    b2 = prod[..., 2 * nwl : 3 * nwl].astype(jnp.int32)
+    b3 = prod[..., 3 * nwl : 4 * nwl].astype(jnp.int32)
+    w32 = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+    pc = jnp.cumsum(prod[..., 4 * nwl :].astype(jnp.int32), axis=-1)
+    return jnp.concatenate([pc, w32], axis=-1)
+
+
+def _emit_strong8(ok, strong_ref, *, strip: int, width: int, wp: int):
+    """Store the strong predicate as a dense (strip, wp) i8 plane with ONE
+    aligned full-width write (unaligned-offset lane-slice stores are a
+    Mosaic hazard, see _pack_pcw)."""
+    if wp > width:
+        strong_ref[0] = jnp.concatenate(
+            [ok.astype(jnp.int8), jnp.zeros((strip, wp - width), jnp.int8)],
+            axis=1,
+        )
+    else:
+        strong_ref[0] = ok.astype(jnp.int8)
 
 
 def _dispersion_packed_kernel(
@@ -278,11 +300,11 @@ def _dispersion_packed_kernel(
     only (H, nwl) words + prefix counts leave the kernel (~4 MB/frame).
     """
     if has_mbox:
-        img_hbm, mask_strips, mbox_strips, m_ref, *refs = args
+        img_hbm, mask_strips, mbox_strips, *refs = args
     else:
-        img_hbm, mask_strips, m_ref, *refs = args
+        img_hbm, mask_strips, *refs = args
         mbox_strips = None
-    w32_ref, pc_ref, img_v, imf, mkf, imsq, vsum, hsum, okf, sems = refs
+    strong_ref, img_v, imf, mkf, imsq, vsum, sems = refs
     batch_idx = pl.program_id(0)
     i = pl.program_id(1)
     n_strips = pl.num_programs(1)
@@ -345,21 +367,25 @@ def _dispersion_packed_kernel(
         imf[...] *= mkf[...]
     imsq[...] = imf[...] * imf[...]
 
+    # Sliding-window sums as ONE left-associative expression per grid and
+    # direction: identical fp addition order to the unrolled ref-accumulate
+    # form (bit-parity with the f32 oracle preserved) but without the
+    # load/store round-trip through scratch on every term.
+    def window_rows(src):
+        acc = src[0:strip]
+        for dy in range(1, 2 * r + 1):
+            acc = acc + src[dy : dy + strip]
+        return acc
+
     grids = (imf, imsq) if has_mbox else (mkf, imf, imsq)
     for k, src in enumerate(grids):
-        for dy in range(2 * r + 1):
-            if dy == 0:
-                vsum[k] = src[dy : dy + strip]
-            else:
-                vsum[k] += src[dy : dy + strip]
+        vsum[k] = window_rows(src)
 
-    for k in range(len(grids)):
-        for dx in range(2 * r + 1):
-            contrib = vsum[k, :, pl.ds(dx, width)]
-            if dx == 0:
-                hsum[k, :, pl.ds(0, width)] = contrib
-            else:
-                hsum[k, :, pl.ds(0, width)] += contrib
+    def window_lanes(k):
+        acc = vsum[k, :, pl.ds(0, width)]
+        for dx in range(1, 2 * r + 1):
+            acc = acc + vsum[k, :, pl.ds(dx, width)]
+        return acc
 
     if has_mbox:
         m = (
@@ -367,12 +393,12 @@ def _dispersion_packed_kernel(
             .astype(jnp.int32)
             .astype(jnp.float32)
         )
-        x = hsum[0, :, pl.ds(0, width)]
-        y = hsum[1, :, pl.ds(0, width)]
+        x = window_lanes(0)
+        y = window_lanes(1)
     else:
-        m = hsum[0, :, pl.ds(0, width)]
-        x = hsum[1, :, pl.ds(0, width)]
-        y = hsum[2, :, pl.ds(0, width)]
+        m = window_lanes(0)
+        x = window_lanes(1)
+        y = window_lanes(2)
     src = imf[r : r + strip, r : r + width]
     mask_c = mask_strips[0, halo : halo + strip, r : r + width]
 
@@ -385,12 +411,7 @@ def _dispersion_packed_kernel(
         sig_rhs = nsig_s * jnp.sqrt(x * m)
         ok &= sig_lhs > sig_rhs
 
-    okf[:, pl.ds(0, width)] = ok.astype(jnp.float32)
-    if wp > width:
-        okf[:, pl.ds(width, wp - width)] = jnp.zeros(
-            (strip, wp - width), jnp.float32
-        )
-    _emit_packed(okf[...], m_ref, w32_ref, pc_ref, nwl=nwl)
+    _emit_strong8(ok, strong_ref, strip=strip, width=width, wp=wp)
 
 
 @functools.partial(
@@ -416,7 +437,7 @@ def dispersion_packed(
     nsig_b: float = DEFAULT_NSIG_B,
     nsig_s: float = DEFAULT_NSIG_S,
     radius: int = KERNEL_RADIUS,
-    strip: int = DEFAULT_STRIP,
+    strip: int = DEFAULT_STRIP_PACKED,
     signal_test: bool = True,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -425,9 +446,69 @@ def dispersion_packed(
     ``words[..., h, j]`` packs strong flags for columns 32j..32j+31 (bit t =
     column 32j+t); ``pc[..., h, j]`` is the inclusive count of strong pixels
     in row h through word j.  Shapes (B?, H, nwl) where nwl is the padded
-    word-lane count (:func:`_n_word_lanes`).  Input contract matches
+    word-lane count (:func:`_n_word_lanes`).  The two are lane-slices of one
+    combined kernel output (see :func:`dispersion_packed_raw`), so using
+    both costs no extra materialisation under jit.  Input contract matches
     :func:`dispersion_fused`; downstream compaction uses
     :func:`ffs_tpu.ops.compact.compact_from_words_flat`.
+    """
+    pcw = dispersion_packed_raw(
+        image,
+        mask,
+        trusted_max,
+        mbox=mbox,
+        min_count=min_count,
+        nsig_b=nsig_b,
+        nsig_s=nsig_s,
+        radius=radius,
+        strip=strip,
+        signal_test=signal_test,
+        interpret=interpret,
+    )
+    nwl = pcw.shape[-1] // 2
+    return pcw[..., nwl:], pcw[..., :nwl]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "trusted_max",
+        "min_count",
+        "nsig_b",
+        "nsig_s",
+        "radius",
+        "strip",
+        "signal_test",
+        "interpret",
+        "trim",
+    ),
+)
+def dispersion_packed_raw(
+    image: jnp.ndarray,
+    mask: jnp.ndarray,
+    trusted_max: float,
+    *,
+    mbox: jnp.ndarray | None = None,
+    min_count: int = DEFAULT_MIN_COUNT,
+    nsig_b: float = DEFAULT_NSIG_B,
+    nsig_s: float = DEFAULT_NSIG_S,
+    radius: int = KERNEL_RADIUS,
+    strip: int = DEFAULT_STRIP_PACKED,
+    signal_test: bool = True,
+    interpret: bool = False,
+    trim: bool = True,
+) -> jnp.ndarray:
+    """Combined-row form: (B?, H, 2*nwl) i32 with lanes [pc | w32].
+
+    This is the hot-path contract — compaction
+    (:func:`ffs_tpu.ops.compact.compact_from_pcw_flat`) fetches each
+    pixel's prefix counts AND strong words with a single row gather.
+
+    ``trim=False`` keeps the strip-padded row count (rows beyond the image
+    are all-zero: the zero-padded mask forces the predicate false there).
+    The padded form matters for throughput: gathering from a SLICED view
+    forces XLA's slow composite-gather path, while the whole padded array
+    gathers fast; compact_from_pcw_flat handles the padded pitch natively.
     """
     squeeze = image.ndim == 2
     if squeeze:
@@ -478,22 +559,16 @@ def dispersion_packed(
             )
         )
         inputs.append(mbox_p[None])
-    in_specs.append(
-        pl.BlockSpec((wp, 3 * nwl), lambda b, i: (0, 0), memory_space=pltpu.VMEM)
-    )
-    inputs.append(_pack_weights(wp, nwl))
-
     out_spec = pl.BlockSpec(
-        (1, strip, nwl), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        (1, strip, wp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
     )
-    outs = pl.pallas_call(
+    strong8 = pl.pallas_call(
         kernel,
         grid=(nb, n_strips),
         in_specs=in_specs,
-        out_specs=[out_spec, out_spec],
+        out_specs=[out_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((nb, hp, nwl), jnp.int32),
-            jax.ShapeDtypeStruct((nb, hp, nwl), jnp.int32),
+            jax.ShapeDtypeStruct((nb, hp, wp), jnp.int8),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, strip + 2 * halo, wp), image.dtype),
@@ -501,20 +576,19 @@ def dispersion_packed(
             pltpu.VMEM((strip + 2 * r, wp), jnp.float32),
             pltpu.VMEM((strip + 2 * r, wp), jnp.float32),
             pltpu.VMEM((3, strip, wp), jnp.float32),
-            pltpu.VMEM((3, strip, wp), jnp.float32),
-            pltpu.VMEM((strip, wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(*inputs)
-    w32, pc = outs
-    w32, pc = w32[:, :h], pc[:, :h]
+    )(*inputs)[0]
+    pcw = _pack_pcw(strong8, nwl)
+    if trim:
+        pcw = pcw[:, :h]
     if squeeze:
-        w32, pc = w32[0], pc[0]
-    return w32, pc
+        pcw = pcw[0]
+    return pcw
 
 
 @functools.partial(

@@ -49,6 +49,9 @@ class SpotfindConfig:
     # "device" runs the sparse union-find on the accelerator (needed for
     # multi-chip sharding), "auto" = host whenever the Pallas path is on.
     cc_backend: str = "auto"  # "auto" | "host" | "device"
+    # Mosaic interpret mode: lets the Pallas packed path run on CPU in
+    # tests; never set in production
+    pallas_interpret: bool = False
 
     @property
     def dtype(self):
@@ -137,23 +140,36 @@ class SpotfindProcessor:
             with jax.enable_x64(False):
                 self.mbox = jax.block_until_ready(mask_box_count(self.mask))
 
-        def _fused_rowcum(image):
-            from .ops.dispersion_extended_pallas import dispersion_extended_fused
-            from .ops.dispersion_pallas import dispersion_fused
+        def _fused_pcw(image):
+            """Packed-words kernel step -> combined [pc | w32] rows
+            (the 72 MB/frame dense rowcum era is over — see
+            ops/dispersion_pallas.dispersion_packed_raw)."""
+            from .ops.dispersion_extended_pallas import (
+                dispersion_extended_packed_raw,
+            )
+            from .ops.dispersion_pallas import dispersion_packed_raw
 
             kwargs = dict(
                 min_count=cfg.min_count,
                 nsig_b=cfg.nsig_b,
                 nsig_s=cfg.nsig_s,
-                emit_strong=False,  # compaction needs only rowcum
             )
             if cfg.algorithm == "dispersion":
-                fused = dispersion_fused
-                kwargs["mbox"] = self.mbox
-            else:
-                fused = dispersion_extended_fused
-            _, rowcum = fused(image, self.mask, self.trusted_max, **kwargs)
-            return rowcum
+                return dispersion_packed_raw(
+                    image,
+                    self.mask,
+                    self.trusted_max,
+                    mbox=self.mbox,
+                    interpret=cfg.pallas_interpret,
+                    **kwargs,
+                )
+            return dispersion_extended_packed_raw(
+                image,
+                self.mask,
+                self.trusted_max,
+                interpret=cfg.pallas_interpret,
+                **kwargs,
+            )
 
         # Adaptive compaction capacity (host-CC path): compaction cost
         # scales with the static capacity K, so the kernel step first
@@ -170,13 +186,14 @@ class SpotfindProcessor:
 
         @jax.jit
         def _rowcum_step(image):
-            rowcum = _fused_rowcum(image)
-            return rowcum, jnp.sum(rowcum[:, -1])
+            pcw = _fused_pcw(image)
+            nwl = pcw.shape[-1] // 2
+            return pcw, jnp.sum(pcw[:, nwl - 1])
 
-        def _compact_step(image, rowcum, max_pixels):
-            from .ops.compact import compact_from_rowcum
+        def _compact_step(image, pcw, max_pixels):
+            from .ops.compact import compact_from_pcw
 
-            return compact_from_rowcum(image, rowcum, max_pixels=max_pixels)
+            return compact_from_pcw(image, pcw, max_pixels=max_pixels)
 
         self._rowcum_step = _rowcum_step
         self._compact_step = jax.jit(
@@ -185,11 +202,11 @@ class SpotfindProcessor:
 
         def _step(image):
             if use_pallas:
-                from .ops.compact import compact_from_rowcum
+                from .ops.compact import compact_from_pcw
 
-                rowcum = _fused_rowcum(image)
-                pixels = compact_from_rowcum(
-                    image, rowcum, max_pixels=cfg.max_strong_pixels
+                pcw = _fused_pcw(image)
+                pixels = compact_from_pcw(
+                    image, pcw, max_pixels=cfg.max_strong_pixels
                 )
             else:
                 if cfg.algorithm == "dispersion":

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ffs_tpu.ops import compact as comp
 from ffs_tpu.ops import connected_components as cc
@@ -243,3 +244,102 @@ def test_extended_packed_matches_jnp_f32(small_frame):
     got_words = np.asarray(w32).astype(np.int64) & 0xFFFFFFFF
     np.testing.assert_array_equal(got_words, exp_words)
     np.testing.assert_array_equal(np.asarray(pc), exp_pc)
+
+
+def test_compact_from_pcw_flat_matches_words_path(small_frame):
+    from ffs_tpu.ops.dispersion_pallas import _n_word_lanes
+
+    image, mask = small_frame
+    h, w = image.shape
+    tm = float(np.iinfo(np.uint16).max)
+    batch = np.stack([image, np.roll(image, 5, axis=0)])
+    nwl = _n_word_lanes(((w + 2 * 3 + 127) // 128) * 128)
+    words_l, pc_l = [], []
+    for f in batch:
+        s = np.asarray(
+            jops.dispersion(jnp.asarray(f), jnp.asarray(mask), tm, dtype=jnp.float32)
+        )
+        wn, pn = _pack_words_np(s, nwl)
+        words_l.append(wn)
+        pc_l.append(pn)
+    wordsb = jnp.asarray(np.stack(words_l).astype(np.int64) & 0xFFFFFFFF).astype(jnp.int32)
+    pcb = jnp.asarray(np.stack(pc_l), dtype=jnp.int32)
+    pcw = jnp.concatenate([pcb, wordsb], axis=-1)
+
+    got = comp.compact_from_pcw_flat(jnp.asarray(batch), pcw, max_pixels_total=8192)
+    want = comp.compact_from_words_flat(
+        jnp.asarray(batch), wordsb, pcb, max_pixels_total=8192
+    )
+    assert int(got.count) == int(want.count)
+    n = int(want.count)
+    np.testing.assert_array_equal(
+        np.asarray(got.linear_index)[:n], np.asarray(want.linear_index)[:n]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.intensity)[:n], np.asarray(want.intensity)[:n]
+    )
+
+
+@pytest.mark.parametrize("cc_backend", ["host", "device"])
+def test_processor_pallas_path_interpret(small_frame, cc_backend):
+    """SpotfindProcessor's production Pallas packed path (tiered host-CC and
+    all-device), runnable on CPU via Mosaic interpret mode, must agree with
+    the plain f32 oracle pipeline."""
+    from ffs_tpu.spotfind import SpotfindConfig, SpotfindProcessor
+
+    image, mask = small_frame
+    h, w = image.shape
+    tm = float(np.iinfo(np.uint16).max)
+    cfg = SpotfindConfig(
+        precision="f32",
+        use_pallas=True,
+        pallas_interpret=True,
+        cc_backend=cc_backend,
+        max_strong_pixels=4096,
+        max_spots=2048,
+        min_spot_size=1,
+    )
+    proc = SpotfindProcessor(w, h, mask, tm, cfg)
+    res = proc.process_frame(0, image)
+
+    want = np.asarray(
+        jops.dispersion(jnp.asarray(image), jnp.asarray(mask), tm, dtype=jnp.float32)
+    )
+    assert res.n_strong_pixels == int(want.sum())
+    lin = np.sort(np.asarray(res.pixels.linear_index))
+    np.testing.assert_array_equal(lin, np.flatnonzero(want.reshape(-1)))
+
+
+def test_compact_from_pcw_flat_untrimmed_padding(small_frame):
+    """Strip-padded (untrimmed) pcw rows must yield the same pixels; the
+    padded rows are empty and only shift the tall row pitch."""
+    from ffs_tpu.ops.dispersion_pallas import dispersion_packed_raw
+
+    image, mask = small_frame
+    h, w = image.shape
+    tm = float(np.iinfo(np.uint16).max)
+    batch = jnp.asarray(np.stack([image, image // 2]))
+    pcw_p = dispersion_packed_raw(
+        batch, jnp.asarray(mask), tm, strip=64, interpret=True, trim=False
+    )
+    hp = pcw_p.shape[1]
+    assert hp >= h
+    got = comp.compact_from_pcw_flat(batch, pcw_p, max_pixels_total=4096)
+
+    pcw_t = dispersion_packed_raw(
+        batch, jnp.asarray(mask), tm, strip=64, interpret=True, trim=True
+    )
+    want = comp.compact_from_pcw_flat(batch, pcw_t, max_pixels_total=4096)
+    n = int(want.count)
+    assert int(got.count) == n
+    # translate tall indices between the two pitches and compare
+    gl = np.asarray(got.linear_index)[:n]
+    wl = np.asarray(want.linear_index)[:n]
+    gb, gr, gc = gl // ((hp + 1) * w), (gl // w) % (hp + 1), gl % w
+    wb, wr, wc = wl // ((h + 1) * w), (wl // w) % (h + 1), wl % w
+    np.testing.assert_array_equal(gb, wb)
+    np.testing.assert_array_equal(gr, wr)
+    np.testing.assert_array_equal(gc, wc)
+    np.testing.assert_array_equal(
+        np.asarray(got.intensity)[:n], np.asarray(want.intensity)[:n]
+    )

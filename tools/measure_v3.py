@@ -110,5 +110,111 @@ def main():
     timeit("v3 + CC + table + filters (FULL)", full, batch)
 
 
+def main_v4():
+    from ffs_tpu.ops.dispersion_pallas import dispersion_packed_raw
+    from ffs_tpu.ops.compact import compact_from_pcw_flat
+
+    print(f"v4 pcw path: backend={jax.default_backend()} B={B} strip={STRIP}")
+    rng = np.random.default_rng(12)
+    base = rng.poisson(2.0, size=(H, W)).astype(np.uint16)
+    mask_np = sample_data.generate_mask()
+    frames = []
+    for _ in range(B):
+        f = base.copy()
+        ys = rng.integers(8, H - 8, 300)
+        xs = rng.integers(8, W - 8, 300)
+        for yy, xx in zip(ys, xs):
+            f[yy - 1 : yy + 2, xx - 1 : xx + 2] += rng.poisson(
+                60.0, size=(3, 3)
+            ).astype(np.uint16)
+        f[mask_np == 0] = 0
+        frames.append(f)
+    batch = jax.device_put(jnp.asarray(np.stack(frames)))
+    mask = jnp.asarray(mask_np)
+    mbox = jax.block_until_ready(mask_box_count(mask))
+
+    def vary(i, b):
+        return b + (i & 1).astype(b.dtype)
+
+    def kern(i, b):
+        pcw = dispersion_packed_raw(vary(i, b), mask, 65535.0, mbox=mbox, strip=STRIP)
+        nwl = pcw.shape[-1] // 2
+        return (jnp.sum(pcw[:, :, nwl - 1]) + jnp.sum(pcw[0, 0])).astype(jnp.float32)
+
+    def compacted(i, b):
+        pcw = dispersion_packed_raw(vary(i, b), mask, 65535.0, mbox=mbox, strip=STRIP)
+        p = compact_from_pcw_flat(b, pcw, max_pixels_total=K)
+        return (jnp.sum(p.linear_index % 97) + jnp.sum(p.intensity)
+                + p.count).astype(jnp.float32)
+
+    def full(i, b):
+        pcw = dispersion_packed_raw(vary(i, b), mask, 65535.0, mbox=mbox, strip=STRIP)
+        p = compact_from_pcw_flat(b, pcw, max_pixels_total=K)
+        root = cc.label_compact_pixels(p, width=W)
+        t = cc.spot_table_from_pixels(p, root, width=W, max_spots=S,
+                                      dtype=jnp.float32, frame_rows=H)
+        keep, _, _ = cc.filter_spots(t, 3, 2.0)
+        return (p.count + t.n_spots + jnp.sum(keep)
+                + jnp.sum(t.com_x) + jnp.sum(t.com_y)).astype(jnp.float32)
+
+    timeit("v4 packed kernel (single-stmt sums, pcw out)", kern, batch)
+    timeit("v4 + pcw compact (one row gather)", compacted, batch)
+    timeit("v4 FULL (+ CC + table + filters)", full, batch)
+
+
+def main_v5():
+    from ffs_tpu.ops.dispersion_pallas import dispersion_packed_raw
+    from ffs_tpu.ops.compact import compact_from_pcw_flat
+
+    print(f"v5 pcw UNSLICED path: backend={jax.default_backend()} B={B} strip={STRIP}")
+    rng = np.random.default_rng(12)
+    base = rng.poisson(2.0, size=(H, W)).astype(np.uint16)
+    mask_np = sample_data.generate_mask()
+    frames = []
+    for _ in range(B):
+        f = base.copy()
+        ys = rng.integers(8, H - 8, 300)
+        xs = rng.integers(8, W - 8, 300)
+        for yy, xx in zip(ys, xs):
+            f[yy - 1 : yy + 2, xx - 1 : xx + 2] += rng.poisson(
+                60.0, size=(3, 3)
+            ).astype(np.uint16)
+        f[mask_np == 0] = 0
+        frames.append(f)
+    batch = jax.device_put(jnp.asarray(np.stack(frames)))
+    mask = jnp.asarray(mask_np)
+    mbox = jax.block_until_ready(mask_box_count(mask))
+
+    def vary(i, b):
+        return b + (i & 1).astype(b.dtype)
+
+    def compacted(i, b):
+        pcw = dispersion_packed_raw(vary(i, b), mask, 65535.0, mbox=mbox,
+                                    strip=STRIP, trim=False)
+        p = compact_from_pcw_flat(b, pcw, max_pixels_total=K)
+        return (jnp.sum(p.linear_index % 97) + jnp.sum(p.intensity)
+                + p.count).astype(jnp.float32)
+
+    def full(i, b):
+        pcw = dispersion_packed_raw(vary(i, b), mask, 65535.0, mbox=mbox,
+                                    strip=STRIP, trim=False)
+        hp = pcw.shape[1]
+        p = compact_from_pcw_flat(b, pcw, max_pixels_total=K)
+        root = cc.label_compact_pixels(p, width=W)
+        t = cc.spot_table_from_pixels(p, root, width=W, max_spots=S,
+                                      dtype=jnp.float32, frame_rows=hp)
+        keep, _, _ = cc.filter_spots(t, 3, 2.0)
+        return (p.count + t.n_spots + jnp.sum(keep)
+                + jnp.sum(t.com_x) + jnp.sum(t.com_y)).astype(jnp.float32)
+
+    timeit("v5 kernel + UNSLICED pcw compact", compacted, batch)
+    timeit("v5 FULL (+ CC + table + filters)", full, batch)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("V5"):
+        main_v5()
+    elif os.environ.get("V4"):
+        main_v4()
+    else:
+        main()
