@@ -93,8 +93,10 @@ def main() -> int:
                 )
             hp = pcw.shape[1]
             w = batch.shape[-1]
-            p = compact_from_pcw_flat(batch, pcw, max_pixels_total=max_px)
-            root = cc.label_compact_pixels(p, width=w)
+            p, nbu, nbd = compact_from_pcw_flat(
+                batch, pcw, max_pixels_total=max_px, with_neighbors=True
+            )
+            root = cc.label_compact_pixels(p, width=w, neighbors=(nbu, nbd))
             t = cc.spot_table_from_pixels(
                 p, root, width=w, max_spots=max_spots,
                 dtype=jnp.float32, frame_rows=hp,
@@ -170,7 +172,7 @@ def main() -> int:
 
     # --- Jungfrau 1M throughput (extended algorithm) ---------------------------
     JH, JW = 1066, 1030
-    JB = int(os.environ.get("FFS_BENCH_JF_BATCH", "32"))
+    JB = int(os.environ.get("FFS_BENCH_JF_BATCH", "64"))
     jmask_np = np.ones((JH, JW), dtype=np.uint8)
     jmask_np[512:554, :] = 0  # module gap band
     jmask = jnp.asarray(jmask_np)
@@ -197,6 +199,20 @@ def main() -> int:
     t0 = time.perf_counter()
     jax.block_until_ready(jchained(jbatch))
     jf_fps = JB * REPS / (time.perf_counter() - t0)
+
+    # --- integrator metric (subprocess: needs x64 on, Mosaic needs it off) ---
+    try:
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__), "tools", "bench_integrator.py")],
+            capture_output=True, timeout=900, text=True,
+        )
+        for line in r.stdout.splitlines():
+            if line.startswith("{"):
+                print(line)
+    except Exception as e:  # integrator metric is best-effort
+        print(f"integrator bench skipped: {e}", file=sys.stderr)
 
     print(
         json.dumps(

@@ -273,13 +273,16 @@ def compact_from_words(
     return p
 
 
-@functools.partial(jax.jit, static_argnames=("max_pixels_total",))
+@functools.partial(
+    jax.jit, static_argnames=("max_pixels_total", "with_neighbors")
+)
 def compact_from_pcw_flat(
     images: jnp.ndarray,
     pcw: jnp.ndarray,
     *,
     max_pixels_total: int = 24576,
-) -> CompactPixels:
+    with_neighbors: bool = False,
+):
     """Batch compaction from the combined [pc | w32] kernel rows.
 
     Hot-path variant of :func:`compact_from_words_flat`: each pixel fetches
@@ -288,6 +291,12 @@ def compact_from_pcw_flat(
     out of dense lane-wise reductions — no dependent point-gather chain at
     all (measured ~2x faster than the 9-step binary search on v5e for
     fresh kernel outputs; see tools/measure_compact.py).
+
+    ``with_neighbors=True`` additionally returns each pixel's vertical
+    neighbour SLOTS (up, down; own slot when absent), derived here from the
+    packed words with one fused point-gather — this feeds
+    ``label_compact_pixels(..., neighbors=...)`` and replaces its 3K
+    sort-merge edge discovery.
     """
     B, h, nwl2 = pcw.shape  # h = pcw row count, possibly strip-padded
     nwl = nwl2 // 2
@@ -334,12 +343,6 @@ def compact_from_pcw_flat(
     col = jnp.clip(jw_c * 32 + bit, 0, w - 1)
 
     lin = jnp.where(valid, row_tc * w + col, BIG).astype(jnp.int32)
-    # Intensity gather: TPU gathers from sub-32-bit arrays take a ~30x
-    # slower path (measured ~200 ns/index u16 vs ~6.5 ns/index i32 on v5e,
-    # tools/measure_compact.py), so widen the frame batch to a REAL i32
-    # buffer first — the barrier stops XLA re-fusing the convert into the
-    # gather, which would silently reinstate the u16 path.  The widening
-    # pass (~1 ms/batch at 8x Eiger 16M) buys back ~4 ms of gather.
     # Intensity gather, chunked per frame: gathers into fresh arrays are
     # fast only while the table is VMEM-stageable (~6.5 ns/index into the
     # 34 MB pc rows vs ~200 ns/index into the 288 MB batch, measured in
@@ -352,7 +355,49 @@ def compact_from_pcw_flat(
         vals = tab[local].astype(jnp.int32)
         inten = jnp.where(b_idx == b, vals, inten)
     inten = jnp.where(valid, inten, 0)
-    return CompactPixels(lin, inten, count)
+    pixels = CompactPixels(lin, inten, count)
+    if not with_neighbors:
+        return pixels
+
+    # --- vertical neighbour slots straight from the packed words ----------
+    # A pixel at (row, col) has an up/down neighbour iff the same bit is
+    # set in the adjacent row's word; the neighbour's SLOT follows from the
+    # adjacent row's counts: slot = (pixels before that row) + (rank of the
+    # bit within it) - 1.  One fused point-gather into the (VMEM-sized)
+    # pcw serves all five lookups; row starts reuse prev_end.  Feeds
+    # label_compact_pixels(..., neighbors=...), replacing its 3K sort-merge.
+    pcwf = pcw.reshape(-1)
+    size = B * h * nwl2
+    up_base = (prow - 1) * nwl2
+    dn_base = (prow + 1) * nwl2
+    lookups = jnp.concatenate(
+        [
+            up_base + nwl + jw_c,  # word in the row above
+            jnp.where(jw_c > 0, up_base + jw_c - 1, 0),  # pc before word (up)
+            up_base + nwl - 1,  # total count of the row above
+            dn_base + nwl + jw_c,  # word in the row below
+            jnp.where(jw_c > 0, dn_base + jw_c - 1, 0),  # pc before word (dn)
+        ]
+    )
+    g = pcwf[jnp.clip(lookups, 0, size - 1)]
+    word_up, pc_up_prev, row_up_cnt, word_dn, pc_dn_prev = jnp.split(g, 5)
+    pc_up_prev = jnp.where(jw_c > 0, pc_up_prev, 0)
+    pc_dn_prev = jnp.where(jw_c > 0, pc_dn_prev, 0)
+    # low_mask = (1 << bit) - 1; at bit == 31 the i32 wrap yields
+    # 0x7FFFFFFF, which is exactly the wanted mask
+    low_mask = jnp.where(bit == 0, 0, (jnp.int32(1) << bit) - 1)
+    slots = jnp.arange(k, dtype=jnp.int32)
+
+    has_up = valid & (y_idx > 0) & (((word_up >> bit) & 1) == 1)
+    rank_up = pc_up_prev + jax.lax.population_count(word_up & low_mask) + 1
+    row_start_up = prev_end - row_up_cnt  # == row_end[rt - 2]
+    nbu = jnp.where(has_up, row_start_up + rank_up - 1, slots).astype(jnp.int32)
+
+    has_dn = valid & (y_idx < h - 1) & (((word_dn >> bit) & 1) == 1)
+    rank_dn = pc_dn_prev + jax.lax.population_count(word_dn & low_mask) + 1
+    row_start_dn = prev_end + pc_rows[:, nwl - 1]  # == row_end[rt]
+    nbd = jnp.where(has_dn, row_start_dn + rank_dn - 1, slots).astype(jnp.int32)
+    return pixels, nbu, nbd
 
 
 @functools.partial(jax.jit, static_argnames=("max_pixels",))

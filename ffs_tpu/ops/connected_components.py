@@ -107,7 +107,12 @@ def _segmented_run_min(vals: jnp.ndarray, is_start: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("width",))
-def label_compact_pixels(pixels: CompactPixels, *, width: int) -> jnp.ndarray:
+def label_compact_pixels(
+    pixels: CompactPixels,
+    *,
+    width: int,
+    neighbors: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+) -> jnp.ndarray:
     """4-connected component roots over compacted pixels.
 
     Returns (K,) int32: the *slot* of each pixel's component root (the
@@ -147,43 +152,49 @@ def label_compact_pixels(pixels: CompactPixels, *, width: int) -> jnp.ndarray:
     # run-start slot by forward fill (slots ascend, so cummax == last start)
     lbl0 = jax.lax.cummax(jnp.where(is_start, slots, -1))
 
-    # --- vertical edges via one sort-merge ---------------------------------
-    # i32-safe sentinel for padding entries (key = val * 4 + tag must not
-    # overflow; real lin +/- width stays far below this)
-    padv = (2**31 - 8) // 4
-    up_req = jnp.where(in_spot & (lin >= width), lin - width, padv)
-    down_req = jnp.where(in_spot, lin + width, padv)
-    vals = jnp.concatenate([jnp.where(in_spot, lin, padv), up_req, down_req])
-    tags = jnp.concatenate(
-        [
-            jnp.zeros(k, jnp.int32),
-            jnp.ones(k, jnp.int32),
-            jnp.full(k, 2, jnp.int32),
-        ]
-    )
-    pay = jnp.concatenate([slots, slots, slots])
-    skey, spay = jax.lax.sort(
-        (vals * 4 + tags, pay), dimension=0, num_keys=1
-    )
-    sval = skey // 4
-    stag = skey - sval * 4
-    is_a = stag == 0
-    # forward fill of the most recent pixel (tag 0): compact slots ascend
-    # with lin, so cummax gives the *latest* pixel's value and slot
-    fill_val = jax.lax.cummax(jnp.where(is_a, sval, -1))
-    fill_slot = jax.lax.cummax(jnp.where(is_a, spay, -1))
-    matched = (fill_val == sval) & (sval < padv) & ~is_a
-    # route matched neighbour slots back to the requesting slot
-    seg_up = jnp.where(matched & (stag == 1), spay, k)
-    seg_down = jnp.where(matched & (stag == 2), spay, k)
-    nbu = jax.ops.segment_min(
-        jnp.where(matched, fill_slot, BIG), seg_up, num_segments=k + 1
-    )[:k]
-    nbd = jax.ops.segment_min(
-        jnp.where(matched, fill_slot, BIG), seg_down, num_segments=k + 1
-    )[:k]
-    nbu = jnp.where(nbu < BIG, nbu, slots).astype(jnp.int32)
-    nbd = jnp.where(nbd < BIG, nbd, slots).astype(jnp.int32)
+    if neighbors is not None:
+        # vertical neighbour slots precomputed from the packed words
+        # (ops/compact.compact_from_pcw_flat with_neighbors=True): skips
+        # the whole 3K sort-merge below
+        nbu, nbd = neighbors
+    else:
+        # --- vertical edges via one sort-merge -----------------------------
+        # i32-safe sentinel for padding entries (key = val * 4 + tag must
+        # not overflow; real lin +/- width stays far below this)
+        padv = (2**31 - 8) // 4
+        up_req = jnp.where(in_spot & (lin >= width), lin - width, padv)
+        down_req = jnp.where(in_spot, lin + width, padv)
+        vals = jnp.concatenate([jnp.where(in_spot, lin, padv), up_req, down_req])
+        tags = jnp.concatenate(
+            [
+                jnp.zeros(k, jnp.int32),
+                jnp.ones(k, jnp.int32),
+                jnp.full(k, 2, jnp.int32),
+            ]
+        )
+        pay = jnp.concatenate([slots, slots, slots])
+        skey, spay = jax.lax.sort(
+            (vals * 4 + tags, pay), dimension=0, num_keys=1
+        )
+        sval = skey // 4
+        stag = skey - sval * 4
+        is_a = stag == 0
+        # forward fill of the most recent pixel (tag 0): compact slots
+        # ascend with lin, so cummax gives the *latest* value and slot
+        fill_val = jax.lax.cummax(jnp.where(is_a, sval, -1))
+        fill_slot = jax.lax.cummax(jnp.where(is_a, spay, -1))
+        matched = (fill_val == sval) & (sval < padv) & ~is_a
+        # route matched neighbour slots back to the requesting slot
+        seg_up = jnp.where(matched & (stag == 1), spay, k)
+        seg_down = jnp.where(matched & (stag == 2), spay, k)
+        nbu = jax.ops.segment_min(
+            jnp.where(matched, fill_slot, BIG), seg_up, num_segments=k + 1
+        )[:k]
+        nbd = jax.ops.segment_min(
+            jnp.where(matched, fill_slot, BIG), seg_down, num_segments=k + 1
+        )[:k]
+        nbu = jnp.where(nbu < BIG, nbu, slots).astype(jnp.int32)
+        nbd = jnp.where(nbd < BIG, nbd, slots).astype(jnp.int32)
 
     # both neighbour lookups ride one gather (per-op overhead amortises;
     # 2K indices is still below the superlinear-gather regime)

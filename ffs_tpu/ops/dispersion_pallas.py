@@ -377,10 +377,6 @@ def _dispersion_packed_kernel(
             acc = acc + src[dy : dy + strip]
         return acc
 
-    grids = (imf, imsq) if has_mbox else (mkf, imf, imsq)
-    for k, src in enumerate(grids):
-        vsum[k] = window_rows(src)
-
     def window_lanes(k):
         acc = vsum[k, :, pl.ds(0, width)]
         for dx in range(1, 2 * r + 1):
@@ -388,14 +384,39 @@ def _dispersion_packed_kernel(
         return acc
 
     if has_mbox:
+        # x = window(imf) sums INTEGER-valued f32 (<= 49 * 65535 < 2^24):
+        # every partial sum is exact, so a shared-subsum tree gives
+        # bit-identical results with ~4 adds/element instead of 6 per
+        # direction.  y = window(imsq) is rounding-sensitive and keeps the
+        # reference's left-associative order.  mkf / vsum[2] are free as
+        # temporaries here (the mask grid is not summed when mbox arrives).
+        assert r == 3, "7-wide tree specialisation"
+        n2 = strip + 2 * r - 1
+        mkf[0:n2] = imf[0:n2] + imf[1 : n2 + 1]  # s2[i] = src[i] + src[i+1]
+        vsum[2] = mkf[0:strip] + mkf[2 : strip + 2]  # s4[i] = s2[i] + s2[i+2]
+        vsum[0] = (vsum[2] + mkf[4 : 4 + strip]) + imf[6 : 6 + strip]
+        vsum[1] = window_rows(imsq)
+
+        h2n = width + 2 * r - 1
+        mkf[0:strip, pl.ds(0, h2n)] = (
+            vsum[0, :, pl.ds(0, h2n)] + vsum[0, :, pl.ds(1, h2n)]
+        )
+        vsum[2, :, pl.ds(0, width)] = (
+            mkf[0:strip, pl.ds(0, width)] + mkf[0:strip, pl.ds(2, width)]
+        )
+        x = (
+            vsum[2, :, pl.ds(0, width)] + mkf[0:strip, pl.ds(4, width)]
+        ) + vsum[0, :, pl.ds(6, width)]
+
         m = (
             mbox_strips[0, :, pl.ds(0, width)]
             .astype(jnp.int32)
             .astype(jnp.float32)
         )
-        x = window_lanes(0)
         y = window_lanes(1)
     else:
+        for k, src in enumerate((mkf, imf, imsq)):
+            vsum[k] = window_rows(src)
         m = window_lanes(0)
         x = window_lanes(1)
         y = window_lanes(2)

@@ -105,13 +105,15 @@ def run(argv=None) -> int:
     n_images = expt.scan.image_range[1] - expt.scan.image_range[0] + 1
     scan_width = expt.scan.oscillation[0] + expt.scan.oscillation[1] * n_images
 
-    candidates = []
+    import itertools
+    from concurrent.futures import ThreadPoolExecutor
+
     gen = comb_mod.candidate_orientation_matrices(vectors, 1000)
     print(f"Scoring up to {args.max_refine} candidate crystals")
-    for n, crystal in enumerate(gen, start=1):
-        if n > args.max_refine:
-            break
-        score = evaluate_crystal(
+    crystals = list(itertools.islice(gen, args.max_refine))
+
+    def _score(crystal):
+        return evaluate_crystal(
             crystal,
             rlp=rlp[sel],
             xyzobs_mm=xyzobs_mm[sel],
@@ -124,6 +126,18 @@ def run(argv=None) -> int:
             scan_width_degrees=scan_width,
             n_ref_per_degree=20,
         )
+
+    # Candidate scoring runs on a small thread pool (the reference threads
+    # this loop too, indexer.cc candidate pool / SURVEY P6): host-side
+    # model prep overlaps the per-candidate device refinement dispatches;
+    # results keep generator order for deterministic scoring output.
+    if len(crystals) > 1:
+        with ThreadPoolExecutor(max_workers=min(4, len(crystals))) as ex:
+            scores = list(ex.map(_score, crystals))
+    else:
+        scores = [_score(c) for c in crystals]
+    candidates = []
+    for score in scores:
         if score is not None:
             candidates.append(score)
             print(f"Scored candidate crystal {len(candidates)}")

@@ -343,3 +343,60 @@ def test_compact_from_pcw_flat_untrimmed_padding(small_frame):
     np.testing.assert_array_equal(
         np.asarray(got.intensity)[:n], np.asarray(want.intensity)[:n]
     )
+
+
+def test_pcw_neighbors_match_sort_merge(small_frame):
+    """Neighbour slots derived from packed words must reproduce the
+    sort-merge CC exactly (same component roots)."""
+    from ffs_tpu.ops.dispersion_pallas import dispersion_packed_raw
+
+    image, mask = small_frame
+    h, w = image.shape
+    tm = float(np.iinfo(np.uint16).max)
+    batch = jnp.asarray(np.stack([image, np.roll(image, 3, axis=0)]))
+    pcw = dispersion_packed_raw(
+        batch, jnp.asarray(mask), tm, strip=64, interpret=True, trim=False
+    )
+    p, nbu, nbd = comp.compact_from_pcw_flat(
+        batch, pcw, max_pixels_total=4096, with_neighbors=True
+    )
+    root_nb = cc.label_compact_pixels(p, width=w, neighbors=(nbu, nbd))
+    root_sm = cc.label_compact_pixels(p, width=w)
+    n = int(p.count)
+    np.testing.assert_array_equal(
+        np.asarray(root_nb)[:n], np.asarray(root_sm)[:n]
+    )
+    # neighbour slots themselves are mutually consistent with lin math
+    lin = np.asarray(p.linear_index)[:n]
+    nbu_n = np.asarray(nbu)[:n]
+    for i in range(n):
+        if nbu_n[i] != i:
+            assert lin[nbu_n[i]] == lin[i] - w
+
+
+def test_packed_mbox_tree_path_matches_oracle(small_frame):
+    """The mbox fast path (shared-subsum tree for the x grid) must stay
+    bit-identical to the f32 oracle — integer window sums are exact under
+    any summation order."""
+    from ffs_tpu.ops.dispersion_pallas import (
+        _n_word_lanes,
+        dispersion_packed,
+        mask_box_count,
+    )
+
+    image, mask = small_frame
+    tm = float(np.iinfo(np.uint16).max)
+    mbox = mask_box_count(jnp.asarray(mask))
+    w32, pc = dispersion_packed(
+        jnp.asarray(image), jnp.asarray(mask), tm, mbox=mbox, strip=64,
+        interpret=True,
+    )
+    want = np.asarray(
+        jops.dispersion(jnp.asarray(image), jnp.asarray(mask), tm, dtype=jnp.float32)
+    )
+    nwl = _n_word_lanes(((image.shape[1] + 2 * 3 + 127) // 128) * 128)
+    exp_words, exp_pc = _pack_words_np(want, nwl)
+    np.testing.assert_array_equal(
+        np.asarray(w32).astype(np.int64) & 0xFFFFFFFF, exp_words
+    )
+    np.testing.assert_array_equal(np.asarray(pc), exp_pc)
