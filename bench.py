@@ -63,6 +63,7 @@ def main() -> int:
     from ffs_tpu.ops.compact import compact_from_pcw_flat
     from ffs_tpu.ops.dispersion_extended_pallas import (
         dispersion_extended_packed_raw,
+        mask_box_count_extended,
     )
     from ffs_tpu.ops.dispersion_pallas import dispersion_packed_raw, mask_box_count
 
@@ -85,7 +86,7 @@ def main() -> int:
         def step(batch):
             if extended:
                 pcw = dispersion_extended_packed_raw(
-                    batch, msk, 65535.0, interpret=interp
+                    batch, msk, 65535.0, mbox=mb, interpret=interp
                 )
             else:
                 pcw = dispersion_packed_raw(
@@ -179,7 +180,8 @@ def main() -> int:
     jbatch = jax.device_put(
         jnp.asarray(_make_frames(rng, JH, JW, JB, jmask_np, n_spots=60))
     )
-    jstep = make_full_step(16384, 8192, extended=True, msk=jmask)
+    jmbox = jax.block_until_ready(mask_box_count_extended(jmask)) if on_tpu else None
+    jstep = make_full_step(16384, 8192, extended=True, msk=jmask, mb=jmbox)
 
     def jconsume(b):
         p, t, keep, hp = jstep(b)

@@ -46,6 +46,26 @@ def _row_halo() -> int:
     return ((_IMG + 7) // 8) * 8  # 16
 
 
+def mask_box_count_extended(mask: jnp.ndarray, *, strip: int = DEFAULT_STRIP):
+    """Frame-invariant first-pass mask box count on the padded canvas.
+
+    Computed ONCE per collection and passed to the packed extended kernel
+    as ``mbox``: the kernel then skips the mask grid's stage-1 sliding
+    sums (the same trick as dispersion_pallas.mask_box_count).  The canvas
+    matches the kernel's padding (halo rows, _IMG lane offset) with 128
+    extra lanes so per-strip slices at the grid-1 offset stay in range.
+    """
+    from .dispersion import box_sum
+
+    h, w = mask.shape
+    n_strips = pl.cdiv(h, strip)
+    hp = n_strips * strip
+    halo = _row_halo()
+    wp = ((w + 2 * _IMG + 127) // 128) * 128
+    mask_p = jnp.pad(mask, ((halo, hp - h + halo), (_IMG, wp - w - _IMG + 128)))
+    return box_sum((mask_p != 0).astype(jnp.int32), _R).astype(jnp.uint16)
+
+
 def _ext_kernel(
     *args,  # inputs, output refs, scratch (see unpack below)
     strip: int,
@@ -58,6 +78,7 @@ def _ext_kernel(
     packed: bool = False,
     wp: int = 0,
     nwl: int = 0,
+    has_mbox: bool = False,
 ):
     # scratch: img_v (2, strip+2*row_halo, wp) raw strips (origin row
     # -row_halo); imf/mkf (strip+2*_IMG, wp) f32 masked I / mask, origin
@@ -65,8 +86,12 @@ def _ext_kernel(
     # (-_APRON, -_APRON); surv (strip+2*_RX, wp) f32 survived mask, origin
     # (-_RX, -_RX); work (3, strip+2*_APRON, wp) f32 sliding-sum scratch;
     # with packed also m_ref (pack-weight input) + okf scratch
-    if packed:
+    if packed and has_mbox:
+        img_hbm, mask_strips, mbox_strips, *refs = args
+        strong_ref, img_v, imf, mkf, disp, surv, work, sems = refs
+    elif packed:
         img_hbm, mask_strips, *refs = args
+        mbox_strips = None
         strong_ref, img_v, imf, mkf, disp, surv, work, sems = refs
     elif emit_strong:
         img_hbm, mask_strips, *refs = args
@@ -129,26 +154,38 @@ def _ext_kernel(
     # vertical sums: first-pass row j (global -_APRON+j) uses image rows
     # global -_APRON+j+dy-_R -> imf row (_IMG-_APRON-_R) + j + dy = j + dy
     for dy in range(2 * _R + 1):
-        mk = mkf[dy : dy + n1]
         im = imf[dy : dy + n1]
         if dy == 0:
-            work[0] = mk
             work[1] = im
             work[2] = im * im
         else:
-            work[0] += mk
             work[1] += im
             work[2] += im * im
+    if not has_mbox:
+        for dy in range(2 * _R + 1):
+            mk = mkf[dy : dy + n1]
+            if dy == 0:
+                work[0] = mk
+            else:
+                work[0] += mk
     # horizontal: col (-_APRON+l) + dx-_R -> imf lane l + dx; result origin
     # col -_APRON lives at "grid1 lane" l (i.e. imf lane l + _R... we keep
     # grid1 lanes aligned with slicing offset below)
-    m = work[0, :, pl.ds(0, w1)]
     x = work[1, :, pl.ds(0, w1)]
     ysum = work[2, :, pl.ds(0, w1)]
     for dx in range(1, 2 * _R + 1):
-        m = m + work[0, :, pl.ds(dx, w1)]
         x = x + work[1, :, pl.ds(dx, w1)]
         ysum = ysum + work[2, :, pl.ds(dx, w1)]
+    if has_mbox:
+        m = (
+            mbox_strips[0, 0:n1, pl.ds(0, w1)]
+            .astype(jnp.int32)
+            .astype(jnp.float32)
+        )
+    else:
+        m = work[0, :, pl.ds(0, w1)]
+        for dx in range(1, 2 * _R + 1):
+            m = m + work[0, :, pl.ds(dx, w1)]
     # grid1 lane l corresponds to imf lane l + _R (global col -_APRON + l)
     src1 = imf[_R : _R + n1, pl.ds(_R, w1)]
     msk1 = mkf[_R : _R + n1, pl.ds(_R, w1)]
@@ -397,13 +434,19 @@ def dispersion_extended_packed_raw(
     mask: jnp.ndarray,
     trusted_max: float,
     *,
+    mbox: jnp.ndarray | None = None,
     min_count: int = DEFAULT_MIN_COUNT,
     nsig_b: float = DEFAULT_NSIG_B,
     nsig_s: float = DEFAULT_NSIG_S,
     strip: int = DEFAULT_STRIP,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Combined-row form: (B?, H, 2*nwl) i32 with lanes [pc | w32]."""
+    """Combined-row form: (B?, H, 2*nwl) i32 with lanes [pc | w32].
+
+    ``mbox`` is the frame-invariant first-pass mask box count from
+    :func:`mask_box_count_extended` (same ``strip``); when given, the
+    kernel skips the stage-1 mask sliding sums.
+    """
     from .dispersion_pallas import _n_word_lanes, _pack_pcw
 
     squeeze = image.ndim == 2
@@ -422,6 +465,7 @@ def dispersion_extended_packed_raw(
         lambda s0: jax.lax.dynamic_slice(mask_p, (s0, 0), (strip + 2 * halo, wp))
     )(strip_starts)
 
+    has_mbox = mbox is not None
     kernel = functools.partial(
         _ext_kernel,
         strip=strip,
@@ -434,21 +478,41 @@ def dispersion_extended_packed_raw(
         packed=True,
         wp=wp,
         nwl=nwl,
+        has_mbox=has_mbox,
     )
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(
+            (1, strip + 2 * halo, wp),
+            lambda b, i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    inputs = [img_p, mask_strips]
+    if has_mbox:
+        # per-strip grid-1 windows of the precomputed box count: rows
+        # [i*strip - _APRON, ...), lanes at the grid-1 offset _IMG - _APRON
+        mb_starts = jnp.arange(n_strips) * strip + (halo - _APRON)
+        mbox_strips = jax.vmap(
+            lambda s0: jax.lax.dynamic_slice(
+                mbox, (s0, _IMG - _APRON), (strip + 2 * _APRON, wp)
+            )
+        )(mb_starts)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, strip + 2 * _APRON, wp),
+                lambda b, i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(mbox_strips)
     out_spec = pl.BlockSpec(
         (1, strip, wp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
     )
     outs = pl.pallas_call(
         kernel,
         grid=(nb, n_strips),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(
-                (1, strip + 2 * halo, wp),
-                lambda b, i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=[out_spec],
         out_shape=[
             jax.ShapeDtypeStruct((nb, hp, wp), jnp.int8),
@@ -466,7 +530,7 @@ def dispersion_extended_packed_raw(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(img_p, mask_strips)
+    )(*inputs)
     pcw = _pack_pcw(outs[0], nwl)[:, :h]
     if squeeze:
         pcw = pcw[0]

@@ -139,6 +139,13 @@ class SpotfindProcessor:
 
             with jax.enable_x64(False):
                 self.mbox = jax.block_until_ready(mask_box_count(self.mask))
+        elif use_pallas:
+            from .ops.dispersion_extended_pallas import mask_box_count_extended
+
+            with jax.enable_x64(False):
+                self.mbox = jax.block_until_ready(
+                    mask_box_count_extended(self.mask)
+                )
 
         def _fused_pcw(image):
             """Packed-words kernel step -> combined [pc | w32] rows
@@ -167,6 +174,7 @@ class SpotfindProcessor:
                 image,
                 self.mask,
                 self.trusted_max,
+                mbox=self.mbox,
                 interpret=cfg.pallas_interpret,
                 **kwargs,
             )

@@ -400,3 +400,25 @@ def test_packed_mbox_tree_path_matches_oracle(small_frame):
         np.asarray(w32).astype(np.int64) & 0xFFFFFFFF, exp_words
     )
     np.testing.assert_array_equal(np.asarray(pc), exp_pc)
+
+
+def test_extended_packed_mbox_matches_oracle(small_frame):
+    from ffs_tpu.ops.dispersion_extended_pallas import (
+        dispersion_extended_packed,
+        dispersion_extended_packed_raw,
+        mask_box_count_extended,
+    )
+
+    image, mask = small_frame
+    tm = float(np.iinfo(np.uint16).max)
+    mbox = mask_box_count_extended(jnp.asarray(mask), strip=64)
+    pcw = dispersion_extended_packed_raw(
+        jnp.asarray(image), jnp.asarray(mask), tm, mbox=mbox, strip=64,
+        interpret=True,
+    )
+    w32_ref, pc_ref = dispersion_extended_packed(
+        jnp.asarray(image), jnp.asarray(mask), tm, strip=64, interpret=True
+    )
+    nwl = pcw.shape[-1] // 2
+    np.testing.assert_array_equal(np.asarray(pcw[..., nwl:]), np.asarray(w32_ref))
+    np.testing.assert_array_equal(np.asarray(pcw[..., :nwl]), np.asarray(pc_ref))
