@@ -83,10 +83,13 @@ def main() -> int:
     def make_full_step(max_px, max_spots, extended=False, msk=None, mb=None):
         msk = mask if msk is None else msk
 
+        jf_strip = int(os.environ.get("FFS_BENCH_JF_STRIP", "128"))
+
         def step(batch):
             if extended:
                 pcw = dispersion_extended_packed_raw(
-                    batch, msk, 65535.0, mbox=mb, interpret=interp
+                    batch, msk, 65535.0, mbox=mb, strip=jf_strip,
+                    interpret=interp,
                 )
             else:
                 pcw = dispersion_packed_raw(
@@ -180,7 +183,15 @@ def main() -> int:
     jbatch = jax.device_put(
         jnp.asarray(_make_frames(rng, JH, JW, JB, jmask_np, n_spots=60))
     )
-    jmbox = jax.block_until_ready(mask_box_count_extended(jmask)) if on_tpu else None
+    jmbox = (
+        jax.block_until_ready(
+            mask_box_count_extended(
+                jmask, strip=int(os.environ.get("FFS_BENCH_JF_STRIP", "128"))
+            )
+        )
+        if on_tpu
+        else None
+    )
     jstep = make_full_step(16384, 8192, extended=True, msk=jmask, mb=jmbox)
 
     def jconsume(b):
