@@ -400,15 +400,19 @@ def compact_from_pcw_flat(
     return pixels, nbu, nbd
 
 
-@functools.partial(jax.jit, static_argnames=("max_pixels",))
+@functools.partial(jax.jit, static_argnames=("max_pixels", "with_neighbors"))
 def compact_from_pcw(
     image: jnp.ndarray,
     pcw: jnp.ndarray,
     *,
     max_pixels: int = 32768,
-) -> CompactPixels:
+    with_neighbors: bool = False,
+):
     """Single-frame combined-row compaction (plain raster linear indices;
     see :func:`compact_from_words` for why B == 1 tall indices coincide)."""
     return compact_from_pcw_flat(
-        image[None], pcw[None], max_pixels_total=max_pixels
+        image[None],
+        pcw[None],
+        max_pixels_total=max_pixels,
+        with_neighbors=with_neighbors,
     )

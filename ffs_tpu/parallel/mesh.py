@@ -137,3 +137,72 @@ def halo_sharded_dispersion(
         )
 
     return jax.jit(step)(image, mask)
+
+
+def sharded_packed_pipeline(
+    mesh: Mesh,
+    frames: jnp.ndarray,
+    mask: jnp.ndarray,
+    trusted_max: float,
+    *,
+    max_pixels_per_chip: int = 8192,
+    max_spots_per_chip: int = 4096,
+    interpret: bool = False,
+    axis: str = "data",
+):
+    """The PRODUCTION packed pipeline, data-parallel over the mesh.
+
+    Each chip runs the full per-chip hot path on its local frame shard —
+    packed Pallas dispersion kernel, flat word compaction with neighbour
+    derivation, sparse CC, multi-frame spot table — under ``shard_map``;
+    the only cross-chip communication is the psum for the global totals.
+    This is the P8 scale-out shape for the 500-2500 Hz stream
+    (reference: one CUDA process per collection, service.py:497-507 —
+    here one mesh axis entry per chip instead).
+
+    Returns (per_frame_strong (B,), n_spots_per_chip (n,), global_total ()).
+    """
+    from ..ops import connected_components as cc
+    from ..ops.compact import compact_from_pcw_flat
+    from ..ops.dispersion_pallas import dispersion_packed_raw
+
+    n = mesh.shape[axis]
+    B, h, w = frames.shape
+    if B % n:
+        raise ValueError(f"batch ({B}) must divide the mesh axis ({n})")
+    frames = shard_frames(mesh, frames, axis)
+    mask = jax.device_put(mask, NamedSharding(mesh, P(None, None)))
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(None, None)),
+        out_specs=(P(axis), P(axis), P()),
+        # pallas_call output avals carry no varying-mesh-axes annotation
+        check_vma=False,
+    )
+    def step(local_frames, mask_rep):
+        pcw = dispersion_packed_raw(
+            local_frames, mask_rep, trusted_max, trim=False, interpret=interpret
+        )
+        nwl = pcw.shape[-1] // 2
+        per_frame = jnp.sum(pcw[:, :, nwl - 1], axis=1, dtype=jnp.int32)
+        p, nbu, nbd = compact_from_pcw_flat(
+            local_frames,
+            pcw,
+            max_pixels_total=max_pixels_per_chip,
+            with_neighbors=True,
+        )
+        root = cc.label_compact_pixels(p, width=w, neighbors=(nbu, nbd))
+        table = cc.spot_table_from_pixels(
+            p,
+            root,
+            width=w,
+            max_spots=max_spots_per_chip,
+            dtype=jnp.float32,
+            frame_rows=pcw.shape[1],
+        )
+        total = jax.lax.psum(jnp.sum(per_frame), axis)
+        return per_frame, table.n_spots[None], total
+
+    return jax.jit(step)(frames, mask)

@@ -209,13 +209,18 @@ class SpotfindProcessor:
         )
 
         def _step(image):
+            neighbors = None
             if use_pallas:
                 from .ops.compact import compact_from_pcw
 
                 pcw = _fused_pcw(image)
-                pixels = compact_from_pcw(
-                    image, pcw, max_pixels=cfg.max_strong_pixels
+                pixels, nbu, nbd = compact_from_pcw(
+                    image,
+                    pcw,
+                    max_pixels=cfg.max_strong_pixels,
+                    with_neighbors=True,
                 )
+                neighbors = (nbu, nbd)
             else:
                 if cfg.algorithm == "dispersion":
                     strong = dops.dispersion(
@@ -245,7 +250,9 @@ class SpotfindProcessor:
                 # statistics and filters run on the CPU from the ~64 KB
                 # compact arrays (reference architecture split)
                 return (pixels,)
-            root_slot = cc.label_compact_pixels(pixels, width=width)
+            root_slot = cc.label_compact_pixels(
+                pixels, width=width, neighbors=neighbors
+            )
             root_lin = pixels.linear_index[root_slot]
             table = cc.spot_table_from_pixels(
                 pixels,

@@ -58,3 +58,40 @@ def test_shard_frames_layout(mesh, rng):
     frames = jnp.asarray(rng.poisson(1.0, size=(8, 16, 32)).astype(np.uint16))
     sharded = shard_frames(mesh, frames)
     assert len(sharded.sharding.device_set) == 8
+
+
+def test_sharded_packed_pipeline_matches_single_chip(small_frame):
+    """The full production packed pipeline under shard_map (one chip per
+    frame-shard, psum total) must agree with the single-process result."""
+    import jax.numpy as jnp
+
+    from ffs_tpu.ops import dispersion as dops
+    from ffs_tpu.parallel import make_mesh, sharded_packed_pipeline
+
+    image, mask = small_frame
+    n = 4
+    mesh = make_mesh(n)
+    batch = np.stack([np.roll(image, 3 * i, axis=1) for i in range(2 * n)])
+    per_frame, spots_per_chip, total = sharded_packed_pipeline(
+        mesh,
+        jnp.asarray(batch),
+        jnp.asarray(mask),
+        65535.0,
+        max_pixels_per_chip=4096,
+        max_spots_per_chip=2048,
+        interpret=True,
+    )
+    per_frame = np.asarray(per_frame)
+    want = [
+        int(
+            np.asarray(
+                dops.dispersion(
+                    jnp.asarray(f), jnp.asarray(mask), 65535.0, dtype=jnp.float32
+                )
+            ).sum()
+        )
+        for f in batch
+    ]
+    np.testing.assert_array_equal(per_frame, want)
+    assert int(total) == sum(want)
+    assert np.asarray(spots_per_chip).sum() > 0
