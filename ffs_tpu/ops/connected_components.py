@@ -209,6 +209,8 @@ def label_compact_pixels(
         new = jnp.minimum(prop, jumped)
         return new, jnp.any(new != lbl)
 
+    # (A/B'd on hardware: unrolling rounds ahead of the loop measured
+    # neutral-to-worse — the convergence-gated loop stays.)
     lbl, _ = jax.lax.while_loop(
         lambda s: s[1], body, (lbl0, jnp.bool_(True))
     )
