@@ -365,7 +365,8 @@ def _dispersion_packed_kernel(
             .astype(jnp.float32)
         )
         imf[...] *= mkf[...]
-    imsq[...] = imf[...] * imf[...]
+    if not has_mbox:
+        imsq[...] = imf[...] * imf[...]
 
     # Sliding-window sums as ONE left-associative expression per grid and
     # direction: identical fp addition order to the unrolled ref-accumulate
@@ -395,7 +396,14 @@ def _dispersion_packed_kernel(
         mkf[0:n2] = imf[0:n2] + imf[1 : n2 + 1]  # s2[i] = src[i] + src[i+1]
         vsum[2] = mkf[0:strip] + mkf[2 : strip + 2]  # s4[i] = s2[i] + s2[i+2]
         vsum[0] = (vsum[2] + mkf[4 : 4 + strip]) + imf[6 : 6 + strip]
-        vsum[1] = window_rows(imsq)
+        # y's vertical sums square on the fly (each term is the same f32
+        # value the materialised imsq grid held, in the same left-assoc add
+        # order — bit-identical, two fewer full-grid passes)
+        acc = imf[0:strip] * imf[0:strip]
+        for dy in range(1, 2 * r + 1):
+            t = imf[dy : dy + strip]
+            acc = acc + t * t
+        vsum[1] = acc
 
         h2n = width + 2 * r - 1
         mkf[0:strip, pl.ds(0, h2n)] = (
