@@ -72,7 +72,10 @@ def main() -> int:
 
     H, W = E2XE_16M_SLOW, E2XE_16M_FAST
     BATCH = int(os.environ.get("FFS_BENCH_BATCH", "8"))
-    REPS = int(os.environ.get("FFS_BENCH_REPS", "16"))
+    # REPS amortises the ~45 ms dev-tunnel dispatch (a tunnel artifact real
+    # deployments never pay): at 16 it still pollutes the measure by ~7%.
+    # Every rep does the full pipeline on a loop-dependent input regardless.
+    REPS = int(os.environ.get("FFS_BENCH_REPS", "128"))
     K = int(os.environ.get("FFS_BENCH_MAX_PX", "24576"))
     S = int(os.environ.get("FFS_BENCH_MAX_SPOTS", "12288"))
 
