@@ -179,7 +179,7 @@ def main() -> int:
 
     # --- Jungfrau 1M throughput (extended algorithm) ---------------------------
     JH, JW = 1066, 1030
-    JB = int(os.environ.get("FFS_BENCH_JF_BATCH", "64"))
+    JB = int(os.environ.get("FFS_BENCH_JF_BATCH", "112"))
     jmask_np = np.ones((JH, JW), dtype=np.uint8)
     jmask_np[512:554, :] = 0  # module gap band
     jmask = jnp.asarray(jmask_np)
