@@ -96,7 +96,9 @@ def main() -> int:
                 )
             else:
                 pcw = dispersion_packed_raw(
-                    batch, msk, 65535.0, mbox=mb, trim=False, interpret=interp
+                    batch, msk, 65535.0, mbox=mb, trim=False,
+                    strip=int(os.environ.get("FFS_BENCH_STRIP", "128")),
+                    interpret=interp,
                 )
             hp = pcw.shape[1]
             w = batch.shape[-1]
