@@ -50,41 +50,59 @@ def compose_orientation(params, u0):
 
 
 def b_matrix_from_metric(g6):
-    """Upper-triangular B from the 6 reciprocal metric elements
-    (g11, g22, g33, g12, g13, g23) — the P1 metrical-matrix parameterisation
-    (cell_parameterisation.cc via rstbx SymmetrizeReduceEnlarge)."""
+    """DIALS-convention B from the 6 reciprocal metric elements
+    (g11, g22, g33, g12, g13, g23) — the P1 metrical-matrix
+    parameterisation (cell_parameterisation.cc via rstbx
+    SymmetrizeReduceEnlarge).
+
+    Follows the reference's ``BG::back`` path exactly (reference:
+    baseline/refiner/cell_parameterisation.cc:64-74): reciprocal metric ->
+    direct cell -> B = inv(orth)^T with the standard PDB orthogonalisation
+    (lower-triangular B, same frame as models.crystal.Crystal.b_matrix).
+    State and autodiff derivatives reproduce the DIALS goldens at 1e-12
+    (tests/test_refine_dials_golden.py; reference:
+    baseline/refiner/tests/test_cell_parameterisation.cc:24-99).
+    """
     g11, g22, g33, g12, g13, g23 = g6
     a_s = jnp.sqrt(g11)
     b_s = jnp.sqrt(g22)
     c_s = jnp.sqrt(g33)
-    cga = g12 / (a_s * b_s)  # cos gamma*
-    cbe = g13 / (a_s * c_s)  # cos beta*
-    cal = g23 / (b_s * c_s)  # cos alpha*
-    sga = jnp.sqrt(jnp.maximum(1 - cga**2, 1e-12))
-    sbe = jnp.sqrt(jnp.maximum(1 - cbe**2, 1e-12))
-    # direct-cell cos(alpha) and c from reciprocal quantities
-    cos_alpha = (cbe * cga - cal) / (sbe * sga)
-    sal_s = jnp.sqrt(jnp.maximum(1 - cal**2, 1e-12))
-    # direct c = 1 / (c* sin(beta*) sin(alpha)) ... use volume identity:
-    # V* = a* b* c* sqrt(1 - ca^2 - cb^2 - cg^2 + 2 ca cb cg); c = (a* b* sga)/V*
-    vstar = (
+    cga_s = g12 / (a_s * b_s)  # cos gamma*
+    cbe_s = g13 / (a_s * c_s)  # cos beta*
+    cal_s = g23 / (b_s * c_s)  # cos alpha*
+    sga_s = jnp.sqrt(jnp.maximum(1 - cga_s**2, 1e-12))
+    sbe_s = jnp.sqrt(jnp.maximum(1 - cbe_s**2, 1e-12))
+    sal_s = jnp.sqrt(jnp.maximum(1 - cal_s**2, 1e-12))
+    vs = (
         a_s
         * b_s
         * c_s
         * jnp.sqrt(
             jnp.maximum(
-                1 - cal**2 - cbe**2 - cga**2 + 2 * cal * cbe * cga, 1e-16
+                1 - cal_s**2 - cbe_s**2 - cga_s**2 + 2 * cal_s * cbe_s * cga_s,
+                1e-16,
             )
         )
     )
-    c_direct = a_s * b_s * sga / vstar
-    return jnp.array(
+    # direct cell from the reciprocal one
+    a = b_s * c_s * sal_s / vs
+    b = a_s * c_s * sbe_s / vs
+    c = a_s * b_s * sga_s / vs
+    ca = (cbe_s * cga_s - cal_s) / (sbe_s * sga_s)
+    cb = (cal_s * cga_s - cbe_s) / (sal_s * sga_s)
+    cg = (cal_s * cbe_s - cga_s) / (sal_s * sbe_s)
+    sg = jnp.sqrt(jnp.maximum(1 - cg**2, 1e-12))
+    w = jnp.sqrt(
+        jnp.maximum(1 - ca**2 - cb**2 - cg**2 + 2 * ca * cb * cg, 1e-16)
+    )
+    orth = jnp.array(
         [
-            [a_s, b_s * cga, c_s * cbe],
-            [0.0, b_s * sga, -c_s * sbe * cos_alpha],
-            [0.0, 0.0, 1.0 / c_direct],
+            [a, b * cg, c * cb],
+            [0.0, b * sg, c * (ca - cb * cg) / sg],
+            [0.0, 0.0, c * w / sg],
         ]
     )
+    return jnp.linalg.inv(orth).T
 
 
 def metric_from_b(b_matrix) -> np.ndarray:
@@ -142,12 +160,23 @@ def make_setup(crystal: Crystal, beam, panel, gonio) -> RefineSetup:
     d2 = panel.slow_axis / np.linalg.norm(panel.slow_axis)
     dn = np.cross(d1, d2)
     dn /= np.linalg.norm(dn)
-    # decompose origin into dist*dn + shift1*d1 + shift2*d2
+    # DIALS parameterises about the panel CENTRE: the frame origin dorg is
+    # the centre, the panel origin sits at a fixed in-plane offset of
+    # (-width/2, -height/2) mm from it, and tau rotations pivot there
+    # (reference: detector_parameterisation.cc:167-180; golden state/derivs
+    # in tests/test_refine_dials_golden.py)
     origin = panel.origin
-    dist = origin @ dn
-    sh1 = origin @ d1
-    sh2 = origin @ d2
-    # offset beyond the parameterised frame is zero for single flat panels
+    offset = np.array(
+        [
+            -0.5 * panel.image_size[0] * panel.pixel_size[0],
+            -0.5 * panel.image_size[1] * panel.pixel_size[1],
+        ]
+    )
+    dorg = origin - offset[0] * d1 - offset[1] * d2
+    dist = origin @ dn  # directed distance (offsets are in-plane)
+    shift = dorg - dist * dn
+    sh1 = shift @ d1
+    sh2 = shift @ d2
     return RefineSetup(
         u0=crystal.u_matrix,
         g6_0=metric_from_b(crystal.b_matrix),
@@ -155,7 +184,7 @@ def make_setup(crystal: Crystal, beam, panel, gonio) -> RefineSetup:
         s0_norm=float(np.linalg.norm(s0)),
         beam_dir1=dir1,
         beam_dir2=dir2,
-        det_init=(d1, d2, dn, np.zeros(2), dist, sh1, sh2),
+        det_init=(d1, d2, dn, offset, dist, sh1, sh2),
         fixed_rotation=gonio.fixed_rotation,
         setting_rotation=gonio.setting_rotation,
         rotation_axis=gonio.rotation_axis,

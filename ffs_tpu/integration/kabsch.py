@@ -64,6 +64,63 @@ class Accumulators:
         )
 
 
+def format_shoebox_fill_histogram(
+    bboxes: np.ndarray, box_w: int, box_h: int, max_active: int
+) -> str:
+    """Shoebox occupancy diagnostic, the TPU analogue of the reference's
+    per-block pass-count histogram (reference: integrator/integrator.cc:
+    76-153, logged at debug level at startup).
+
+    On CUDA the cost unit is GPU blocks x passes; on TPU it is the padded
+    (box_h, box_w) gather window every reflection occupies in the batched
+    device step, so the waste metric is the fill fraction of that static
+    window.  Reflection-image slices are bucketed by fill, weighted by
+    z-depth (the real per-step population), and summarised with the
+    overall slot utilisation.  Returns an empty string when nothing is
+    integrable.
+    """
+    buckets = [
+        (0.75, 1.01, ">=75%"),
+        (0.50, 0.75, "50-75"),
+        (0.25, 0.50, "25-50"),
+        (0.10, 0.25, "10-25"),
+        (0.00, 0.10, " <10%"),
+    ]
+    counts = [0] * len(buckets)
+    slot_px = box_w * box_h
+    total_slices = 0
+    total_px = 0
+    for bbox in np.asarray(bboxes, dtype=np.int64):
+        npix = int((bbox[1] - bbox[0] + 1) * (bbox[3] - bbox[2] + 1))
+        depth = int(bbox[5] - bbox[4] + 1)
+        if npix <= 0 or depth <= 0:
+            continue
+        fill = min(npix / slot_px, 1.0)
+        for b, (lo, hi, _label) in enumerate(buckets):
+            if lo <= fill < hi:
+                counts[b] += depth
+                break
+        total_slices += depth
+        total_px += npix * depth
+    if total_slices == 0:
+        return ""
+    bar_width = 24
+    peak = max(counts)
+    out = (
+        f"Shoebox fill over {total_slices} reflection-image slices "
+        f"({box_w}x{box_h} padded windows, {max_active}/step):"
+    )
+    for (lo, hi, label), c in zip(buckets, counts):
+        fill_n = (c * bar_width + peak - 1) // peak if peak else 0
+        bar = "#" * fill_n + "." * (bar_width - fill_n)
+        out += f"\n  {label}  {bar}  {100.0 * c / total_slices:5.1f}%  ({c})"
+    out += (
+        f"\n  avg {total_px / total_slices:.0f} px/slice, "
+        f"{100.0 * total_px / (total_slices * slot_px):.0f}% window utilisation"
+    )
+    return out
+
+
 class KabschIntegrator:
     """Owns the jitted per-frame classification step."""
 

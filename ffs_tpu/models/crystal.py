@@ -165,25 +165,30 @@ class Crystal:
     @property
     def b_matrix(self) -> np.ndarray:
         """B: reciprocal orthogonalisation matrix from cell parameters alone
-        (DIALS convention: A = U @ B with U orthonormal)."""
+        (DIALS convention: A = U @ B with U orthonormal).
+
+        Uses the DIALS/gemmi frame — B = inv(orth)^T where orth is the
+        standard PDB orthogonalisation of the direct cell (a along x, b in
+        the xy plane), giving a LOWER-triangular B whose columns are the
+        reciprocal basis vectors: a* general, b* in the yz plane, c* along
+        z.  This matches dx2/dxtbx ``Crystal::get_B`` bit-for-bit (verified
+        against the DIALS golden state in
+        tests/test_refine_dials_golden.py; reference:
+        baseline/refiner/cell_parameterisation.cc:64-74 ``BG::back``).
+        """
         a, b, c, al, be, ga = self.unit_cell
         al, be, ga = np.radians([al, be, ga])
-        # reciprocal cell
-        v = self.volume
-        a_s = b * c * np.sin(al) / v
-        b_s = a * c * np.sin(be) / v
-        c_s = a * b * np.sin(ga) / v
-        cos_al_s = (np.cos(be) * np.cos(ga) - np.cos(al)) / (np.sin(be) * np.sin(ga))
-        cos_be_s = (np.cos(al) * np.cos(ga) - np.cos(be)) / (np.sin(al) * np.sin(ga))
-        cos_ga_s = (np.cos(al) * np.cos(be) - np.cos(ga)) / (np.sin(al) * np.sin(be))
-        sin_al_s = np.sqrt(max(0.0, 1 - cos_al_s**2))
-        return np.array(
+        ca, cb, cg = np.cos(al), np.cos(be), np.cos(ga)
+        sg = np.sin(ga)
+        w = np.sqrt(max(0.0, 1 - ca * ca - cb * cb - cg * cg + 2 * ca * cb * cg))
+        orth = np.array(
             [
-                [a_s, b_s * cos_ga_s, c_s * cos_be_s],
-                [0.0, b_s * np.sqrt(max(0.0, 1 - cos_ga_s**2)), -c_s * sin_al_s * np.cos(al)],
-                [0.0, 0.0, 1.0 / c],
+                [a, b * cg, c * cb],
+                [0.0, b * sg, c * (ca - cb * cg) / sg],
+                [0.0, 0.0, c * w / sg],
             ]
         )
+        return np.linalg.inv(orth).T
 
     @property
     def u_matrix(self) -> np.ndarray:

@@ -65,9 +65,23 @@ class Scan:
 
     @classmethod
     def from_json(cls, obj: dict) -> "Scan":
-        osc = obj.get("oscillation", [0.0, 0.0])
+        # DIALS serialises either a flat {"oscillation": [start, width]} or
+        # the newer {"properties": {"oscillation": [phi_0, phi_1, ...]}}
+        # per-image list whose first difference is the width (dx2 Scan
+        # parses both; e.g. the thaumatin golden expt uses the latter —
+        # reference: tests/test_predict.py:123-133)
         rng = obj.get("image_range", [1, 1])
-        return cls(image_range=(int(rng[0]), int(rng[1])), oscillation=(float(osc[0]), float(osc[1])))
+        props = obj.get("properties") or {}
+        if "oscillation" in obj:
+            osc = obj["oscillation"]
+            start, width = float(osc[0]), float(osc[1])
+        elif "oscillation" in props:
+            seq = [float(v) for v in props["oscillation"]]
+            start = seq[0] if seq else 0.0
+            width = (seq[1] - seq[0]) if len(seq) > 1 else 0.0
+        else:
+            start, width = 0.0, 0.0
+        return cls(image_range=(int(rng[0]), int(rng[1])), oscillation=(start, width))
 
     def angle_from_image_index(self, z: float, deg: bool = True) -> float:
         """phi at fractional image index z (0-based within the loaded block,

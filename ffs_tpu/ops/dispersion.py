@@ -35,23 +35,75 @@ from ..constants import (
 )
 
 
+def _pow2_parts(k: int) -> list[int]:
+    """Descending power-of-two decomposition of ``k`` (7 -> [4, 2, 1])."""
+    parts, p = [], 1
+    while 2 * p <= k:
+        p *= 2
+    while k:
+        if p <= k:
+            parts.append(p)
+            k -= p
+        p //= 2
+    return parts
+
+
+def _tree_window_axis(p: jnp.ndarray, k: int, n: int, axis: int) -> jnp.ndarray:
+    """Canonical shared-subsum tree for k-wide sliding sums along ``axis``.
+
+    Builds pairwise levels s2[i] = s1[i] + s1[i+1], s4[i] = s2[i] + s2[i+2],
+    s8[i] = s4[i] + s4[i+4], ... then combines the power-of-two parts of k
+    left-associatively at increasing offsets, e.g. for k == 7:
+
+        W[i] = (s4[i] + s2[i+4]) + s1[i+6]
+
+    This exact association order is the REQUIRED float addition order for
+    every window sum in the repo: the Pallas kernels
+    (ops/dispersion_pallas.py, ops/dispersion_extended_pallas.py) hand-code
+    the same tree, so kernel <-> oracle float32 parity is bit-exact.  For
+    integer-valued grids any order gives the same bits; for the
+    rounding-sensitive sum-of-squares grid the tree is both cheaper
+    (~log passes per level instead of k-1 sequential adds) and closer to
+    the exact value than the reference's sequential accumulation
+    (reference: spotfinder/kernels/thresholding.cu:79-101 accumulates
+    sequentially; DIALS computes in double where order is immaterial —
+    baseline/spotfinder/local.h:407-447).
+    """
+
+    def sl(a: jnp.ndarray, start: int, ln: int) -> jnp.ndarray:
+        idx = [slice(None)] * a.ndim
+        idx[axis] = slice(start, start + ln)
+        return a[tuple(idx)]
+
+    parts = _pow2_parts(k)
+    levels = {1: p}
+    sz = 1
+    while sz < parts[0]:
+        prev = levels[sz]
+        ln = prev.shape[axis] - sz
+        levels[2 * sz] = sl(prev, 0, ln) + sl(prev, sz, ln)
+        sz *= 2
+    acc = None
+    off = 0
+    for part in parts:
+        t = sl(levels[part], off, n)
+        acc = t if acc is None else acc + t
+        off += part
+    return acc
+
+
 def box_sum(arr: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """Sum over a (2r+1)^2 window with zero padding, separable shifted adds.
+    """Sum over a (2r+1)^2 window with zero padding, separable shifted adds
+    in the canonical shared-subsum tree order (:func:`_tree_window_axis`).
 
     Exact for integer-valued inputs stored in a wide-enough dtype.
     """
+    k = 2 * radius + 1
     h, w = arr.shape[-2], arr.shape[-1]
     pad = [(0, 0)] * (arr.ndim - 2) + [(radius, radius), (0, 0)]
-    p = jnp.pad(arr, pad)
-    rows = p[..., 0:h, :]
-    for dy in range(1, 2 * radius + 1):
-        rows = rows + p[..., dy : dy + h, :]
+    rows = _tree_window_axis(jnp.pad(arr, pad), k, h, arr.ndim - 2)
     pad = [(0, 0)] * (arr.ndim - 2) + [(0, 0), (radius, radius)]
-    p = jnp.pad(rows, pad)
-    out = p[..., :, 0:w]
-    for dx in range(1, 2 * radius + 1):
-        out = out + p[..., :, dx : dx + w]
-    return out
+    return _tree_window_axis(jnp.pad(rows, pad), k, w, arr.ndim - 1)
 
 
 def _local_stats(image, mask_valid, radius, dtype):

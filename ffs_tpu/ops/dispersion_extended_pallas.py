@@ -84,7 +84,7 @@ def _ext_kernel(
     # -row_halo); imf/mkf (strip+2*_IMG, wp) f32 masked I / mask, origin
     # (-_IMG, -_IMG); disp (strip+2*_APRON, wp) f32 first-pass mask, origin
     # (-_APRON, -_APRON); surv (strip+2*_RX, wp) f32 survived mask, origin
-    # (-_RX, -_RX); work (3, strip+2*_APRON, wp) f32 sliding-sum scratch;
+    # (-_RX, -_RX); work (3, strip+2*_IMG, wp) f32 sliding-sum + tree scratch;
     # with packed also m_ref (pack-weight input) + okf scratch
     if packed and has_mbox:
         img_hbm, mask_strips, mbox_strips, *refs = args
@@ -148,34 +148,20 @@ def _ext_kernel(
     )
     imf[...] *= mkf[...]
 
+    # All window sums below use the canonical shared-subsum tree order
+    # (ops/dispersion._tree_window_axis; in-kernel helpers _vtree7/_htree7
+    # for the 7-wide stage-1 windows, hand-unrolled 5-/11-wide trees for
+    # stages 2/3).  Stage-1's y = window(I^2) grid rounds in f32, so its
+    # tree order is the bit-parity contract with the jnp oracle; every
+    # other grid is integer-valued with partial sums < 2^24 (exact under
+    # any order).
+    from .dispersion_pallas import _htree7, _vtree7
+
     # ---- stage 1: first pass on the (-_APRON..strip+_APRON) grid ----------
+    # first-pass row j (global -_APRON+j) uses image rows j..j+6 of imf;
+    # grid1 lane l corresponds to imf lane l + _R (global col -_APRON + l)
     n1 = strip + 2 * _APRON
     w1 = width + 2 * _APRON
-    # vertical sums: first-pass row j (global -_APRON+j) uses image rows
-    # global -_APRON+j+dy-_R -> imf row (_IMG-_APRON-_R) + j + dy = j + dy
-    for dy in range(2 * _R + 1):
-        im = imf[dy : dy + n1]
-        if dy == 0:
-            work[1] = im
-            work[2] = im * im
-        else:
-            work[1] += im
-            work[2] += im * im
-    if not has_mbox:
-        for dy in range(2 * _R + 1):
-            mk = mkf[dy : dy + n1]
-            if dy == 0:
-                work[0] = mk
-            else:
-                work[0] += mk
-    # horizontal: col (-_APRON+l) + dx-_R -> imf lane l + dx; result origin
-    # col -_APRON lives at "grid1 lane" l (i.e. imf lane l + _R... we keep
-    # grid1 lanes aligned with slicing offset below)
-    x = work[1, :, pl.ds(0, w1)]
-    ysum = work[2, :, pl.ds(0, w1)]
-    for dx in range(1, 2 * _R + 1):
-        x = x + work[1, :, pl.ds(dx, w1)]
-        ysum = ysum + work[2, :, pl.ds(dx, w1)]
     if has_mbox:
         m = (
             mbox_strips[0, 0:n1, pl.ds(0, w1)]
@@ -183,10 +169,14 @@ def _ext_kernel(
             .astype(jnp.float32)
         )
     else:
-        m = work[0, :, pl.ds(0, w1)]
-        for dx in range(1, 2 * _R + 1):
-            m = m + work[0, :, pl.ds(dx, w1)]
-    # grid1 lane l corresponds to imf lane l + _R (global col -_APRON + l)
+        work[1, 0:n1] = _vtree7(mkf, work.at[0], disp, n1)
+        m = _htree7(work.at[1], work.at[0], disp, n1, w1)
+    work[1, 0:n1] = _vtree7(imf, work.at[0], disp, n1)
+    x = _htree7(work.at[1], work.at[0], disp, n1, w1)
+    work[2] = imf[...] * imf[...]
+    work[1, 0:n1] = _vtree7(work.at[2], work.at[0], disp, n1)
+    ysum = _htree7(work.at[1], work.at[0], disp, n1, w1)
+
     src1 = imf[_R : _R + n1, pl.ds(_R, w1)]
     msk1 = mkf[_R : _R + n1, pl.ds(_R, w1)]
     a = m * ysum - x * x - x * (m - 1.0)
@@ -202,52 +192,103 @@ def _ext_kernel(
     # disp grid: row j / lane l -> global (-_APRON + j, -_APRON + l)
 
     # ---- stage 2: erosion -> survived on the (-_RX..strip+_RX) grid -------
+    # 5-wide tree (parts [4, 1]): W[i] = s4[i] + s1[i+4].  Integer counts,
+    # exact.  bgf grid: valid-mask background indicator on disp rows
+    # 0..n2+3 (mkf row offset 3, lane offset 3).
     n2 = strip + 2 * _RX
     w2 = width + 2 * _RX
-    # bg-nearby count: surv row j (global -_RX+j) scans disp rows
-    # global -_RX+j+dy-_E -> disp row (_APRON-_RX-_E) + j + dy = j + dy
-    for dy in range(2 * _E + 1):
-        # valid-mask background: mkf row for global -_RX+j+dy-_E is
-        # imf row (_IMG-_RX-_E) + j + dy = 3 + j + dy; lane shift likewise
-        mk = mkf[3 + dy : 3 + dy + n2, pl.ds(3, w2 + 2 * _E)]
-        dd = disp[dy : dy + n2, pl.ds(0, w2 + 2 * _E)]
-        contrib = mk * (1.0 - dd)
-        if dy == 0:
-            work[0, 0:n2, pl.ds(0, w2 + 2 * _E)] = contrib
-        else:
-            work[0, 0:n2, pl.ds(0, w2 + 2 * _E)] += contrib
-    bgnear = work[0, 0:n2, pl.ds(0, w2)]
-    for dx in range(1, 2 * _E + 1):
-        bgnear = bgnear + work[0, 0:n2, pl.ds(dx, w2)]
+    wb = w2 + 2 * _E
+    work[1, 0 : n2 + 4, pl.ds(0, wb)] = mkf[3 : 3 + n2 + 4, pl.ds(3, wb)] * (
+        1.0 - disp[0 : n2 + 4, pl.ds(0, wb)]
+    )
+    work[0, 0 : n2 + 2, pl.ds(0, wb)] = (
+        work[1, 0 : n2 + 2, pl.ds(0, wb)] + work[1, 1 : n2 + 3, pl.ds(0, wb)]
+    )
+    surv[0:n2, pl.ds(0, wb)] = (
+        work[0, 0:n2, pl.ds(0, wb)] + work[0, 2 : n2 + 2, pl.ds(0, wb)]
+    )
+    work[0, 0:n2, pl.ds(0, wb)] = (
+        surv[0:n2, pl.ds(0, wb)] + work[1, 4 : n2 + 4, pl.ds(0, wb)]
+    )
+    work[1, 0:n2, pl.ds(0, w2 + 2)] = (
+        work[0, 0:n2, pl.ds(0, w2 + 2)] + work[0, 0:n2, pl.ds(1, w2 + 2)]
+    )
+    surv[0:n2, pl.ds(0, w2)] = (
+        work[1, 0:n2, pl.ds(0, w2)] + work[1, 0:n2, pl.ds(2, w2)]
+    )
+    bgnear = surv[0:n2, pl.ds(0, w2)] + work[0, 0:n2, pl.ds(4, w2)]
     # centre: disp row (_APRON-_RX) + j = 2 + j, lane 2 + l
     centre1 = disp[_E : _E + n2, pl.ds(_E, w2)]
     surv[:, pl.ds(0, w2)] = ((centre1 > 0) & (bgnear == 0)).astype(jnp.float32)
     # surv grid: row j / lane l -> global (-_RX + j, -_RX + l)
 
     # ---- stage 3: second pass on the output grid ---------------------------
-    # bg indicator and bg intensity on the surv grid: imf row for global
-    # -_RX+j is (_IMG-_RX) + j = 5 + j; lane 5 + l
+    # 11-wide tree (parts [8, 2, 1]): W[i] = (s8[i] + s2[i+8]) + s1[i+10]
+    # with s8 inlined as s4[i] + s4[i+4] (same association, no extra
+    # scratch).  Both grids are integer-valued (counts; intensity sums
+    # <= 121 * 65535 < 2^23), exact.  cn/cx: bg indicator and bg intensity
+    # on the surv grid (imf/mkf row offset 5, lane offset 5).
     work[1, 0:n2, pl.ds(0, w2)] = mkf[5 : 5 + n2, pl.ds(5, w2)] * (
         1.0 - surv[:, pl.ds(0, w2)]
     )
     work[2, 0:n2, pl.ds(0, w2)] = (
         work[1, 0:n2, pl.ds(0, w2)] * imf[5 : 5 + n2, pl.ds(5, w2)]
     )
-    # vertical: output row j uses surv rows j+dy (dy 0..10)
-    for dy in range(2 * _RX + 1):
-        cn = work[1, dy : dy + strip, pl.ds(0, w2)]
-        cx = work[2, dy : dy + strip, pl.ds(0, w2)]
-        if dy == 0:
-            work[0, 0:strip, pl.ds(0, w2)] = cn
-            disp[0:strip, pl.ds(0, w2)] = cx  # reuse disp as scratch
-        else:
-            work[0, 0:strip, pl.ds(0, w2)] += cn
-            disp[0:strip, pl.ds(0, w2)] += cx
-    nbg = work[0, 0:strip, pl.ds(0, width)]
-    xbg = disp[0:strip, pl.ds(0, width)]
-    for dx in range(1, 2 * _RX + 1):
-        nbg = nbg + work[0, 0:strip, pl.ds(dx, width)]
-        xbg = xbg + disp[0:strip, pl.ds(dx, width)]
+    # cn vertical: s2 -> work[0], s4 -> disp, result -> disp rows 0..strip-1
+    work[0, 0 : n2 - 1, pl.ds(0, w2)] = (
+        work[1, 0 : n2 - 1, pl.ds(0, w2)] + work[1, 1:n2, pl.ds(0, w2)]
+    )
+    disp[0 : strip + 4, pl.ds(0, w2)] = (
+        work[0, 0 : strip + 4, pl.ds(0, w2)]
+        + work[0, 2 : strip + 6, pl.ds(0, w2)]
+    )
+    disp[0:strip, pl.ds(0, w2)] = (
+        (disp[0:strip, pl.ds(0, w2)] + disp[4 : strip + 4, pl.ds(0, w2)])
+        + work[0, 8 : strip + 8, pl.ds(0, w2)]
+    ) + work[1, 10 : strip + 10, pl.ds(0, w2)]
+    # cx vertical: s2 -> work[0], s4 -> work[1], result -> work[2]
+    work[0, 0 : n2 - 1, pl.ds(0, w2)] = (
+        work[2, 0 : n2 - 1, pl.ds(0, w2)] + work[2, 1:n2, pl.ds(0, w2)]
+    )
+    work[1, 0 : strip + 4, pl.ds(0, w2)] = (
+        work[0, 0 : strip + 4, pl.ds(0, w2)]
+        + work[0, 2 : strip + 6, pl.ds(0, w2)]
+    )
+    work[2, 0:strip, pl.ds(0, w2)] = (
+        (work[1, 0:strip, pl.ds(0, w2)] + work[1, 4 : strip + 4, pl.ds(0, w2)])
+        + work[0, 8 : strip + 8, pl.ds(0, w2)]
+    ) + work[2, 10 : strip + 10, pl.ds(0, w2)]
+    # cn horizontal
+    work[0, 0:strip, pl.ds(0, width + 8)] = (
+        disp[0:strip, pl.ds(0, width + 8)] + disp[0:strip, pl.ds(1, width + 8)]
+    )
+    work[1, 0:strip, pl.ds(0, width + 4)] = (
+        work[0, 0:strip, pl.ds(0, width + 4)]
+        + work[0, 0:strip, pl.ds(2, width + 4)]
+    )
+    nbg = (
+        (
+            work[1, 0:strip, pl.ds(0, width)]
+            + work[1, 0:strip, pl.ds(4, width)]
+        )
+        + work[0, 0:strip, pl.ds(8, width)]
+    ) + disp[0:strip, pl.ds(10, width)]
+    # cx horizontal
+    work[0, 0:strip, pl.ds(0, width + 8)] = (
+        work[2, 0:strip, pl.ds(0, width + 8)]
+        + work[2, 0:strip, pl.ds(1, width + 8)]
+    )
+    work[1, 0:strip, pl.ds(0, width + 4)] = (
+        work[0, 0:strip, pl.ds(0, width + 4)]
+        + work[0, 0:strip, pl.ds(2, width + 4)]
+    )
+    xbg = (
+        (
+            work[1, 0:strip, pl.ds(0, width)]
+            + work[1, 0:strip, pl.ds(4, width)]
+        )
+        + work[0, 0:strip, pl.ds(8, width)]
+    ) + work[2, 0:strip, pl.ds(10, width)]
 
     src_c = imf[_IMG : _IMG + strip, pl.ds(_IMG, width)]
     mask_c = mkf[_IMG : _IMG + strip, pl.ds(_IMG, width)]
@@ -362,7 +403,7 @@ def dispersion_extended_fused(
             pltpu.VMEM((strip + 2 * _IMG, wp), jnp.float32),
             pltpu.VMEM((strip + 2 * _APRON, wp), jnp.float32),
             pltpu.VMEM((strip + 2 * _RX, wp), jnp.float32),
-            pltpu.VMEM((3, strip + 2 * _APRON, wp), jnp.float32),
+            pltpu.VMEM((3, strip + 2 * _IMG, wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -523,7 +564,7 @@ def dispersion_extended_packed_raw(
             pltpu.VMEM((strip + 2 * _IMG, wp), jnp.float32),
             pltpu.VMEM((strip + 2 * _APRON, wp), jnp.float32),
             pltpu.VMEM((strip + 2 * _RX, wp), jnp.float32),
-            pltpu.VMEM((3, strip + 2 * _APRON, wp), jnp.float32),
+            pltpu.VMEM((3, strip + 2 * _IMG, wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(

@@ -63,6 +63,137 @@ def mask_box_count(mask: jnp.ndarray, radius: int = KERNEL_RADIUS) -> jnp.ndarra
     return box_sum((mask != 0).astype(jnp.int32), radius).astype(jnp.uint16)
 
 
+def _vtree7(src, s2, s4, n, src_row0=0):
+    """7-wide vertical window sums in the canonical subsum-tree order
+    (ops/dispersion._tree_window_axis): W[i] = (s4[i] + s2[i+4]) + s1[i+6]
+    with s2[i] = s1[i] + s1[i+1], s4[i] = s2[i] + s2[i+2].
+
+    Reads ``src`` rows src_row0..src_row0+n+5, writes scratch ``s2`` rows
+    0..n+3 and ``s4`` rows 0..n-1 (all lanes), returns the SSA result for
+    rows 0..n-1.  This association order is the float-parity contract with
+    the jnp oracle — do not "simplify" it.
+    """
+    o = src_row0
+    s2[0 : n + 4] = src[o : o + n + 4] + src[o + 1 : o + n + 5]
+    s4[0:n] = s2[0:n] + s2[2 : n + 2]
+    return (s4[0:n] + s2[4 : n + 4]) + src[o + 6 : o + n + 6]
+
+
+def _htree7(v, s2, s4, n_rows, width, lane0=0):
+    """7-wide horizontal window sums, canonical tree order (see _vtree7).
+
+    ``v`` holds vertical sums on rows 0..n_rows-1 with valid lanes
+    lane0..lane0+width+5; scratch ``s2``/``s4`` are written on lanes
+    0..width+3 / 0..width-1; returns the SSA (n_rows, width) result.
+    """
+    s2[0:n_rows, pl.ds(0, width + 4)] = (
+        v[0:n_rows, pl.ds(lane0, width + 4)]
+        + v[0:n_rows, pl.ds(lane0 + 1, width + 4)]
+    )
+    s4[0:n_rows, pl.ds(0, width)] = (
+        s2[0:n_rows, pl.ds(0, width)] + s2[0:n_rows, pl.ds(2, width)]
+    )
+    return (
+        s4[0:n_rows, pl.ds(0, width)] + s2[0:n_rows, pl.ds(4, width)]
+    ) + v[0:n_rows, pl.ds(lane0 + 6, width)]
+
+
+def _dispersion_predicate(
+    img_v,
+    slot,
+    mask_strips,
+    mbox_strips,
+    imf,
+    mkf,
+    imsq,
+    vsum,
+    *,
+    strip: int,
+    radius: int,
+    width: int,
+    halo: int,
+    trusted_max: float,
+    min_count: int,
+    nsig_b: float,
+    nsig_s: float,
+    signal_test: bool,
+    has_mbox: bool,
+):
+    """Shared strip-level dispersion predicate for the dense and packed
+    kernels: f32 conversion, canonical-tree window sums, boxed-form tests.
+
+    All window sums use the shared-subsum tree (:func:`_vtree7` /
+    :func:`_htree7`) — the same float addition order as the jnp oracle's
+    box_sum, so f32 kernel <-> oracle parity is bit-exact.  The m and x
+    grids are integer-valued (every partial sum < 2^24, exact at any
+    order); the y = window(I^2) grid rounds, and the tree order is the
+    contract.
+    """
+    r = radius
+    assert r == 3, "7-wide tree specialisation"
+    off = halo - r
+    if has_mbox:
+        # mask box counts arrive precomputed, so the f32 mask grid is never
+        # summed — mask the intensities with a select on the raw u8 strip
+        # instead of materialising mkf (saves two convert passes + a
+        # multiply over the (strip+2r, wp) grid every strip).
+        imf[...] = jnp.where(
+            mask_strips[0, off : off + strip + 2 * r] != 0,
+            img_v[slot, off : off + strip + 2 * r]
+            .astype(jnp.int32)
+            .astype(jnp.float32),
+            0.0,
+        )
+        m = (
+            mbox_strips[0, :, pl.ds(0, width)]
+            .astype(jnp.int32)
+            .astype(jnp.float32)
+        )
+    else:
+        imf[...] = (
+            img_v[slot, off : off + strip + 2 * r]
+            .astype(jnp.int32)
+            .astype(jnp.float32)
+        )
+        mkf[...] = (
+            mask_strips[0, off : off + strip + 2 * r]
+            .astype(jnp.int32)
+            .astype(jnp.float32)
+        )
+        imf[...] *= mkf[...]
+        # m grid (exact integers): tree sums with imsq as the s2 temp —
+        # the I^2 grid is not materialised yet
+        vsum[0] = _vtree7(mkf, imsq, vsum.at[2], strip)
+        m = _htree7(vsum.at[0], imsq, vsum.at[2], strip, width)
+
+    # x = window(I): integer-valued f32 (<= 49 * 65535 < 2^24), exact
+    vsum[0] = _vtree7(imf, mkf, vsum.at[2], strip)
+    x = _htree7(vsum.at[0], mkf, vsum.at[2], strip, width)
+
+    # y = window(I^2): rounding-sensitive; materialise I^2 once, then the
+    # same canonical tree (two fewer full-grid passes than squaring per
+    # shifted term, and ~10 fewer than sequential accumulation)
+    imsq[...] = imf[...] * imf[...]
+    vsum[1] = _vtree7(imsq, mkf, vsum.at[2], strip)
+    y = _htree7(vsum.at[1], mkf, vsum.at[2], strip, width)
+
+    # masked intensity == raw intensity wherever the predicate can pass
+    # (mask_c != 0 is required), so reuse the f32 copy
+    src = imf[r : r + strip, r : r + width]
+    mask_c = mask_strips[0, halo : halo + strip, r : r + width]
+
+    # boxed-form predicates (see ops/reference.py for the derivation)
+    a = m * y - x * x - x * (m - 1.0)
+    c = x * nsig_b * jnp.sqrt(jnp.maximum(2.0 * (m - 1.0), 0.0))
+    ok = (mask_c != 0) & (src <= trusted_max) & (m >= min_count) & (m > 1)
+    ok &= a > c
+    if signal_test:
+        sig_lhs = m * src - x
+        sig_rhs = nsig_s * jnp.sqrt(x * m)
+        ok &= sig_lhs > sig_rhs
+    return ok
+
+
 def _dispersion_kernel(
     *args,  # inputs, [strong_ref,] rowcum_ref, scratch (see unpack below)
     strip: int,
@@ -80,17 +211,17 @@ def _dispersion_kernel(
     # wp) blocked; with has_mbox also mbox_strips (1, strip, wp) u8 — the
     # frame-invariant mask box count precomputed once per collection.
     # scratch: img_v (2, strip+2*halo, wp) double-buffered image strips;
-    # imf/mkf/imsq (strip+2r, wp) f32 masked I / mask / I^2; vsum/hsum
-    # (3, strip, wp) f32 vertical / horizontal box sums; sems DMA semaphores
+    # imf/mkf/imsq (strip+2r, wp) f32 masked I / tree temp / I^2; vsum
+    # (3, strip, wp) f32 vertical sums + tree temp; sems DMA semaphores
     if has_mbox:
         img_hbm, mask_strips, mbox_strips, *refs = args
     else:
         img_hbm, mask_strips, *refs = args
         mbox_strips = None
     if emit_strong:
-        strong_ref, rowcum_ref, img_v, imf, mkf, imsq, vsum, hsum, sems = refs
+        strong_ref, rowcum_ref, img_v, imf, mkf, imsq, vsum, sems = refs
     else:
-        rowcum_ref, img_v, imf, mkf, imsq, vsum, hsum, sems = refs
+        rowcum_ref, img_v, imf, mkf, imsq, vsum, sems = refs
     batch_idx = pl.program_id(0)
     i = pl.program_id(1)
     n_strips = pl.num_programs(1)
@@ -130,67 +261,26 @@ def _dispersion_kernel(
         sems.at[slot],
     ).wait()
 
-    # Convert the strip to f32 once (Mosaic lacks sub-32-bit -> f32 casts;
-    # widen to i32 first), then the sliding sums are pure adds of slices.
-    off = halo - r
-    imf[...] = (
-        img_v[slot, off : off + strip + 2 * r].astype(jnp.int32).astype(jnp.float32)
+    ok = _dispersion_predicate(
+        img_v,
+        slot,
+        mask_strips,
+        mbox_strips,
+        imf,
+        mkf,
+        imsq,
+        vsum,
+        strip=strip,
+        radius=r,
+        width=width,
+        halo=halo,
+        trusted_max=trusted_max,
+        min_count=min_count,
+        nsig_b=nsig_b,
+        nsig_s=nsig_s,
+        signal_test=signal_test,
+        has_mbox=has_mbox,
     )
-    mkf[...] = (
-        mask_strips[0, off : off + strip + 2 * r]
-        .astype(jnp.int32)
-        .astype(jnp.float32)
-    )
-    imf[...] *= mkf[...]  # masked intensities; mask is 0/1
-    imsq[...] = imf[...] * imf[...]
-
-    # Vertical sliding sums, accumulated through scratch refs so only O(1)
-    # temporaries are live at once (Mosaic stack-allocates all SSA values).
-    # When the frame-invariant mask box count arrives precomputed
-    # (has_mbox), only the I and I^2 grids are summed here.
-    grids = (imf, imsq) if has_mbox else (mkf, imf, imsq)
-    for k, src in enumerate(grids):
-        for dy in range(2 * r + 1):
-            if dy == 0:
-                vsum[k] = src[dy : dy + strip]
-            else:
-                vsum[k] += src[dy : dy + strip]
-
-    # Horizontal sliding sums over the vertical sums.
-    for k in range(len(grids)):
-        for dx in range(2 * r + 1):
-            contrib = vsum[k, :, pl.ds(dx, width)]
-            if dx == 0:
-                hsum[k, :, pl.ds(0, width)] = contrib
-            else:
-                hsum[k, :, pl.ds(0, width)] += contrib
-
-    if has_mbox:
-        m = (
-            mbox_strips[0, :, pl.ds(0, width)]
-            .astype(jnp.int32)
-            .astype(jnp.float32)
-        )
-        x = hsum[0, :, pl.ds(0, width)]
-        y = hsum[1, :, pl.ds(0, width)]
-    else:
-        m = hsum[0, :, pl.ds(0, width)]
-        x = hsum[1, :, pl.ds(0, width)]
-        y = hsum[2, :, pl.ds(0, width)]
-    # masked intensity == raw intensity wherever the predicate can pass
-    # (mask_c != 0 is required), so reuse the f32 copy
-    src = imf[r : r + strip, r : r + width]
-    mask_c = mask_strips[0, halo : halo + strip, r : r + width]
-
-    # boxed-form predicates (see ops/reference.py for the derivation)
-    a = m * y - x * x - x * (m - 1.0)
-    c = x * nsig_b * jnp.sqrt(jnp.maximum(2.0 * (m - 1.0), 0.0))
-    ok = (mask_c != 0) & (src <= trusted_max) & (m >= min_count) & (m > 1)
-    ok &= a > c
-    if signal_test:
-        sig_lhs = m * src - x
-        sig_rhs = nsig_s * jnp.sqrt(x * m)
-        ok &= sig_lhs > sig_rhs
 
     if emit_strong:
         # i32 store: Mosaic's bool->u8 lowering routes through an i32->u8
@@ -240,28 +330,28 @@ def _pack_pcw(strong8: jnp.ndarray, nwl: int) -> jnp.ndarray:
         sb = jnp.pad(sb, ((0, 0), (0, 0), (0, need - wp)))
     elif wp > need:
         sb = sb[..., :need]
-    # One bf16 matmul against a byte-group weight matrix: column blocks
-    # [byte0..byte3 | count] per 32-lane word, every partial sum <= 255 so
-    # the pack is exact at any accumulation precision.  (XLA's matmul
-    # lowering — unlike the Mosaic in-kernel dot, see above — is correct.)
-    m = np.zeros((need, 5 * nwl), np.float32)
+    # One bf16 matmul against a 16-bit-half weight matrix: column blocks
+    # [lo16 | hi16] per 32-lane word.  The power-of-two weights (2^0..2^15)
+    # are exact in bf16 and every partial sum <= 65535 < 2^24, so the MXU's
+    # f32 accumulation is exact.  Two columns per word instead of the
+    # previous five byte-group+count columns: 2.5x less MXU work; the
+    # per-word strong count comes from a popcount of the assembled word
+    # instead of a dedicated matmul column.
+    m = np.zeros((need, 2 * nwl), np.float32)
     l = np.arange(need)
     j, t = l // 32, l % 32
-    for q in range(4):
-        m[l, q * nwl + j] = np.where((t // 8) == q, 2.0 ** (t % 8), 0.0)
-    m[l, 4 * nwl + j] = 1.0
+    m[l, j] = np.where(t < 16, 2.0**t, 0.0)
+    m[l, nwl + j] = np.where(t >= 16, 2.0 ** (t - 16), 0.0)
     prod = jax.lax.dot_general(
         sb.reshape(b * hp, need).astype(jnp.bfloat16),
         jnp.asarray(m, dtype=jnp.bfloat16),
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).reshape(b, hp, 5 * nwl)
-    b0 = prod[..., :nwl].astype(jnp.int32)
-    b1 = prod[..., nwl : 2 * nwl].astype(jnp.int32)
-    b2 = prod[..., 2 * nwl : 3 * nwl].astype(jnp.int32)
-    b3 = prod[..., 3 * nwl : 4 * nwl].astype(jnp.int32)
-    w32 = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
-    pc = jnp.cumsum(prod[..., 4 * nwl :].astype(jnp.int32), axis=-1)
+    ).reshape(b, hp, 2 * nwl)
+    lo = prod[..., :nwl].astype(jnp.int32)
+    hi = prod[..., nwl:].astype(jnp.int32)
+    w32 = lo | (hi << 16)
+    pc = jnp.cumsum(jax.lax.population_count(w32), axis=-1)
     return jnp.concatenate([pc, w32], axis=-1)
 
 
@@ -340,105 +430,26 @@ def _dispersion_packed_kernel(
         sems.at[slot],
     ).wait()
 
-    off = halo - r
-    if has_mbox:
-        # mask box counts arrive precomputed, so the f32 mask grid is never
-        # summed — mask the intensities with a select on the raw u8 strip
-        # instead of materialising mkf (saves two convert passes + a
-        # multiply over the (strip+2r, wp) grid every strip).
-        imf[...] = jnp.where(
-            mask_strips[0, off : off + strip + 2 * r] != 0,
-            img_v[slot, off : off + strip + 2 * r]
-            .astype(jnp.int32)
-            .astype(jnp.float32),
-            0.0,
-        )
-    else:
-        imf[...] = (
-            img_v[slot, off : off + strip + 2 * r]
-            .astype(jnp.int32)
-            .astype(jnp.float32)
-        )
-        mkf[...] = (
-            mask_strips[0, off : off + strip + 2 * r]
-            .astype(jnp.int32)
-            .astype(jnp.float32)
-        )
-        imf[...] *= mkf[...]
-    if not has_mbox:
-        imsq[...] = imf[...] * imf[...]
-
-    # Sliding-window sums as ONE left-associative expression per grid and
-    # direction: identical fp addition order to the unrolled ref-accumulate
-    # form (bit-parity with the f32 oracle preserved) but without the
-    # load/store round-trip through scratch on every term.
-    def window_rows(src):
-        acc = src[0:strip]
-        for dy in range(1, 2 * r + 1):
-            acc = acc + src[dy : dy + strip]
-        return acc
-
-    def window_lanes(k):
-        acc = vsum[k, :, pl.ds(0, width)]
-        for dx in range(1, 2 * r + 1):
-            acc = acc + vsum[k, :, pl.ds(dx, width)]
-        return acc
-
-    if has_mbox:
-        # x = window(imf) sums INTEGER-valued f32 (<= 49 * 65535 < 2^24):
-        # every partial sum is exact, so a shared-subsum tree gives
-        # bit-identical results with ~4 adds/element instead of 6 per
-        # direction.  y = window(imsq) is rounding-sensitive and keeps the
-        # reference's left-associative order.  mkf / vsum[2] are free as
-        # temporaries here (the mask grid is not summed when mbox arrives).
-        assert r == 3, "7-wide tree specialisation"
-        n2 = strip + 2 * r - 1
-        mkf[0:n2] = imf[0:n2] + imf[1 : n2 + 1]  # s2[i] = src[i] + src[i+1]
-        vsum[2] = mkf[0:strip] + mkf[2 : strip + 2]  # s4[i] = s2[i] + s2[i+2]
-        vsum[0] = (vsum[2] + mkf[4 : 4 + strip]) + imf[6 : 6 + strip]
-        # y's vertical sums square on the fly (each term is the same f32
-        # value the materialised imsq grid held, in the same left-assoc add
-        # order — bit-identical, two fewer full-grid passes)
-        acc = imf[0:strip] * imf[0:strip]
-        for dy in range(1, 2 * r + 1):
-            t = imf[dy : dy + strip]
-            acc = acc + t * t
-        vsum[1] = acc
-
-        h2n = width + 2 * r - 1
-        mkf[0:strip, pl.ds(0, h2n)] = (
-            vsum[0, :, pl.ds(0, h2n)] + vsum[0, :, pl.ds(1, h2n)]
-        )
-        vsum[2, :, pl.ds(0, width)] = (
-            mkf[0:strip, pl.ds(0, width)] + mkf[0:strip, pl.ds(2, width)]
-        )
-        x = (
-            vsum[2, :, pl.ds(0, width)] + mkf[0:strip, pl.ds(4, width)]
-        ) + vsum[0, :, pl.ds(6, width)]
-
-        m = (
-            mbox_strips[0, :, pl.ds(0, width)]
-            .astype(jnp.int32)
-            .astype(jnp.float32)
-        )
-        y = window_lanes(1)
-    else:
-        for k, src in enumerate((mkf, imf, imsq)):
-            vsum[k] = window_rows(src)
-        m = window_lanes(0)
-        x = window_lanes(1)
-        y = window_lanes(2)
-    src = imf[r : r + strip, r : r + width]
-    mask_c = mask_strips[0, halo : halo + strip, r : r + width]
-
-    a = m * y - x * x - x * (m - 1.0)
-    c = x * nsig_b * jnp.sqrt(jnp.maximum(2.0 * (m - 1.0), 0.0))
-    ok = (mask_c != 0) & (src <= trusted_max) & (m >= min_count) & (m > 1)
-    ok &= a > c
-    if signal_test:
-        sig_lhs = m * src - x
-        sig_rhs = nsig_s * jnp.sqrt(x * m)
-        ok &= sig_lhs > sig_rhs
+    ok = _dispersion_predicate(
+        img_v,
+        slot,
+        mask_strips,
+        mbox_strips,
+        imf,
+        mkf,
+        imsq,
+        vsum,
+        strip=strip,
+        radius=r,
+        width=width,
+        halo=halo,
+        trusted_max=trusted_max,
+        min_count=min_count,
+        nsig_b=nsig_b,
+        nsig_s=nsig_s,
+        signal_test=signal_test,
+        has_mbox=has_mbox,
+    )
 
     _emit_strong8(ok, strong_ref, strip=strip, width=width, wp=wp)
 
@@ -727,7 +738,6 @@ def dispersion_fused(
             pltpu.VMEM((strip + 2 * r, wp), jnp.float32),
             pltpu.VMEM((strip + 2 * r, wp), jnp.float32),
             pltpu.VMEM((strip + 2 * r, wp), jnp.float32),
-            pltpu.VMEM((3, strip, wp), jnp.float32),
             pltpu.VMEM((3, strip, wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],

@@ -11,7 +11,9 @@ histograms; summation intensities with DIALS variances; integrated.refl out.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+import time
 
 import numpy as np
 
@@ -56,13 +58,30 @@ def run(argv=None) -> int:
     p.add_argument("--min_zeta", type=float, default=0.05)
     p.add_argument("--output", default="integrated.refl")
     p.add_argument("--sample", action="store_true", help="Use generated test data")
+    p.add_argument(
+        "--profile",
+        action="store_true",
+        help="Print a per-stage wall-clock breakdown at the end (the "
+        "spotfinder --profile analogue; reference per-stage CUDA events: "
+        "integrator.cc:925-991)",
+    )
     args = p.parse_args(argv)
+
+    stage_t: dict[str, float] = {}
+    t_last = time.monotonic()
+
+    def mark(stage: str) -> None:
+        nonlocal t_last
+        now = time.monotonic()
+        stage_t[stage] = stage_t.get(stage, 0.0) + (now - t_last)
+        t_last = now
 
     expt = Experiment.load(args.experiment)
     table = ReflectionTable.read(args.reflection)
     if expt.crystal is None:
         print("Error: experiment has no crystal model")
         return 1
+    mark("load")
 
     # sigma estimation (integrator.cc:397-444)
     if args.sigma_b is not None and args.sigma_m is not None:
@@ -102,6 +121,7 @@ def run(argv=None) -> int:
         ids = np.zeros(len(s1), np.int64)
     n = len(s1)
     print(f"Integrating {n} reflections")
+    mark("sigma+predict")
 
     # bounding boxes + coordinate systems + min_zeta skip
     bboxes = extent_mod.compute_kabsch_bounding_boxes(
@@ -161,10 +181,29 @@ def run(argv=None) -> int:
         delta_m=delta_m,
         algorithm=args.algorithm,
     )
+    # shoebox occupancy diagnostic (reference: integrator.cc:76-153,630-634
+    # logs its pass-count histogram at debug level)
+    if args.profile or os.environ.get("LOG_LEVEL", "").lower() in (
+        "debug",
+        "trace",
+    ):
+        hist = kabsch_mod.format_shoebox_fill_histogram(
+            np.where(
+                integrate_sel[:, None], bboxes, np.array([[0, -1, 0, -1, 0, -1]])
+            ),
+            integ.box_w,
+            integ.box_h,
+            integ.max_active,
+        )
+        if hist:
+            print(hist)
+    mark("bbox+setup")
+
     acc = kabsch_mod.Accumulators.zeros(n)
     z0, z1 = expt.scan.image_range
     n_images = min(z1 - z0 + 1, reader.get_number_of_images())
     integ.integrate(reader, range(z0 - 1, z0 - 1 + n_images), acc)
+    mark("kabsch")
 
     fin_mod.check_overflow(acc.bg_count, acc.bg_overflow)
     bg_model = "tukey" if args.background == "constant" else "glm"
@@ -183,6 +222,7 @@ def run(argv=None) -> int:
         bg_mean, bg_wsum, bg_valid = bg_mod.estimate_background(
             acc.bg_hist, acc.bg_overflow, bg_model
         )
+    mark("background")
     result = fin_mod.finalize(
         acc=acc,
         bg_mean=bg_mean,
@@ -241,6 +281,13 @@ def run(argv=None) -> int:
     ).astype(np.uint64)
     out.write(args.output)
     print(f"Saved integrated reflections to {args.output}")
+    mark("finalize+write")
+    if args.profile:
+        total = sum(stage_t.values())
+        print("Stage breakdown:")
+        for stage, dt in stage_t.items():
+            print(f"    {stage:>14s}: {dt * 1000:8.1f} ms")
+        print(f"    {'total':>14s}: {total * 1000:8.1f} ms")
     return 0
 
 

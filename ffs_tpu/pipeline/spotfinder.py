@@ -13,6 +13,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
 import sys
 import time
 from collections import deque
@@ -179,6 +180,29 @@ def run(argv=None, default_pixel_depth: int = 16) -> int:
 
     print(f"Spotfinder version: {__version__}")
     args = _build_parser(__version__).parse_args(argv)
+
+    # Cooperative SIGINT cancellation (reference: spotfinder.cc:43-54,603):
+    # the first Ctrl-C stops image intake so the epilogue (3D merge, sigma
+    # estimates, HDF5 output, totals) still runs; a second Ctrl-C exits
+    # immediately.
+    stop_requested = False
+
+    def _sigint(_signum, _frame):
+        nonlocal stop_requested
+        if stop_requested:
+            print("Second interrupt received; exiting immediately", flush=True)
+            os._exit(130)
+        stop_requested = True
+        print(
+            "Interrupt received; stopping intake (interrupt again to exit "
+            "immediately)",
+            flush=True,
+        )
+
+    try:
+        signal.signal(signal.SIGINT, _sigint)
+    except ValueError:
+        pass  # not the main thread (e.g. called from tests)
 
     if args.list_devices:
         for i, d in enumerate(jax.devices()):
@@ -432,9 +456,14 @@ def run(argv=None, default_pixel_depth: int = 16) -> int:
 
     last_image_received = time.monotonic()
     for image_num in range(num_images):
+        if stop_requested:
+            print("Stopping image intake on interrupt")
+            break
         offset_num = image_num + args.start_index
         wait_start = time.monotonic()
         while not reader.is_image_available(offset_num):
+            if stop_requested:
+                break
             if time.monotonic() - last_image_received > args.timeout:
                 print(f"Timeout waiting for image {offset_num}")
                 break

@@ -142,7 +142,9 @@ def predict_rotation(
         lab = panel.get_lab_coord(xmm, ymm)
         s1_dir = lab / np.linalg.norm(lab, axis=1, keepdims=True)
         s0 = beam.s0
-        d = 1.0 / np.linalg.norm(s1_dir / beam.wavelength - (-s0), axis=1)
+        # d = 1/|rlp| at the corners, rlp = s1 - s0 (s0 already points
+        # source -> sample with |s0| = 1/lambda)
+        d = 1.0 / np.linalg.norm(s1_dir / beam.wavelength - s0, axis=1)
         dmin = float(d.min())
 
     m2 = gonio.rotation_axis / np.linalg.norm(gonio.rotation_axis)
@@ -277,16 +279,26 @@ def _predict_rotation_device(
     n_images: int,
     img_block: int = 8,
     cap_per_image: int = 4096,
+    hkl_chunk: int = 1 << 17,
 ) -> PredictedReflections:
     """Device path: ONE dispatch per image block, not per (image, chunk).
 
-    The whole hkl grid is ray-tested for ``img_block`` images in a single
-    jitted program (vmap over the image axis), and the surviving
-    (image, hkl) pairs are compacted ON DEVICE via a fixed-capacity
-    ``jnp.nonzero`` before the single per-block host transfer — at 3600
-    images this is ~450 dispatches instead of ~10^4 (r1 review weak #8).
-    Capacity overflow is detected from the exact survivor count and the
-    block is re-run at doubled capacity.
+    The hkl grid is ray-tested for ``img_block`` images in a single jitted
+    program (vmap over the image axis), and the surviving (image, hkl)
+    pairs are compacted ON DEVICE via a fixed-capacity ``jnp.nonzero``
+    before the single per-block host transfer — at 3600 images this is
+    ~450 dispatches instead of ~10^4 (r1 review weak #8).  Capacity
+    overflow is detected from the exact survivor count and the block is
+    re-run at doubled capacity.
+
+    Inside each block the hkl axis runs through a sequential
+    ``lax.map`` over ``hkl_chunk``-sized slices with per-chunk
+    compaction: a real beamline geometry (e.g. the thaumatin golden,
+    2.5M hkls at dmin 1.17 A) would otherwise materialise
+    img_block x n_hkl f64 intermediates — gigabytes — where the chunked
+    form peaks at ~hkl_chunk x img_block (zero-padded hkl rows are
+    rejected by the Ewald entering/exiting test, so no extra mask is
+    threaded through).
     """
     import jax
     import jax.numpy as jnp
@@ -337,35 +349,71 @@ def _predict_rotation_device(
         A2f[i] = rs2 @ rot(phis[i] + d_osc) @ r_fixed @ Ai2
         live[i] = True
 
+    img_block = max(1, min(img_block, n_images))
+    nblk = (n_images + img_block - 1) // img_block
+    n_pad_img = nblk * img_block
+    A1f, A2f = A1f[:n_pad_img], A2f[:n_pad_img]
+    s01, s02 = s01[:n_pad_img], s02[:n_pad_img]
+    phis, live = phis[:n_pad_img], live[:n_pad_img]
+
     n_hkl = len(hkl)
-    hkl_d = jnp.asarray(hkl, dtype=jnp.float64)
+    ch = min(hkl_chunk, n_hkl)
+    n_chunks = (n_hkl + ch - 1) // ch
+    hkl_pad = np.zeros((n_chunks * ch, 3), hkl.dtype)
+    hkl_pad[:n_hkl] = hkl
+    hkl_chunks = jnp.asarray(
+        hkl_pad.reshape(n_chunks, ch, 3), dtype=jnp.float64
+    )
 
     def make_block_fn(cap):
         @jax.jit
         def block(a1b, a2b, s01b, s02b, phib, liveb):
-            def one(a1, a2, s01_, s02_, pb):
-                return _rays_for_image(
-                    jnp, hkl_d, a1, a2, s01_, s02_, dmin, pb, d_osc
+            def per_chunk(hc):
+                def one(a1, a2, s01_, s02_, pb):
+                    return _rays_for_image(
+                        jnp, hc, a1, a2, s01_, s02_, dmin, pb, d_osc
+                    )
+
+                ok, s1, ang, ent = jax.vmap(one)(a1b, a2b, s01b, s02b, phib)
+                ok = ok & liveb[:, None]
+                okf = ok.reshape(-1)
+                total = okf.shape[0]
+                cnt = jnp.sum(okf.astype(jnp.int32))
+                (idx,) = jnp.nonzero(okf, size=cap, fill_value=total)
+                cvalid = idx < total
+                idxc = jnp.minimum(idx, total - 1)
+                return (
+                    (idxc // ch).astype(jnp.int32),  # image within block
+                    (idxc % ch).astype(jnp.int32),  # hkl within chunk
+                    s1.reshape(-1, 3)[idxc],
+                    ang.reshape(-1)[idxc],
+                    ent.reshape(-1)[idxc],
+                    cvalid,
+                    cnt,
                 )
 
-            ok, s1, ang, ent = jax.vmap(one)(a1b, a2b, s01b, s02b, phib)
-            ok = ok & liveb[:, None]
-            okf = ok.reshape(-1)
-            total = okf.shape[0]
-            count = jnp.sum(okf.astype(jnp.int32))
-            (idx,) = jnp.nonzero(okf, size=cap, fill_value=total)
-            valid = idx < total
-            idxc = jnp.minimum(idx, total - 1)
-            img_i = (idxc // n_hkl).astype(jnp.int32)
-            hkl_i = (idxc % n_hkl).astype(jnp.int32)
+            c_img, c_hkl, c_s1, c_ang, c_ent, c_valid, c_cnt = jax.lax.map(
+                per_chunk, hkl_chunks
+            )
+            # merge per-chunk survivors into one cap-sized block result
+            chunk_ids = jnp.repeat(jnp.arange(n_chunks, dtype=jnp.int32), cap)
+            vflat = c_valid.reshape(-1)
+            total = vflat.shape[0]
+            (sel,) = jnp.nonzero(vflat, size=cap, fill_value=total)
+            valid = sel < total
+            selc = jnp.minimum(sel, total - 1)
+            img_i = c_img.reshape(-1)[selc]
+            hkl_i = chunk_ids[selc] * ch + c_hkl.reshape(-1)[selc]
             return (
                 img_i,
                 hkl_i,
-                s1.reshape(-1, 3)[idxc],
-                ang.reshape(-1)[idxc],
-                ent.reshape(-1)[idxc],
+                c_s1.reshape(-1, 3)[selc],
+                c_ang.reshape(-1)[selc],
+                c_ent.reshape(-1)[selc],
                 valid,
-                count,
+                # total survivors; also covers per-chunk compaction
+                # overflow since every cnt_j <= the sum
+                jnp.sum(c_cnt),
             )
 
         return block
@@ -404,7 +452,13 @@ def _predict_rotation_device(
 
         xmm, ymm = panel.get_ray_intersection(s1c)
         x_px, y_px = panel.mm_to_px(xmm, ymm)
-        on_panel = (x_px >= 0) & (x_px < w) & (y_px >= 0) & (y_px < hh)
+        # on-panel bounds in MM, matching dx2 Panel::get_ray_intersection's
+        # optional (the parallax-corrected px coords can land fractionally
+        # outside [0, size_px) for a ray inside the physical panel —
+        # reference: predict.cc:106 drops only rays with no mm intersection)
+        wmm = w * panel.pixel_size[0]
+        hmm = hh * panel.pixel_size[1]
+        on_panel = (xmm >= 0) & (xmm < wmm) & (ymm >= 0) & (ymm < hmm)
         if not on_panel.any():
             continue
         sel = np.nonzero(on_panel)[0]

@@ -297,10 +297,17 @@ class SpotfindProcessor:
         ):
             _, img_dev, rowcum, count = device_result
             n = int(count)
-            tier = next(
-                (t for t in self._capacity_tiers if n <= t),
-                self._capacity_tiers[-1],
-            )
+            tier = next((t for t in self._capacity_tiers if n <= t), None)
+            if tier is None:
+                # past the top tier: hard-fail like the reference's
+                # saturation conditions (integrator.cc:1073-1096 analogue;
+                # the i32 sort-key guard already fails loudly) instead of
+                # silently truncating the spot list
+                raise RuntimeError(
+                    f"frame {image_number}: {n} strong pixels exceed the "
+                    f"maximum capacity {self._capacity_tiers[-1]}; raise "
+                    "SpotfindConfig.max_strong_pixels"
+                )
             with jax.enable_x64(False):
                 pixels = self._compact_step(img_dev, rowcum, max_pixels=tier)
             return self._collect_host(
@@ -316,17 +323,15 @@ class SpotfindProcessor:
         if n > len(pixels.linear_index):
             # capacity overflow: the exact total is known (the kernel's
             # prefix counts are unbounded) but the compact arrays truncated.
-            # Surface it loudly; callers can re-run at higher capacity.
-            import warnings
-
-            warnings.warn(
+            # The one-shot device path is already sized at the configured
+            # maximum, so this is a hard failure (reference analogue: the
+            # integrator's histogram-saturation error, integrator.cc:
+            # 1073-1096), not a warning a service log could swallow.
+            raise RuntimeError(
                 f"frame {image_number}: {n} strong pixels exceed the "
-                f"configured capacity {len(pixels.linear_index)}; spot "
-                "results truncated — raise SpotfindConfig.max_strong_pixels",
-                RuntimeWarning,
-                stacklevel=2,
+                f"configured capacity {len(pixels.linear_index)}; raise "
+                "SpotfindConfig.max_strong_pixels"
             )
-            n = len(pixels.linear_index)
         frame_pixels = cc3d.FramePixels(
             linear_index=np.asarray(pixels.linear_index[:n]),
             intensity=np.asarray(pixels.intensity[:n]),
@@ -362,16 +367,13 @@ class SpotfindProcessor:
         cfg = self.config
         n = int(pixels.count)
         if n > len(pixels.linear_index):
-            import warnings
-
-            warnings.warn(
+            # see collect(): past-capacity frames hard-fail rather than
+            # silently truncating the spot list
+            raise RuntimeError(
                 f"frame {image_number}: {n} strong pixels exceed the "
-                f"configured capacity {len(pixels.linear_index)}; spot "
-                "results truncated — raise SpotfindConfig.max_strong_pixels",
-                RuntimeWarning,
-                stacklevel=2,
+                f"configured capacity {len(pixels.linear_index)}; raise "
+                "SpotfindConfig.max_strong_pixels"
             )
-            n = len(pixels.linear_index)
         lin = np.asarray(pixels.linear_index[:n])
         inten = np.asarray(pixels.intensity[:n])
         table = cc2d(lin, inten, self.width)

@@ -70,6 +70,7 @@ def test_integrator_cli(tmp_path, monkeypatch):
             "-i", "images.nxs",
             "--sigma_b", str(np.deg2rad(0.08)),
             "--sigma_m", str(np.deg2rad(0.4)),
+            "--profile",
         ],
         capture_output=True,
         env=env,
@@ -77,6 +78,12 @@ def test_integrator_cli(tmp_path, monkeypatch):
     assert r.returncode == 0, r.stdout.decode() + r.stderr.decode()
     log = r.stdout.decode()
     assert "Summation integration complete" in log
+    # observability: occupancy histogram + per-stage breakdown (--profile)
+    assert "Shoebox fill over" in log
+    assert "window utilisation" in log
+    assert "Stage breakdown:" in log
+    for stage in ("sigma+predict", "kabsch", "background", "finalize+write"):
+        assert stage in log
 
     out = ReflectionTable.read("integrated.refl")
     assert len(out) == len(P.hkl)
@@ -95,6 +102,24 @@ def test_integrator_cli(tmp_path, monkeypatch):
     assert valid.mean() > 0.9
     ratio = np.asarray(out["intensity.sum.value"])[valid] / reader.injected[valid]
     assert np.median(ratio) > 0.7
+
+
+def test_shoebox_fill_histogram_format():
+    from ffs_tpu.integration.kabsch import format_shoebox_fill_histogram
+
+    # two reflections: a full 8x8 box 3 images deep, a 2x2 box 1 deep
+    bboxes = np.array(
+        [[0, 7, 0, 7, 0, 2], [10, 11, 10, 11, 0, 0], [0, -1, 0, -1, 0, -1]]
+    )
+    s = format_shoebox_fill_histogram(bboxes, 8, 8, 512)
+    assert "Shoebox fill over 4 reflection-image slices" in s
+    assert "8x8 padded windows, 512/step" in s
+    assert ">=75%" in s and "<10%" in s
+    assert "window utilisation" in s
+    # skipped (empty) bbox rows contribute nothing
+    assert "(3)" in s  # the 3 full-box slices land in the >=75% bucket
+    # all-empty input -> empty string
+    assert format_shoebox_fill_histogram(np.array([[0, -1, 0, -1, 0, -1]]), 8, 8, 1) == ""
 
 
 def test_glm_vs_tukey_background_cli_option():
