@@ -84,21 +84,24 @@ def _ext_kernel(
     # -row_halo); imf/mkf (strip+2*_IMG, wp) f32 masked I / mask, origin
     # (-_IMG, -_IMG); disp (strip+2*_APRON, wp) f32 first-pass mask, origin
     # (-_APRON, -_APRON); surv (strip+2*_RX, wp) f32 survived mask, origin
-    # (-_RX, -_RX); work (3, strip+2*_IMG, wp) f32 sliding-sum + tree scratch;
-    # with packed also m_ref (pack-weight input) + okf scratch
+    # (-_RX, -_RX); w0/w1/w2 (strip+2*_IMG, wp) f32 tree scratch.  The
+    # three slots are separate 2D refs, NOT one (3, rows, wp) ref: Mosaic
+    # requires mid-dimension slices of >=3D refs to be 8-row aligned, and
+    # strip+2*_IMG is not a multiple of 8 (plain 2D refs have no such
+    # constraint).
     if packed and has_mbox:
         img_hbm, mask_strips, mbox_strips, *refs = args
-        strong_ref, img_v, imf, mkf, disp, surv, work, sems = refs
+        strong_ref, img_v, imf, mkf, disp, surv, wk0, wk1, wk2, sems = refs
     elif packed:
         img_hbm, mask_strips, *refs = args
         mbox_strips = None
-        strong_ref, img_v, imf, mkf, disp, surv, work, sems = refs
+        strong_ref, img_v, imf, mkf, disp, surv, wk0, wk1, wk2, sems = refs
     elif emit_strong:
         img_hbm, mask_strips, *refs = args
-        strong_ref, rowcum_ref, img_v, imf, mkf, disp, surv, work, sems = refs
+        strong_ref, rowcum_ref, img_v, imf, mkf, disp, surv, wk0, wk1, wk2, sems = refs
     else:
         img_hbm, mask_strips, *refs = args
-        rowcum_ref, img_v, imf, mkf, disp, surv, work, sems = refs
+        rowcum_ref, img_v, imf, mkf, disp, surv, wk0, wk1, wk2, sems = refs
     batch_idx = pl.program_id(0)
     i = pl.program_id(1)
     n_strips = pl.num_programs(1)
@@ -169,13 +172,13 @@ def _ext_kernel(
             .astype(jnp.float32)
         )
     else:
-        work[1, 0:n1] = _vtree7(mkf, work.at[0], disp, n1)
-        m = _htree7(work.at[1], work.at[0], disp, n1, w1)
-    work[1, 0:n1] = _vtree7(imf, work.at[0], disp, n1)
-    x = _htree7(work.at[1], work.at[0], disp, n1, w1)
-    work[2] = imf[...] * imf[...]
-    work[1, 0:n1] = _vtree7(work.at[2], work.at[0], disp, n1)
-    ysum = _htree7(work.at[1], work.at[0], disp, n1, w1)
+        wk1[0:n1] = _vtree7(mkf, wk0, disp, n1)
+        m = _htree7(wk1, wk0, disp, n1, w1)
+    wk1[0:n1] = _vtree7(imf, wk0, disp, n1)
+    x = _htree7(wk1, wk0, disp, n1, w1)
+    wk2[...] = imf[...] * imf[...]
+    wk1[0:n1] = _vtree7(wk2, wk0, disp, n1)
+    ysum = _htree7(wk1, wk0, disp, n1, w1)
 
     src1 = imf[_R : _R + n1, pl.ds(_R, w1)]
     msk1 = mkf[_R : _R + n1, pl.ds(_R, w1)]
@@ -198,25 +201,25 @@ def _ext_kernel(
     n2 = strip + 2 * _RX
     w2 = width + 2 * _RX
     wb = w2 + 2 * _E
-    work[1, 0 : n2 + 4, pl.ds(0, wb)] = mkf[3 : 3 + n2 + 4, pl.ds(3, wb)] * (
+    wk1[0 : n2 + 4, pl.ds(0, wb)] = mkf[3 : 3 + n2 + 4, pl.ds(3, wb)] * (
         1.0 - disp[0 : n2 + 4, pl.ds(0, wb)]
     )
-    work[0, 0 : n2 + 2, pl.ds(0, wb)] = (
-        work[1, 0 : n2 + 2, pl.ds(0, wb)] + work[1, 1 : n2 + 3, pl.ds(0, wb)]
+    wk0[0 : n2 + 2, pl.ds(0, wb)] = (
+        wk1[0 : n2 + 2, pl.ds(0, wb)] + wk1[1 : n2 + 3, pl.ds(0, wb)]
     )
     surv[0:n2, pl.ds(0, wb)] = (
-        work[0, 0:n2, pl.ds(0, wb)] + work[0, 2 : n2 + 2, pl.ds(0, wb)]
+        wk0[0:n2, pl.ds(0, wb)] + wk0[2 : n2 + 2, pl.ds(0, wb)]
     )
-    work[0, 0:n2, pl.ds(0, wb)] = (
-        surv[0:n2, pl.ds(0, wb)] + work[1, 4 : n2 + 4, pl.ds(0, wb)]
+    wk0[0:n2, pl.ds(0, wb)] = (
+        surv[0:n2, pl.ds(0, wb)] + wk1[4 : n2 + 4, pl.ds(0, wb)]
     )
-    work[1, 0:n2, pl.ds(0, w2 + 2)] = (
-        work[0, 0:n2, pl.ds(0, w2 + 2)] + work[0, 0:n2, pl.ds(1, w2 + 2)]
+    wk1[0:n2, pl.ds(0, w2 + 2)] = (
+        wk0[0:n2, pl.ds(0, w2 + 2)] + wk0[0:n2, pl.ds(1, w2 + 2)]
     )
     surv[0:n2, pl.ds(0, w2)] = (
-        work[1, 0:n2, pl.ds(0, w2)] + work[1, 0:n2, pl.ds(2, w2)]
+        wk1[0:n2, pl.ds(0, w2)] + wk1[0:n2, pl.ds(2, w2)]
     )
-    bgnear = surv[0:n2, pl.ds(0, w2)] + work[0, 0:n2, pl.ds(4, w2)]
+    bgnear = surv[0:n2, pl.ds(0, w2)] + wk0[0:n2, pl.ds(4, w2)]
     # centre: disp row (_APRON-_RX) + j = 2 + j, lane 2 + l
     centre1 = disp[_E : _E + n2, pl.ds(_E, w2)]
     surv[:, pl.ds(0, w2)] = ((centre1 > 0) & (bgnear == 0)).astype(jnp.float32)
@@ -228,67 +231,67 @@ def _ext_kernel(
     # scratch).  Both grids are integer-valued (counts; intensity sums
     # <= 121 * 65535 < 2^23), exact.  cn/cx: bg indicator and bg intensity
     # on the surv grid (imf/mkf row offset 5, lane offset 5).
-    work[1, 0:n2, pl.ds(0, w2)] = mkf[5 : 5 + n2, pl.ds(5, w2)] * (
+    wk1[0:n2, pl.ds(0, w2)] = mkf[5 : 5 + n2, pl.ds(5, w2)] * (
         1.0 - surv[:, pl.ds(0, w2)]
     )
-    work[2, 0:n2, pl.ds(0, w2)] = (
-        work[1, 0:n2, pl.ds(0, w2)] * imf[5 : 5 + n2, pl.ds(5, w2)]
+    wk2[0:n2, pl.ds(0, w2)] = (
+        wk1[0:n2, pl.ds(0, w2)] * imf[5 : 5 + n2, pl.ds(5, w2)]
     )
-    # cn vertical: s2 -> work[0], s4 -> disp, result -> disp rows 0..strip-1
-    work[0, 0 : n2 - 1, pl.ds(0, w2)] = (
-        work[1, 0 : n2 - 1, pl.ds(0, w2)] + work[1, 1:n2, pl.ds(0, w2)]
+    # cn vertical: s2 -> w0, s4 -> disp, result -> disp rows 0..strip-1
+    wk0[0 : n2 - 1, pl.ds(0, w2)] = (
+        wk1[0 : n2 - 1, pl.ds(0, w2)] + wk1[1:n2, pl.ds(0, w2)]
     )
     disp[0 : strip + 4, pl.ds(0, w2)] = (
-        work[0, 0 : strip + 4, pl.ds(0, w2)]
-        + work[0, 2 : strip + 6, pl.ds(0, w2)]
+        wk0[0 : strip + 4, pl.ds(0, w2)]
+        + wk0[2 : strip + 6, pl.ds(0, w2)]
     )
     disp[0:strip, pl.ds(0, w2)] = (
         (disp[0:strip, pl.ds(0, w2)] + disp[4 : strip + 4, pl.ds(0, w2)])
-        + work[0, 8 : strip + 8, pl.ds(0, w2)]
-    ) + work[1, 10 : strip + 10, pl.ds(0, w2)]
-    # cx vertical: s2 -> work[0], s4 -> work[1], result -> work[2]
-    work[0, 0 : n2 - 1, pl.ds(0, w2)] = (
-        work[2, 0 : n2 - 1, pl.ds(0, w2)] + work[2, 1:n2, pl.ds(0, w2)]
+        + wk0[8 : strip + 8, pl.ds(0, w2)]
+    ) + wk1[10 : strip + 10, pl.ds(0, w2)]
+    # cx vertical: s2 -> w0, s4 -> w1, result -> w2
+    wk0[0 : n2 - 1, pl.ds(0, w2)] = (
+        wk2[0 : n2 - 1, pl.ds(0, w2)] + wk2[1:n2, pl.ds(0, w2)]
     )
-    work[1, 0 : strip + 4, pl.ds(0, w2)] = (
-        work[0, 0 : strip + 4, pl.ds(0, w2)]
-        + work[0, 2 : strip + 6, pl.ds(0, w2)]
+    wk1[0 : strip + 4, pl.ds(0, w2)] = (
+        wk0[0 : strip + 4, pl.ds(0, w2)]
+        + wk0[2 : strip + 6, pl.ds(0, w2)]
     )
-    work[2, 0:strip, pl.ds(0, w2)] = (
-        (work[1, 0:strip, pl.ds(0, w2)] + work[1, 4 : strip + 4, pl.ds(0, w2)])
-        + work[0, 8 : strip + 8, pl.ds(0, w2)]
-    ) + work[2, 10 : strip + 10, pl.ds(0, w2)]
+    wk2[0:strip, pl.ds(0, w2)] = (
+        (wk1[0:strip, pl.ds(0, w2)] + wk1[4 : strip + 4, pl.ds(0, w2)])
+        + wk0[8 : strip + 8, pl.ds(0, w2)]
+    ) + wk2[10 : strip + 10, pl.ds(0, w2)]
     # cn horizontal
-    work[0, 0:strip, pl.ds(0, width + 8)] = (
+    wk0[0:strip, pl.ds(0, width + 8)] = (
         disp[0:strip, pl.ds(0, width + 8)] + disp[0:strip, pl.ds(1, width + 8)]
     )
-    work[1, 0:strip, pl.ds(0, width + 4)] = (
-        work[0, 0:strip, pl.ds(0, width + 4)]
-        + work[0, 0:strip, pl.ds(2, width + 4)]
+    wk1[0:strip, pl.ds(0, width + 4)] = (
+        wk0[0:strip, pl.ds(0, width + 4)]
+        + wk0[0:strip, pl.ds(2, width + 4)]
     )
     nbg = (
         (
-            work[1, 0:strip, pl.ds(0, width)]
-            + work[1, 0:strip, pl.ds(4, width)]
+            wk1[0:strip, pl.ds(0, width)]
+            + wk1[0:strip, pl.ds(4, width)]
         )
-        + work[0, 0:strip, pl.ds(8, width)]
+        + wk0[0:strip, pl.ds(8, width)]
     ) + disp[0:strip, pl.ds(10, width)]
     # cx horizontal
-    work[0, 0:strip, pl.ds(0, width + 8)] = (
-        work[2, 0:strip, pl.ds(0, width + 8)]
-        + work[2, 0:strip, pl.ds(1, width + 8)]
+    wk0[0:strip, pl.ds(0, width + 8)] = (
+        wk2[0:strip, pl.ds(0, width + 8)]
+        + wk2[0:strip, pl.ds(1, width + 8)]
     )
-    work[1, 0:strip, pl.ds(0, width + 4)] = (
-        work[0, 0:strip, pl.ds(0, width + 4)]
-        + work[0, 0:strip, pl.ds(2, width + 4)]
+    wk1[0:strip, pl.ds(0, width + 4)] = (
+        wk0[0:strip, pl.ds(0, width + 4)]
+        + wk0[0:strip, pl.ds(2, width + 4)]
     )
     xbg = (
         (
-            work[1, 0:strip, pl.ds(0, width)]
-            + work[1, 0:strip, pl.ds(4, width)]
+            wk1[0:strip, pl.ds(0, width)]
+            + wk1[0:strip, pl.ds(4, width)]
         )
-        + work[0, 0:strip, pl.ds(8, width)]
-    ) + work[2, 0:strip, pl.ds(10, width)]
+        + wk0[0:strip, pl.ds(8, width)]
+    ) + wk2[0:strip, pl.ds(10, width)]
 
     src_c = imf[_IMG : _IMG + strip, pl.ds(_IMG, width)]
     mask_c = mkf[_IMG : _IMG + strip, pl.ds(_IMG, width)]
@@ -403,7 +406,9 @@ def dispersion_extended_fused(
             pltpu.VMEM((strip + 2 * _IMG, wp), jnp.float32),
             pltpu.VMEM((strip + 2 * _APRON, wp), jnp.float32),
             pltpu.VMEM((strip + 2 * _RX, wp), jnp.float32),
-            pltpu.VMEM((3, strip + 2 * _IMG, wp), jnp.float32),
+            pltpu.VMEM((strip + 2 * _IMG, wp), jnp.float32),
+            pltpu.VMEM((strip + 2 * _IMG, wp), jnp.float32),
+            pltpu.VMEM((strip + 2 * _IMG, wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -564,7 +569,9 @@ def dispersion_extended_packed_raw(
             pltpu.VMEM((strip + 2 * _IMG, wp), jnp.float32),
             pltpu.VMEM((strip + 2 * _APRON, wp), jnp.float32),
             pltpu.VMEM((strip + 2 * _RX, wp), jnp.float32),
-            pltpu.VMEM((3, strip + 2 * _IMG, wp), jnp.float32),
+            pltpu.VMEM((strip + 2 * _IMG, wp), jnp.float32),
+            pltpu.VMEM((strip + 2 * _IMG, wp), jnp.float32),
+            pltpu.VMEM((strip + 2 * _IMG, wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
