@@ -185,6 +185,44 @@ class KabschIntegrator:
         self._step = jax.jit(
             self._frame_step, static_argnames=("centre_slices",)
         )
+        self._field = None
+        self._panel_w = int(panel.image_size[0])
+        self._panel_h = int(panel.image_size[1])
+
+    def corner_field(self):
+        """Detector-wide corner scattered-wavevector field, built ONCE per
+        collection: (H+box_h+1, W+box_w+1, 3) f64 of s_pixel at every pixel
+        corner the shoebox windows can touch.
+
+        The per-corner norm/parallax math dominated the per-frame step
+        (~14.7 of 20.4 ms at A=512 on v5e, tools/measure_kabsch.py); it is
+        frame-invariant, so the step now just gathers windows of this
+        field.  Values are bit-identical to the inline computation (same
+        formula, same f64 ops).
+        """
+        if self._field is None:
+            import jax
+            import jax.numpy as jnp
+
+            w = self._panel_w + self.box_w + 1
+            h = self._panel_h + self.box_h + 1
+
+            @jax.jit
+            def build():
+                cx = jnp.broadcast_to(
+                    jnp.arange(w, dtype=jnp.float64)[None, :], (h, w)
+                )
+                cy = jnp.broadcast_to(
+                    jnp.arange(h, dtype=jnp.float64)[:, None], (h, w)
+                )
+                # plane-major (3, h, w): window slices gather three
+                # lane-contiguous (bh+1, bw+1) tiles, like the image
+                # windows; (h, w, 3) would put the 3-vector in lanes and
+                # gather terribly
+                return jnp.moveaxis(self._corner_s_pixel(cx, cy), -1, 0)
+
+            self._field = jax.block_until_ready(build())
+        return self._field
 
     # --- device math --------------------------------------------------------
 
@@ -214,6 +252,7 @@ class KabschIntegrator:
 
     def _frame_step(
         self,
+        field,  # (H+bh+1, W+bw+1, 3) f64 corner field (corner_field())
         image,
         det_mask,
         x0,
@@ -258,27 +297,42 @@ class KabschIntegrator:
         )
         valid_px = in_bbox & (mwin != 0) & active[:, None, None]
 
-        # corner grid (A, bh+1, bw+1, 3)
-        cx = (x0[:, None] + jnp.arange(bw + 1)[None, :]).astype(jnp.float64)
-        cy = (y0[:, None] + jnp.arange(bh + 1)[None, :]).astype(jnp.float64)
-        s_px = self._corner_s_pixel(
-            jnp.broadcast_to(cx[:, None, :], (A, bh + 1, bw + 1)),
-            jnp.broadcast_to(cy[:, :, None], (A, bh + 1, bw + 1)),
-        )
+        # corner grid (A, 3, bh+1, bw+1): gathered windows of the
+        # frame-invariant detector corner field (bit-identical values to
+        # computing _corner_s_pixel inline; the norm/parallax math runs
+        # once per collection, not per frame — tools/measure_kabsch.py)
+        s_px = jax.vmap(
+            lambda yy, xx: jax.lax.dynamic_slice(
+                field, (0, yy, xx), (3, bh + 1, bw + 1)
+            )
+        )(y0, x0)
+
+        # e12 is phi-independent: compute the Kabsch in-plane term ONCE and
+        # evaluate each phi slice as a scalar-threshold comparison (the old
+        # form re-ran the einsum per slice).  Precision split: the
+        # catastrophic cancellation lives in delta = s_px - s1_c (two O(1)
+        # vectors whose difference is O(delta_b)); that subtraction runs
+        # elementwise in f64 (cheap), after which delta carries ~1e-10
+        # absolute error when cast to f32, so the projections run as f32
+        # einsums — f64 dot_general on TPU lowers catastrophically (~10 ms
+        # for this contraction at A=512, tools/measure_kabsch.py) while the
+        # classification boundary error of the f32 projection is ~1e-7
+        # relative, far below the reference's own reduced-precision drift.
+        s1_len = jnp.linalg.norm(s1_c, axis=-1)
+        e1n = (e1 / s1_len[:, None]).astype(jnp.float32)
+        e2n = (e2 / s1_len[:, None]).astype(jnp.float32)
+        delta = (s_px - s1_c[:, :, None, None]).astype(jnp.float32)
+        eps1 = jnp.einsum("akhw,ak->ahw", delta, e1n)
+        eps2 = jnp.einsum("akhw,ak->ahw", delta, e2n)
+        e12 = (eps1 * eps1 + eps2 * eps2) / np.float32(self._delta_b**2)
 
         def fg_at(phi_eval):
-            delta = s_px - s1_c[:, None, None, :]
-            s1_len = jnp.linalg.norm(s1_c, axis=-1)[:, None, None]
-            eps1 = jnp.einsum("ahwc,ac->ahw", delta, e1) / s1_len
-            eps2 = jnp.einsum("ahwc,ac->ahw", delta, e2) / s1_len
-            e12 = eps1 * eps1 + eps2 * eps2
             if self.algorithm == "dials":
-                return e12 / (self._delta_b**2) <= 1.0
-            eps3 = (zeta * (phi_eval - phi_c))[:, None, None]
-            return (
-                e12 / (self._delta_b**2) + eps3 * eps3 / (self._delta_m**2)
-                <= 1.0
-            )
+                return e12 <= 1.0
+            # per-reflection scalar in f64, broadcast compare in f32
+            eps3 = zeta * (phi_eval - phi_c)
+            t = (1.0 - eps3 * eps3 / (self._delta_m**2)).astype(jnp.float32)
+            return e12 <= t[:, None, None]
 
         if self.algorithm == "dials":
             corner_in = fg_at(phi_low)
@@ -302,44 +356,62 @@ class KabschIntegrator:
         fg = fg & valid_px
         bg = (~fg) & valid_px
 
-        # Foreground accumulation in float64: the reference deliberately
-        # uses double/u64 atomics here for bit-exact, run-stable intensities
-        # (reference: integrator.cc:785-794, kabsch.cu:585-599); XLA's fixed
-        # reduction order makes these sums deterministic between runs.
-        inten = windows.astype(jnp.float64)
-        fg_f = fg.astype(jnp.float64)
-        fg_sum = jnp.sum(inten * fg_f, axis=(1, 2))
+        # Foreground accumulation, exact-integer decomposition.  The
+        # reference uses double/u64 atomics for bit-exact run-stable sums
+        # (reference: integrator.cc:785-794, kabsch.cu:585-599); here every
+        # partial sum is an exact integer or half-integer, so the values
+        # are IDENTICAL to the f64 big-grid reductions they replace while
+        # running at native i32 VPU speed: per-window column sums of the
+        # masked intensities stay < 2^26, and the (x + 0.5) / (y + 0.5)
+        # moments split into (x0 + 0.5) * fg_sum + sum(I * col) with the
+        # small weighted dots done in f64 on (A, bw)-sized arrays.
+        ivals = jnp.clip(windows.astype(jnp.int32), 0, None)
+        mi = jnp.where(fg, ivals, 0)  # masked intensities, i32 exact
+        colsum = jnp.sum(mi, axis=1)  # (A, bw) over rows; <= bh * 65535
+        rowsum = jnp.sum(mi, axis=2)  # (A, bh)
+        fg_sum_i = jnp.sum(colsum, axis=1)  # (A,) <= bh*bw*65535 < 2^27
+        fg_sum = fg_sum_i.astype(jnp.float64)
         fg_count = jnp.sum(fg, axis=(1, 2)).astype(jnp.int32)
-        sum_ix = jnp.sum(
-            inten * fg_f * (px[:, None, :].astype(jnp.float64) + 0.5), axis=(1, 2)
+        cols64 = jnp.arange(bw, dtype=jnp.float64)
+        rows64 = jnp.arange(bh, dtype=jnp.float64)
+        sum_ix = (x0.astype(jnp.float64) + 0.5) * fg_sum + (
+            colsum.astype(jnp.float64) @ cols64
         )
-        sum_iy = jnp.sum(
-            inten * fg_f * (py[:, :, None].astype(jnp.float64) + 0.5), axis=(1, 2)
+        sum_iy = (y0.astype(jnp.float64) + 0.5) * fg_sum + (
+            rowsum.astype(jnp.float64) @ rows64
         )
         sum_iz = fg_sum * (z_value + 0.5)
 
-        # Background histogram as ONE segment-sum over (reflection, bin) ids
-        # instead of a (A, bh, bw, 256) one-hot (was ~135 MB of admission at
-        # A=512): id = slot * (NB + 2) + bin, with lane NB for the overflow
-        # tail and lane NB+1 as the trash lane for non-background pixels.
+        # Background histogram as a two-level one-hot MXU contraction: with
+        # bin = 16*coarse + fine (coarse = val >> 4, fine = val & 15), the
+        # 256-bin histogram is hist[a] = co[a]^T @ fi[a] reshaped — a
+        # batched (16, px) x (px, 16) bf16 matmul with exact f32
+        # accumulation (counts <= px < 2^24; one-hot entries are exact in
+        # bf16).  Replaces the segment-sum formulation which cost 7.5 ms at
+        # A=512 on v5e (tools/measure_kabsch.py) — data-dependent scatter
+        # lowers to sorting; this is pure MXU work.
         vals = jnp.clip(windows.astype(jnp.int32), 0, None)
-        nb2 = NUM_BG_BINS + 2
-        slot = jnp.arange(A, dtype=jnp.int32)[:, None, None]
-        lane = jnp.where(
-            bg,
-            jnp.where(vals < NUM_BG_BINS, vals, NUM_BG_BINS),
-            NUM_BG_BINS + 1,
+        in_range = bg & (vals < NUM_BG_BINS)
+        coarse = vals >> 4
+        fine = vals & 15
+        k16 = jnp.arange(16, dtype=jnp.int32)
+        co = (
+            in_range[..., None] & (coarse[..., None] == k16)
+        ).reshape(A, bh * bw, 16)
+        fi = (fine[..., None] == k16).reshape(A, bh * bw, 16)
+        hist = (
+            jnp.einsum(
+                "apc,apf->acf",
+                co.astype(jnp.bfloat16),
+                fi.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            .reshape(A, NUM_BG_BINS)
+            .astype(jnp.int32)
         )
-        seg = (slot * nb2 + lane).reshape(-1)
-        flat = jax.ops.segment_sum(
-            jnp.ones_like(seg, dtype=jnp.int32),
-            seg,
-            num_segments=A * nb2,
-            indices_are_sorted=False,
+        overflow = jnp.sum(bg & (vals >= NUM_BG_BINS), axis=(1, 2)).astype(
+            jnp.int32
         )
-        hist_all = flat.reshape(A, nb2)
-        hist = hist_all[:, :NUM_BG_BINS]
-        overflow = hist_all[:, NUM_BG_BINS]
         bg_count = jnp.sum(bg, axis=(1, 2)).astype(jnp.int32)
 
         return fg_sum, fg_count, sum_ix, sum_iy, sum_iz, hist, overflow, bg_count
@@ -414,6 +486,7 @@ class KabschIntegrator:
                     return np.concatenate([v, np.full((pad_n,) + v.shape[1:], fill, v.dtype)])
 
                 out = self._step(
+                    self.corner_field(),
                     img_dev,
                     mask_dev,
                     jnp.asarray(padi(self.bboxes[chunk, 0])),

@@ -1,0 +1,146 @@
+"""Pallas TPU window gather: fixed-size 2D windows at arbitrary offsets.
+
+The integrator's hot primitive is "gather A shoebox windows of (bh, bw)
+pixels from a frame at per-reflection (y0, x0)".  XLA lowers the natural
+``vmap(dynamic_slice)`` to a per-element gather priced at ~60-95 ns per
+ROW on v5e (tools/measure_gather_windows.py) — 2.1 us per 32-row window,
+which alone caps the integrator at ~0.5x of its real-time baseline.
+
+This kernel instead issues one double-buffered 2D DMA per window (dynamic
+sublane offset, 128-lane-aligned lane offset — both legal Mosaic DMAs),
+covers the arbitrary lane start with a 256-lane tile, and aligns it with
+an in-register dynamic lane rotate (``pltpu.roll``), the Pallas analogue
+of the reference's coalesced shoebox loads (reference: kabsch.cu:455-530
+thread-strided global reads).
+
+Contract: ``window_gather(img, y0, x0, bh)`` returns (A, bh, 128) int32
+(f32 for float inputs; input must be >= 32-bit) where ``out[a, r, c] = img[y0[a]+r, x0[a]+c]`` for
+c < 128; callers slice [:, :, :bw].  Requirements: img (Hp, Wp) with Wp a
+multiple of 128 and Hp >= y0+bh; bh a multiple of 8; 0 <= x0 <= Wp-128.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_R = 8  # windows per grid program (DMA batch)
+
+
+def _gather_kernel(
+    y0_ref,  # scalar-prefetch (A,)
+    xblk_ref,  # scalar-prefetch (A,) 128-lane block index
+    shift_ref,  # scalar-prefetch (A,) in-block lane offset 0..127
+    img_hbm,  # (Hp, Wp//128, 128) ANY — lane dim full/static
+    out_ref,  # (R, bh, 128) block
+    tiles,  # scratch (2, R, bh, 2, 128)
+    sems,  # DMA sems (2, R)
+    *,
+    bh: int,
+    out_dtype,
+):
+    # The HBM slice keeps the (tiled) lane dimension full and takes the
+    # dynamic window through the leading dims: dynamic sublane offsets are
+    # legal, dynamic LANE offsets are not — even value-aligned ones
+    # (Mosaic rejects the (bh, 256) at-dynamic-lane form).  The 256-lane
+    # coverage therefore arrives as two 128-lane blocks, aligned by a
+    # per-block dynamic rotate and a lane select.
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def start_dmas(slot, prog):
+        for r in range(_R):
+            a = prog * _R + r
+            pltpu.make_async_copy(
+                img_hbm.at[
+                    pl.ds(y0_ref[a], bh), pl.ds(xblk_ref[a], 2), :
+                ],
+                tiles.at[slot, r],
+                sems.at[slot, r],
+            ).start()
+
+    slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
+    next_slot = jax.lax.rem(i + 1, jnp.asarray(2, i.dtype))
+
+    @pl.when(i == 0)
+    def _():
+        start_dmas(slot, i)
+
+    @pl.when(i + 1 < n)
+    def _():
+        start_dmas(next_slot, i + 1)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bh, 128), 1)
+    for r in range(_R):
+        a = i * _R + r
+        pltpu.make_async_copy(
+            img_hbm.at[pl.ds(y0_ref[a], bh), pl.ds(xblk_ref[a], 2), :],
+            tiles.at[slot, r],
+            sems.at[slot, r],
+        ).wait()
+        t0 = tiles[slot, r, :, 0, :]
+        t1 = tiles[slot, r, :, 1, :]
+        sh = shift_ref[a]
+        r0 = pltpu.roll(t0, -sh, 1)
+        r1 = pltpu.roll(t1, -sh, 1)
+        win = jnp.where(lane < 128 - sh, r0, r1)
+        out_ref[r] = win.astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bh", "interpret"))
+def window_gather(
+    img: jnp.ndarray,
+    y0: jnp.ndarray,
+    x0: jnp.ndarray,
+    *,
+    bh: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Gather (A, bh, 128) windows ``img[y0[a]:y0[a]+bh, x0[a]:x0[a]+128]``.
+
+    Integer inputs return int32 windows; float inputs keep their dtype.
+    ``A`` is padded internally to a multiple of the DMA batch; padded rows
+    gather window (0, 0) and are discarded.
+    """
+    hp, wp = img.shape
+    assert wp % 128 == 0 and bh % 8 == 0
+    assert img.dtype.itemsize >= 4, (
+        "window_gather needs a >=32-bit image (16-bit HBM refs pack two "
+        "sublanes per tile row, which forbids dynamic row offsets) — "
+        "widen once per frame on device"
+    )
+    a = y0.shape[0]
+    ap = ((a + _R - 1) // _R) * _R
+    y0p = jnp.pad(y0.astype(jnp.int32), (0, ap - a))
+    x0p = jnp.pad(x0.astype(jnp.int32), (0, ap - a))
+    xblk = jnp.minimum(x0p >> 7, wp // 128 - 2)
+    shift = x0p - (xblk << 7)
+
+    out_dtype = (
+        jnp.float32
+        if jnp.issubdtype(img.dtype, jnp.floating)
+        else jnp.int32
+    )
+    # scalar-prefetch form: indices must be available before the grid runs
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel, bh=bh, out_dtype=out_dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(ap // _R,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (_R, bh, 128), lambda i, *_: (i, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, _R, bh, 2, 128), img.dtype),
+                pltpu.SemaphoreType.DMA((2, _R)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((ap, bh, 128), out_dtype),
+        interpret=interpret,
+    )(y0p, xblk, shift, img.reshape(hp, wp // 128, 128))
+    return out[:a]

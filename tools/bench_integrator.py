@@ -58,7 +58,7 @@ def main() -> int:
         delta_b=np.deg2rad(0.3), delta_m=np.deg2rad(1.0), max_active=A,
     )
 
-    image = rng.poisson(4.0, size=(H, W)).astype(np.float64)
+    image = rng.poisson(4.0, size=(H, W)).astype(np.uint16)
     pad_img = np.pad(image, ((integ.box_h, integ.box_h), (integ.box_w, integ.box_w)))
     pad_mask = np.pad(
         np.ones((H, W), np.uint8), ((integ.box_h, integ.box_h), (integ.box_w, integ.box_w))
@@ -81,7 +81,7 @@ def main() -> int:
     @jax.jit
     def chained(img, *rest):
         def body(i, acc):
-            out = integ._step(img + (i & 1), *rest, centre_slices=True)
+            out = integ._step(integ.corner_field(), img + (i & 1).astype(img.dtype), *rest, centre_slices=True)
             return acc + out[0].sum() + out[5].sum() + out[1].sum()
 
         return jax.lax.fori_loop(0, REPS, body, jnp.float64(0.0))
