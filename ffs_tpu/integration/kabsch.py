@@ -185,6 +185,8 @@ class KabschIntegrator:
         self._step = jax.jit(
             self._frame_step, static_argnames=("centre_slices",)
         )
+        # Pallas gathers run in Mosaic interpret mode off-TPU (CPU tests)
+        self._interpret = jax.default_backend() != "tpu"
         self._field = None
         self._panel_w = int(panel.image_size[0])
         self._panel_h = int(panel.image_size[1])
@@ -416,21 +418,290 @@ class KabschIntegrator:
 
         return fg_sum, fg_count, sum_ix, sum_iy, sum_iz, hist, overflow, bg_count
 
+    # --- blocked device step (production path) ------------------------------
+
+    def _chunk_setup(self, chunk: np.ndarray, cs_e1, cs_e2, zeta):
+        """Device-resident per-chunk constants: gathered corner-field
+        windows (hi/lo split), mask windows, and parameter arrays.  Cached
+        by the driver for the chunk's whole z-span (~4-6 frames), so the
+        corner geometry amortises across the block steps."""
+        import jax.numpy as jnp
+
+        from ..ops.window_gather import window_gather_planes
+
+        a = len(chunk)
+        pad_n = self.max_active - a
+
+        def padi(v, fill=0):
+            return np.concatenate(
+                [v, np.full((pad_n,) + v.shape[1:], fill, v.dtype)]
+            )
+
+        x0 = padi(self.bboxes[chunk, 0])
+        y0 = padi(self.bboxes[chunk, 2])
+        dev = {
+            "x0": jnp.asarray(x0),
+            "y0": jnp.asarray(y0),
+            "bbox": jnp.asarray(padi(self.bboxes[chunk])),
+            "s1": jnp.asarray(padi(self.s1[chunk])),
+            "phi": jnp.asarray(padi(self.phi[chunk])),
+            "e1": jnp.asarray(padi(cs_e1[chunk])),
+            "e2": jnp.asarray(padi(cs_e2[chunk])),
+            "zeta": jnp.asarray(padi(zeta[chunk])),
+            "active": jnp.asarray(padi(np.ones(a, dtype=bool), False)),
+        }
+        # corner-field windows: one multi-plane DMA per reflection over the
+        # 6 hi/lo planes; rows start at y0 (corner grid needs bh+1 rows ->
+        # gather bh+8), lanes at x0 (corner lanes x0..x0+bw < x0+128)
+        dev["fieldw"] = window_gather_planes(
+            self.corner_field_f32(),
+            dev["y0"].astype(jnp.int32),
+            dev["x0"].astype(jnp.int32),
+            bh=self.box_h + 8,
+            interpret=self._interpret,
+        )
+        dev["maskw"] = self._mask_windows(dev["y0"], dev["x0"])
+        return dev
+
+    def corner_field_f32(self):
+        """(6, Hc, Wc) f32 hi/lo split of :meth:`corner_field`, padded so
+        window lane starts satisfy the gather contract."""
+        if getattr(self, "_field6", None) is None:
+            import jax
+            import jax.numpy as jnp
+
+            f64 = self.corner_field()  # (3, h, w)
+            _, h, w = f64.shape
+            # lane padding: x0 + box_w <= w - 128 must hold for the gather
+            wp = ((w + self.box_w + 128 + 127) // 128) * 128
+            hp = ((h + self.box_h + 8 + 7) // 8) * 8
+
+            @jax.jit
+            def split():
+                fp = jnp.pad(f64, ((0, 0), (0, hp - h), (0, wp - w)))
+                hi = fp.astype(jnp.float32)
+                lo = (fp - hi.astype(jnp.float64)).astype(jnp.float32)
+                return jnp.concatenate([hi, lo], axis=0)
+
+            self._field6 = jax.block_until_ready(split())
+        return self._field6
+
+    def _mask_windows(self, y0, x0):
+        """Detector-mask windows for a chunk (frame-invariant, cached)."""
+        import jax.numpy as jnp
+
+        from ..ops.window_gather import window_gather
+
+        if getattr(self, "_mask_canvas", None) is None:
+            return None  # set_mask not called: treat all pixels valid
+        return window_gather(
+            self._mask_canvas,
+            y0.astype(jnp.int32),
+            x0.astype(jnp.int32),
+            bh=self.box_h,
+            interpret=self._interpret,
+        )
+
+    def set_mask(self, det_mask: np.ndarray) -> None:
+        """Upload the (frame-invariant) detector mask canvas once."""
+        import jax.numpy as jnp
+
+        hp = det_mask.shape[0] + self.box_h
+        wp = ((det_mask.shape[1] + 255) // 128) * 128
+        pad = np.zeros((hp, wp), np.int32)
+        pad[: det_mask.shape[0], : det_mask.shape[1]] = det_mask.astype(
+            np.int32
+        )
+        self._mask_canvas = jnp.asarray(pad)
+
+    def pad_frames(self, frames: np.ndarray) -> np.ndarray:
+        """Pad a (F, H, W) frame stack to the gather canvas (host side)."""
+        f, h, w = frames.shape
+        wp = ((w + 255) // 128) * 128
+        out = np.zeros((f, h + self.box_h, wp), frames.dtype)
+        out[:, :h, :w] = frames
+        return out
+
+    def _block_step_impl(
+        self,
+        frames,  # (F, Hp, Wp) i32 padded resident frames
+        fieldw,  # (A, 6, bh+8, 128) f32 chunk corner-field windows
+        maskw,  # (A, bh, 128) i32 or None
+        x0,
+        y0,
+        bbox,
+        s1_c,
+        phi_c,
+        e1,
+        e2,
+        zeta,
+        active,
+        phi_lows,  # (F,) phi at each frame's start (radians)
+        d_osc,  # oscillation width (radians)
+        z_values,  # (F,) frame numbers
+        frame_ok,  # (F,) bool: frame present (tail padding)
+        centre_slices: bool,
+    ):
+        import jax
+
+        jnp = self._jnp
+        A = x0.shape[0]
+        bh, bw = self.box_h, self.box_w
+        F = frames.shape[0]
+
+        from ..ops.window_gather import window_gather_planes
+
+        windows = window_gather_planes(
+            frames,
+            y0.astype(jnp.int32),
+            x0.astype(jnp.int32),
+            bh=bh,
+            interpret=self._interpret,
+        )  # (A, F, bh, 128) i32
+
+        lanes = 128
+        px = x0[:, None] + jnp.arange(lanes)[None, :]  # (A, 128)
+        py = y0[:, None] + jnp.arange(bh)[None, :]  # (A, bh)
+        in_bbox = (
+            (px[:, None, :] >= bbox[:, 0, None, None])
+            & (px[:, None, :] <= bbox[:, 1, None, None])
+            & (py[:, :, None] >= bbox[:, 2, None, None])
+            & (py[:, :, None] <= bbox[:, 3, None, None])
+        )
+        if maskw is not None:
+            in_bbox = in_bbox & (maskw != 0)
+
+        # chunk geometry: e12 over the (bh+1, bw+1<=128) corner grid from
+        # the hi/lo field windows.  delta = (hi - s1hi) + (lo - s1lo) is
+        # accurate to ~2^-24 RELATIVE to delta (the hi subtraction is
+        # exactly rounded to ulp(delta); the lo difference restores the
+        # truncated f64 bits), so the f32 projections carry f64-grade
+        # classification boundaries without any f64 grid math.
+        s1_hi = s1_c.astype(jnp.float32)
+        s1_lo = (s1_c - s1_hi.astype(jnp.float64)).astype(jnp.float32)
+        delta = (fieldw[:, 0:3] - s1_hi[:, :, None, None]) + (
+            fieldw[:, 3:6] - s1_lo[:, :, None, None]
+        )  # (A, 3, bh+8, 128) f32
+        s1_len = jnp.linalg.norm(s1_c, axis=-1)
+        e1n = (e1 / s1_len[:, None]).astype(jnp.float32)
+        e2n = (e2 / s1_len[:, None]).astype(jnp.float32)
+        eps1 = jnp.einsum("akhw,ak->ahw", delta, e1n)
+        eps2 = jnp.einsum("akhw,ak->ahw", delta, e2n)
+        e12 = (eps1 * eps1 + eps2 * eps2) / np.float32(self._delta_b**2)
+        e12 = e12[:, : bh + 1, :]  # corner rows 0..bh
+
+        def corner_fg(phi_eval):
+            if self.algorithm == "dials":
+                return e12 <= 1.0
+            eps3 = zeta * (phi_eval - phi_c)
+            t = (1.0 - eps3 * eps3 / (self._delta_m**2)).astype(jnp.float32)
+            return e12 <= t[:, None, None]
+
+        k16 = jnp.arange(16, dtype=jnp.int32)
+        cols64 = jnp.arange(lanes, dtype=jnp.float64)
+        rows64 = jnp.arange(bh, dtype=jnp.float64)
+
+        outs = []
+        for f in range(F):
+            phi_low = phi_lows[f]
+            phi_high = phi_lows[f] + d_osc
+            if self.algorithm == "dials":
+                corner_in = corner_fg(phi_low)
+            else:
+                corner_in = corner_fg(phi_low) | corner_fg(phi_high)
+                if centre_slices:
+                    centre_ok = (phi_c >= jnp.minimum(phi_low, phi_high)) & (
+                        phi_c <= jnp.maximum(phi_low, phi_high)
+                    )
+                    corner_in = corner_in | (
+                        corner_fg(phi_c) & centre_ok[:, None, None]
+                    )
+            fg4 = (
+                corner_in[:, :-1, :]
+                | corner_in[:, 1:, :]
+            )
+            # lane-shifted corner OR: corner c and c+1 for pixel column c
+            fg = fg4 | jnp.roll(fg4, -1, axis=2)
+            act_f = (
+                active
+                & frame_ok[f]
+                & (bbox[:, 4] <= z_values[f])
+                & (bbox[:, 5] > z_values[f])
+            )
+            valid_px = in_bbox & act_f[:, None, None]
+            fg = fg & valid_px
+            bg = (~fg) & valid_px
+
+            ivals = jnp.maximum(windows[:, f], 0)
+            mi = jnp.where(fg, ivals, 0)
+            colsum = jnp.sum(mi, axis=1)
+            rowsum = jnp.sum(mi, axis=2)
+            fg_sum = jnp.sum(colsum, axis=1).astype(jnp.float64)
+            fg_count = jnp.sum(fg, axis=(1, 2)).astype(jnp.int32)
+            sum_ix = (x0.astype(jnp.float64) + 0.5) * fg_sum + (
+                colsum.astype(jnp.float64) @ cols64
+            )
+            sum_iy = (y0.astype(jnp.float64) + 0.5) * fg_sum + (
+                rowsum.astype(jnp.float64) @ rows64
+            )
+            sum_iz = fg_sum * (z_values[f] + 0.5)
+
+            in_range = bg & (ivals < NUM_BG_BINS)
+            co = (
+                in_range[..., None] & ((ivals >> 4)[..., None] == k16)
+            ).reshape(A, bh * lanes, 16)
+            fi = ((ivals & 15)[..., None] == k16).reshape(A, bh * lanes, 16)
+            hist = (
+                jnp.einsum(
+                    "apc,apf->acf",
+                    co.astype(jnp.bfloat16),
+                    fi.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                .reshape(A, NUM_BG_BINS)
+                .astype(jnp.int32)
+            )
+            overflow = jnp.sum(bg & (ivals >= NUM_BG_BINS), axis=(1, 2)).astype(
+                jnp.int32
+            )
+            bg_count = jnp.sum(bg, axis=(1, 2)).astype(jnp.int32)
+            outs.append(
+                (
+                    fg_sum,
+                    fg_count,
+                    sum_ix,
+                    sum_iy,
+                    sum_iz,
+                    hist,
+                    overflow,
+                    bg_count,
+                )
+            )
+        return tuple(
+            jnp.stack([o[k] for o in outs]) for k in range(8)
+        )
+
     # --- host driver ---------------------------------------------------------
 
     def integrate(
         self, reader, image_numbers, acc: Accumulators, depth: int = 3
     ) -> None:
-        """Stream frames through the classification step, accumulating.
+        """Stream frames through the blocked classification step.
 
-        Dispatches up to ``depth`` chunks ahead of collection (the same
-        software pipeline the spotfinder CLI uses), so host-side decode and
-        accumulation overlap the asynchronous XLA steps instead of blocking
-        on ``np.asarray`` after every chunk (reference overlap architecture:
-        integrator.cc frame loop + CUDA streams).
+        TPU-first streaming join (replaces the reference's per-(refl,
+        image) GPU blocks, kabsch.cu:455-675): reflections are statically
+        chunked in z order; frames stream through device-resident blocks
+        of ``frame_block``; each (chunk, frame-block) pair runs one jitted
+        step whose shoebox windows arrive via one multi-plane DMA per
+        reflection covering all frames of the block, and whose corner
+        geometry is cached per chunk for its whole z-span.  Dispatches up
+        to ``depth`` steps ahead so host decode and accumulation overlap
+        the device (reference overlap: integrator.cc frame loop + CUDA
+        streams).
         """
         from collections import deque
 
+        import jax
         import jax.numpy as jnp
 
         osc_start, osc_width = self.scan.oscillation
@@ -441,71 +712,104 @@ class KabschIntegrator:
         cs_e2 /= np.linalg.norm(cs_e2, axis=1, keepdims=True)
         zeta = cs_e1 @ np.asarray(self._m2)
 
+        # static z-ordered chunks
+        order = np.argsort(self.bboxes[:, 4], kind="stable")
+        chunks = [
+            order[i : i + self.max_active]
+            for i in range(0, len(order), self.max_active)
+        ]
+        chunk_zmin = np.array(
+            [self.bboxes[c, 4].min(initial=0) for c in chunks]
+        )
+        chunk_zmax = np.array(
+            [self.bboxes[c, 5].max(initial=0) for c in chunks]
+        )
+        cache: dict[int, dict] = {}
+
+        if not hasattr(self, "_block_jit"):
+            self._block_jit = jax.jit(
+                self._block_step_impl, static_argnames=("centre_slices",)
+            )
+
+        det_mask = reader.get_mask()
+        if det_mask is not None and getattr(self, "_mask_canvas", None) is None:
+            self.set_mask(np.asarray(det_mask))
+
+        image_numbers = list(image_numbers)
+        F = getattr(self, "frame_block", 4)
+        d_osc = float(np.deg2rad(osc_width))
+
         inflight: deque = deque()
 
         def collect_one():
             chunk, a, out = inflight.popleft()
-            (
-                fg_sum, fg_count, sum_ix, sum_iy, sum_iz, hist, overflow, bg_count,
-            ) = (np.asarray(v) for v in out)
-            acc.fg_sum[chunk] += fg_sum[:a]
-            acc.fg_count[chunk] += fg_count[:a]
-            acc.sum_ix[chunk] += sum_ix[:a]
-            acc.sum_iy[chunk] += sum_iy[:a]
-            acc.sum_iz[chunk] += sum_iz[:a]
-            acc.bg_hist[chunk] += hist[:a]
-            acc.bg_overflow[chunk] += overflow[:a]
-            acc.bg_count[chunk] += bg_count[:a]
+            arrs = [np.asarray(v) for v in out]
+            for f in range(arrs[0].shape[0]):
+                acc.fg_sum[chunk] += arrs[0][f][:a]
+                acc.fg_count[chunk] += arrs[1][f][:a]
+                acc.sum_ix[chunk] += arrs[2][f][:a]
+                acc.sum_iy[chunk] += arrs[3][f][:a]
+                acc.sum_iz[chunk] += arrs[4][f][:a]
+                acc.bg_hist[chunk] += arrs[5][f][:a]
+                acc.bg_overflow[chunk] += arrs[6][f][:a]
+                acc.bg_count[chunk] += arrs[7][f][:a]
 
-        for img_no in image_numbers:
-            sel = np.nonzero(
-                (self.bboxes[:, 4] <= img_no) & (self.bboxes[:, 5] > img_no)
-            )[0]
-            if len(sel) == 0:
+        for b0 in range(0, len(image_numbers), F):
+            blk = image_numbers[b0 : b0 + F]
+            n_blk = len(blk)
+            z_lo, z_hi = blk[0], blk[-1]
+            touching = [
+                ci
+                for ci in range(len(chunks))
+                if chunk_zmin[ci] <= z_hi and chunk_zmax[ci] > z_lo
+            ]
+            if not touching:
                 continue
-            image = np.asarray(reader.get_image(img_no))
-            det_mask = reader.get_mask()
-            if det_mask is None:
-                det_mask = np.ones_like(image, dtype=np.uint8)
-            pad_img = np.pad(image, ((self.box_h, self.box_h), (self.box_w, self.box_w)))
-            pad_mask = np.pad(
-                det_mask, ((self.box_h, self.box_h), (self.box_w, self.box_w))
+            frames_np = np.stack(
+                [np.asarray(reader.get_image(n)) for n in blk]
+                + [np.zeros(self.panel.image_size[::-1], np.uint16)]
+                * (F - n_blk)
             )
-            img_dev = jnp.asarray(pad_img)
-            mask_dev = jnp.asarray(pad_mask)
+            frames = jnp.asarray(self.pad_frames(frames_np)).astype(jnp.int32)
+            phi_lows = jnp.asarray(
+                np.deg2rad(
+                    osc_start
+                    + (np.arange(F) + blk[0] - (z0 - 1)) * osc_width
+                )
+            )
+            z_values = jnp.asarray(np.arange(F) + float(blk[0]))
+            frame_ok = jnp.asarray(np.arange(F) < n_blk)
 
-            phi_low = np.deg2rad(osc_start + (img_no - (z0 - 1)) * osc_width)
-            phi_high = np.deg2rad(osc_start + (img_no + 1 - (z0 - 1)) * osc_width)
-
-            for c0 in range(0, len(sel), self.max_active):
-                chunk = sel[c0 : c0 + self.max_active]
-                a = len(chunk)
-                pad_n = self.max_active - a
-
-                def padi(v, fill=0):
-                    return np.concatenate([v, np.full((pad_n,) + v.shape[1:], fill, v.dtype)])
-
-                out = self._step(
-                    self.corner_field(),
-                    img_dev,
-                    mask_dev,
-                    jnp.asarray(padi(self.bboxes[chunk, 0])),
-                    jnp.asarray(padi(self.bboxes[chunk, 2])),
-                    jnp.asarray(padi(self.bboxes[chunk])),
-                    jnp.asarray(padi(self.s1[chunk])),
-                    jnp.asarray(padi(self.phi[chunk])),
-                    jnp.asarray(padi(cs_e1[chunk])),
-                    jnp.asarray(padi(cs_e2[chunk])),
-                    jnp.asarray(padi(zeta[chunk])),
-                    jnp.asarray(padi(np.ones(a, dtype=bool), False)),
-                    phi_low,
-                    phi_high,
-                    float(img_no),
+            for ci in touching:
+                if ci not in cache:
+                    cache[ci] = self._chunk_setup(chunks[ci], cs_e1, cs_e2, zeta)
+                dev = cache[ci]
+                out = self._block_jit(
+                    frames,
+                    dev["fieldw"],
+                    dev["maskw"],
+                    dev["x0"],
+                    dev["y0"],
+                    dev["bbox"],
+                    dev["s1"],
+                    dev["phi"],
+                    dev["e1"],
+                    dev["e2"],
+                    dev["zeta"],
+                    dev["active"],
+                    phi_lows,
+                    d_osc,
+                    z_values,
+                    frame_ok,
                     centre_slices=True,
                 )
-                inflight.append((chunk, a, out))
+                inflight.append((chunks[ci], len(chunks[ci]), out))
                 while len(inflight) > depth:
                     collect_one()
+            # evict chunks whose z-span has passed
+            for ci in list(cache):
+                if chunk_zmax[ci] <= z_hi + 1:
+                    del cache[ci]
 
         while inflight:
             collect_one()

@@ -31,6 +31,133 @@ from jax.experimental.pallas import tpu as pltpu
 _R = 8  # windows per grid program (DMA batch)
 
 
+def _gather_planes_kernel(
+    y0_ref,
+    xblk_ref,
+    shift_ref,
+    img_hbm,  # (P, Hp, Wp//128, 128) ANY
+    out_ref,  # (R, P, bh, 128) block
+    tiles,  # scratch (2, R, P, bh, 2, 128)
+    sems,  # DMA sems (2, R)
+    *,
+    p: int,
+    bh: int,
+    out_dtype,
+):
+    # Multi-plane variant: ONE DMA per window covers all P planes (e.g.
+    # the 4 frames of a resident frame block, or the 6 hi/lo corner-field
+    # planes), amortising the per-DMA latency that dominates the
+    # single-plane kernel (~1.26 us/window at A=2048 on v5e).
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    zero = jnp.asarray(0, jnp.int32)
+
+    def start_dmas(slot, prog):
+        for r in range(_R):
+            a = prog * _R + r
+            # r must be an explicit i32 constant: under jax_enable_x64 a
+            # bare Python int lowers to an i64 memref_slice operand, which
+            # Mosaic rejects
+            ri = jnp.asarray(r, jnp.int32)
+            pltpu.make_async_copy(
+                img_hbm.at[
+                    pl.ds(zero, img_hbm.shape[0]),
+                    pl.ds(y0_ref[a], bh),
+                    pl.ds(xblk_ref[a], 2),
+                    pl.ds(zero, 128),
+                ],
+                tiles.at[slot, ri],
+                sems.at[slot, ri],
+            ).start()
+
+    slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
+    next_slot = jax.lax.rem(i + 1, jnp.asarray(2, i.dtype))
+
+    @pl.when(i == 0)
+    def _():
+        start_dmas(slot, i)
+
+    @pl.when(i + 1 < n)
+    def _():
+        start_dmas(next_slot, i + 1)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bh, 128), 1)
+    for r in range(_R):
+        a = i * _R + r
+        ri = jnp.asarray(r, jnp.int32)
+        pltpu.make_async_copy(
+            img_hbm.at[
+                pl.ds(zero, img_hbm.shape[0]),
+                pl.ds(y0_ref[a], bh),
+                pl.ds(xblk_ref[a], 2),
+                pl.ds(zero, 128),
+            ],
+            tiles.at[slot, ri],
+            sems.at[slot, ri],
+        ).wait()
+        sh = shift_ref[a]
+        sel = lane < 128 - sh
+        for q in range(p):
+            qi = jnp.asarray(q, jnp.int32)
+            t0 = tiles[slot, ri, qi, :, zero, :]
+            t1 = tiles[slot, ri, qi, :, jnp.asarray(1, jnp.int32), :]
+            r0 = pltpu.roll(t0, -sh, 1)
+            r1 = pltpu.roll(t1, -sh, 1)
+            out_ref[r, q] = jnp.where(sel, r0, r1).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bh", "interpret"))
+def window_gather_planes(
+    img: jnp.ndarray,
+    y0: jnp.ndarray,
+    x0: jnp.ndarray,
+    *,
+    bh: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Gather (A, P, bh, 128) windows from a (P, Hp, Wp) plane stack, one
+    DMA per window across all planes.  Same contract as
+    :func:`window_gather` otherwise."""
+    p, hp, wp = img.shape
+    assert wp % 128 == 0 and bh % 8 == 0
+    assert img.dtype.itemsize >= 4
+    a = y0.shape[0]
+    ap = ((a + _R - 1) // _R) * _R
+    y0p = jnp.pad(y0.astype(jnp.int32), (0, ap - a))
+    x0p = jnp.pad(x0.astype(jnp.int32), (0, ap - a))
+    xblk = jnp.minimum(x0p >> 7, wp // 128 - 2)
+    shift = x0p - (xblk << 7)
+    out_dtype = (
+        jnp.float32
+        if jnp.issubdtype(img.dtype, jnp.floating)
+        else jnp.int32
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _gather_planes_kernel, p=p, bh=bh, out_dtype=out_dtype
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(ap // _R,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                # literal 0s must be i32: under x64 they lower as i64
+                # block indices, which Mosaic fails to legalize
+                (_R, p, bh, 128),
+                lambda i, *_: (i,) + (jnp.asarray(0, jnp.int32),) * 3,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, _R, p, bh, 2, 128), img.dtype),
+                pltpu.SemaphoreType.DMA((2, _R)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((ap, p, bh, 128), out_dtype),
+        interpret=interpret,
+    )(y0p, xblk, shift, img.reshape(p, hp, wp // 128, 128))
+    return out[:a]
+
+
 def _gather_kernel(
     y0_ref,  # scalar-prefetch (A,)
     xblk_ref,  # scalar-prefetch (A,) 128-lane block index
@@ -52,15 +179,23 @@ def _gather_kernel(
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
+    zero = jnp.asarray(0, jnp.int32)
+
     def start_dmas(slot, prog):
         for r in range(_R):
             a = prog * _R + r
+            # explicit i32 for every slice start / scratch index: bare
+            # Python ints lower to i64 under jax_enable_x64 and Mosaic
+            # rejects i64 memref_slice operands
+            ri = jnp.asarray(r, jnp.int32)
             pltpu.make_async_copy(
                 img_hbm.at[
-                    pl.ds(y0_ref[a], bh), pl.ds(xblk_ref[a], 2), :
+                    pl.ds(y0_ref[a], bh),
+                    pl.ds(xblk_ref[a], 2),
+                    pl.ds(zero, 128),
                 ],
-                tiles.at[slot, r],
-                sems.at[slot, r],
+                tiles.at[slot, ri],
+                sems.at[slot, ri],
             ).start()
 
     slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
@@ -77,13 +212,18 @@ def _gather_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (bh, 128), 1)
     for r in range(_R):
         a = i * _R + r
+        ri = jnp.asarray(r, jnp.int32)
         pltpu.make_async_copy(
-            img_hbm.at[pl.ds(y0_ref[a], bh), pl.ds(xblk_ref[a], 2), :],
-            tiles.at[slot, r],
-            sems.at[slot, r],
+            img_hbm.at[
+                pl.ds(y0_ref[a], bh),
+                pl.ds(xblk_ref[a], 2),
+                pl.ds(zero, 128),
+            ],
+            tiles.at[slot, ri],
+            sems.at[slot, ri],
         ).wait()
-        t0 = tiles[slot, r, :, 0, :]
-        t1 = tiles[slot, r, :, 1, :]
+        t0 = tiles[slot, ri, :, zero, :]
+        t1 = tiles[slot, ri, :, jnp.asarray(1, jnp.int32), :]
         sh = shift_ref[a]
         r0 = pltpu.roll(t0, -sh, 1)
         r1 = pltpu.roll(t1, -sh, 1)
@@ -133,7 +273,8 @@ def window_gather(
             grid=(ap // _R,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
-                (_R, bh, 128), lambda i, *_: (i, 0, 0)
+                (_R, bh, 128),
+                lambda i, *_: (i,) + (jnp.asarray(0, jnp.int32),) * 2,
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, _R, bh, 2, 128), img.dtype),

@@ -39,3 +39,22 @@ def test_window_gather_float_and_edges(rng):
         [img[y0[k] : y0[k] + 32, x0[k] : x0[k] + 128] for k in range(len(y0))]
     )
     np.testing.assert_array_equal(out, want)
+
+
+def test_window_gather_planes(rng):
+    from ffs_tpu.ops.window_gather import window_gather_planes
+
+    img = rng.integers(0, 60000, (4, 256, 384)).astype(np.int32)
+    a = 13
+    y0 = rng.integers(0, 256 - 32, a)
+    x0 = rng.integers(0, 384 - 128, a)
+    out = np.asarray(
+        window_gather_planes(
+            jnp.asarray(img), jnp.asarray(y0), jnp.asarray(x0), bh=32,
+            interpret=True,
+        )
+    )
+    want = np.stack(
+        [img[:, y0[k] : y0[k] + 32, x0[k] : x0[k] + 128] for k in range(a)]
+    )
+    np.testing.assert_array_equal(out, want)

@@ -1,8 +1,14 @@
-"""Kabsch integrator device-step throughput (separate process: x64 on).
+"""Kabsch integrator blocked device-step throughput (separate process).
 
-Prints ONE JSON line {"metric": "kabsch_integrate_refl_per_s", ...}.
-Invoked by bench.py as a subprocess (the main bench keeps x64 off for the
-Mosaic kernels; the integrator's f64 accumulation needs it on).
+Prints ONE JSON line {"metric": "kabsch_integrate_refl_per_s", ...} in
+reflection-image slices/s.  Measures the production blocked path: one
+jitted step per (reflection chunk, frame block) with multi-plane DMA
+window gathers and per-chunk cached corner geometry (the exact code
+integrate() drives), on realistic 21x21 shoeboxes spanning 4 frames.
+
+Baseline: real-time integration of a 500 Hz collection = 464
+predictions/image x ~4-image z extent x 500 images/s = 928k
+reflection-image slices/s (derivation in BASELINE.md).
 """
 
 import json
@@ -26,8 +32,9 @@ def main() -> int:
     from ffs_tpu.integration import kabsch as kb
     from ffs_tpu.models.geometry import Goniometer, MonochromaticBeam, Scan, simple_panel
 
-    A = int(os.environ.get("FFS_BENCH_INT_REFL", "512"))
-    REPS = int(os.environ.get("FFS_BENCH_INT_REPS", "8"))
+    A = int(os.environ.get("FFS_BENCH_INT_REFL", "1024"))
+    F = 4
+    REPS = int(os.environ.get("FFS_BENCH_INT_REPS", "16"))
     H, W = 2164, 2068  # Eiger 4M-ish frame
 
     rng = np.random.default_rng(3)
@@ -47,7 +54,7 @@ def main() -> int:
         [
             np.clip(x - half, 0, W - 1), np.clip(x + half, 0, W - 1),
             np.clip(y - half, 0, H - 1), np.clip(y + half, 0, H - 1),
-            np.zeros(A), np.full(A, 3),
+            np.zeros(A), np.full(A, F),
         ],
         axis=1,
     ).astype(np.int64)
@@ -58,43 +65,45 @@ def main() -> int:
         delta_b=np.deg2rad(0.3), delta_m=np.deg2rad(1.0), max_active=A,
     )
 
-    image = rng.poisson(4.0, size=(H, W)).astype(np.uint16)
-    pad_img = np.pad(image, ((integ.box_h, integ.box_h), (integ.box_w, integ.box_w)))
-    pad_mask = np.pad(
-        np.ones((H, W), np.uint8), ((integ.box_h, integ.box_h), (integ.box_w, integ.box_w))
-    )
-
     cs_e1 = np.cross(s1, beam.s0)
     cs_e1 /= np.linalg.norm(cs_e1, axis=1, keepdims=True)
     cs_e2 = np.cross(s1, cs_e1)
     cs_e2 /= np.linalg.norm(cs_e2, axis=1, keepdims=True)
     zeta = cs_e1 @ (gonio.rotation_axis / np.linalg.norm(gonio.rotation_axis))
 
+    dev = integ._chunk_setup(np.arange(A), cs_e1, cs_e2, zeta)
+    image = rng.poisson(4.0, size=(F, H, W)).astype(np.uint16)
+    frames = jnp.asarray(integ.pad_frames(image)).astype(jnp.int32)
+    phi_lows = jnp.asarray(np.deg2rad(np.arange(F) * 0.1))
+    z_values = jnp.asarray(np.arange(F, dtype=np.float64))
+    frame_ok = jnp.ones(F, dtype=bool)
+
+    block = jax.jit(integ._block_step_impl, static_argnames=("centre_slices",))
     args = (
-        jnp.asarray(pad_img), jnp.asarray(pad_mask),
-        jnp.asarray(bboxes[:, 0]), jnp.asarray(bboxes[:, 2]),
-        jnp.asarray(bboxes), jnp.asarray(s1), jnp.asarray(phi),
-        jnp.asarray(cs_e1), jnp.asarray(cs_e2), jnp.asarray(zeta),
-        jnp.ones(A, dtype=bool), 0.0, np.deg2rad(0.1), 1.0,
+        dev["fieldw"], dev["maskw"], dev["x0"], dev["y0"], dev["bbox"],
+        dev["s1"], dev["phi"], dev["e1"], dev["e2"], dev["zeta"],
+        dev["active"], phi_lows, float(np.deg2rad(0.1)), z_values, frame_ok,
     )
 
     @jax.jit
-    def chained(img, *rest):
+    def chained(fr, *rest):
         def body(i, acc):
-            out = integ._step(integ.corner_field(), img + (i & 1).astype(img.dtype), *rest, centre_slices=True)
-            return acc + out[0].sum() + out[5].sum() + out[1].sum()
+            out = block(fr + (i & 1), *rest, centre_slices=True)
+            return (
+                acc
+                + out[0].sum()
+                + out[5].sum().astype(jnp.float64)
+                + out[1].sum()
+            )
 
         return jax.lax.fori_loop(0, REPS, body, jnp.float64(0.0))
 
-    jax.block_until_ready(chained(*args))
+    jax.block_until_ready(chained(frames, *args))
     t0 = time.perf_counter()
-    jax.block_until_ready(chained(*args))
+    jax.block_until_ready(chained(frames, *args))
     dt = time.perf_counter() - t0
 
-    rps = A * REPS / dt
-    # Baseline: real-time integration of a 500 Hz collection = 464
-    # predictions/image x ~4-image z extent x 500 images/s = 928k
-    # reflection-image slices/s (derivation in BASELINE.md).
+    rps = A * F * REPS / dt
     print(
         json.dumps(
             {
