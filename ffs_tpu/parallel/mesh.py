@@ -206,3 +206,170 @@ def sharded_packed_pipeline(
         return per_frame, table.n_spots[None], total
 
     return jax.jit(step)(frames, mask)
+
+
+def sharded_packed_sp_pipeline(
+    mesh: Mesh,
+    frame: jnp.ndarray,
+    mask: jnp.ndarray,
+    trusted_max: float,
+    *,
+    max_pixels_per_chip: int = 8192,
+    max_spots: int = 4096,
+    interpret: bool = False,
+    axis: str = "data",
+):
+    """The PRODUCTION packed pipeline on ONE frame, rows sharded over ICI.
+
+    The single-stream-faster-than-one-chip path (SURVEY §2.9/P9): each chip
+    runs the full packed hot path — Pallas dispersion kernel, word
+    compaction with derived vertical neighbours, sparse CC — on its row
+    shard, after a `ppermute` halo exchange makes the windowed statistics
+    exact at shard boundaries.  Components crossing a shard boundary are
+    then merged by iterated min-propagation of *global root linear indices*
+    over the boundary rows (the CC label-merge collective, the one place
+    this workload genuinely needs ICI), and the final spot table is
+    tabulated from the all-gathered compact pixels with exactly the
+    single-chip code — so the result is bit-identical to the single-chip
+    flat path (asserted in tests/test_parallel.py and dryrun_multichip).
+
+    Returns a replicated ``SpotTable`` (z = 0 rows, ``frame_rows=None``
+    lin convention: lin = y*W + x) plus the global strong-pixel count.
+    """
+    from ..ops import connected_components as cc
+    from ..ops.compact import compact_from_pcw_flat
+    from ..ops.connected_components import BIG, CompactPixels, _searchsorted
+    from ..ops.dispersion_pallas import dispersion_packed_raw
+
+    n = mesh.shape[axis]
+    h, w = frame.shape
+    if h % n:
+        raise ValueError(f"rows ({h}) must divide the mesh axis ({n})")
+    hs = h // n
+    r = KERNEL_RADIUS
+    if hs < r:
+        raise ValueError(f"shard rows ({hs}) must cover the halo ({r})")
+    k = max_pixels_per_chip
+
+    frame = jax.device_put(frame, NamedSharding(mesh, P(axis, None)))
+    mask = jax.device_put(mask, NamedSharding(mesh, P(axis, None)))
+
+    def _exchange(x, n_rows):
+        top = jax.lax.slice_in_dim(x, 0, n_rows, axis=0)
+        bottom = jax.lax.slice_in_dim(
+            x, x.shape[0] - n_rows, x.shape[0], axis=0
+        )
+        from_above = jax.lax.ppermute(
+            bottom, axis, [(i, i + 1) for i in range(n - 1)]
+        )
+        from_below = jax.lax.ppermute(
+            top, axis, [(i + 1, i) for i in range(n - 1)]
+        )
+        # edge shards have no neighbour: ppermute already yields zeros,
+        # matching the single-chip zero-padded window sums
+        return jnp.concatenate([from_above, x, from_below], axis=0)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def step(img_shard, mask_shard):
+        idx = jax.lax.axis_index(axis)
+
+        # --- per-chip packed hot path on the haloed strip ----------------
+        img_p = _exchange(img_shard, r)
+        mask_p = _exchange(mask_shard, r)
+        pcw = dispersion_packed_raw(
+            img_p, mask_p, trusted_max, trim=True, interpret=interpret
+        )
+        pcw_local = pcw[r : r + hs]  # drop halo rows
+        pixels, nbu, nbd = compact_from_pcw_flat(
+            img_shard[None],
+            pcw_local[None],
+            max_pixels_total=k,
+            with_neighbors=True,
+        )
+        in_spot = pixels.linear_index < BIG
+        lin_g = jnp.where(
+            in_spot, pixels.linear_index + idx * hs * w, BIG
+        ).astype(jnp.int32)
+        root_slot = cc.label_compact_pixels(
+            pixels, width=w, neighbors=(nbu, nbd)
+        )
+
+        # --- cross-shard label merge over ICI ----------------------------
+        # Iterated min-propagation of global root lins across boundary
+        # rows (reference architecture analogue: the host 3D graph merge,
+        # connected_components.cc:270-471, restriped as the one true
+        # collective use).  Converges in <= number of boundary crossings
+        # of the largest component.
+        slots = jnp.arange(k, dtype=jnp.int32)
+        px = jnp.where(in_spot, pixels.linear_index % w, 0)
+        py = jnp.where(in_spot, pixels.linear_index // w, -1)
+        on_top = in_spot & (py == 0)
+        on_bot = in_spot & (py == hs - 1)
+
+        def body(state):
+            root_g, _ = state
+            top_row = jax.ops.segment_min(
+                jnp.where(on_top, root_g, BIG), px, num_segments=w
+            )
+            bot_row = jax.ops.segment_min(
+                jnp.where(on_bot, root_g, BIG), px, num_segments=w
+            )
+            from_above = jax.lax.ppermute(
+                bot_row, axis, [(i, i + 1) for i in range(n - 1)]
+            )
+            from_below = jax.lax.ppermute(
+                top_row, axis, [(i + 1, i) for i in range(n - 1)]
+            )
+            # ppermute pads absent sources with zeros — and 0 is a valid
+            # lin — so edge shards must explicitly see "no neighbour"
+            from_above = jnp.where(idx == 0, BIG, from_above)
+            from_below = jnp.where(idx == n - 1, BIG, from_below)
+            cand = jnp.full((k,), BIG, jnp.int32)
+            cand = jnp.where(on_top, jnp.minimum(cand, from_above[px]), cand)
+            cand = jnp.where(on_bot, jnp.minimum(cand, from_below[px]), cand)
+            # propagate the best boundary candidate to the whole local
+            # component (root_g is uniform per local component)
+            comp_cand = jax.ops.segment_min(
+                cand, root_slot, num_segments=k
+            )
+            new = jnp.minimum(root_g, comp_cand[root_slot])
+            changed = (
+                jax.lax.psum(jnp.sum((new != root_g).astype(jnp.int32)), axis)
+                > 0
+            )
+            return new, changed
+
+        root_g0 = jnp.where(in_spot, lin_g[root_slot], BIG).astype(jnp.int32)
+        root_g, _ = jax.lax.while_loop(
+            lambda s: s[1], body, (root_g0, jnp.bool_(True))
+        )
+
+        # --- replicated tabulation from the all-gathered pixels ----------
+        # (~K * 12 B per chip — trivial next to the frame itself)
+        gl = jax.lax.all_gather(lin_g, axis, tiled=True)
+        gi = jax.lax.all_gather(pixels.intensity, axis, tiled=True)
+        gr = jax.lax.all_gather(root_g, axis, tiled=True)
+        sl, si, sr = jax.lax.sort((gl, gi, gr), dimension=0, num_keys=1)
+        total = jax.lax.psum(pixels.count, axis)
+        # the root pixel's slot in the sorted order; padding (root == BIG)
+        # resolves to its own slot so spot ids stay in range
+        rs = _searchsorted(sl, sr)
+        rs = jnp.where(
+            sr < BIG, jnp.clip(rs, 0, n * k - 1), jnp.arange(n * k)
+        ).astype(jnp.int32)
+        table = cc.spot_table_from_pixels(
+            CompactPixels(sl, si, total),
+            rs,
+            width=w,
+            max_spots=max_spots,
+            dtype=jnp.float32,
+        )
+        return table, total
+
+    return jax.jit(step)(frame, mask)

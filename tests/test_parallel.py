@@ -95,3 +95,64 @@ def test_sharded_packed_pipeline_matches_single_chip(small_frame):
     np.testing.assert_array_equal(per_frame, want)
     assert int(total) == sum(want)
     assert np.asarray(spots_per_chip).sum() > 0
+
+
+def test_sharded_packed_sp_table_bit_identical(mesh, rng):
+    """Intra-frame SP of the production packed path: spot TABLE parity.
+
+    One frame's rows sharded over 8 chips; spots planted to span shard
+    boundaries so the cross-shard label merge (boundary-row min-propagation
+    over ICI) is genuinely exercised.  Every table column must be
+    bit-identical to the single-chip flat packed path.
+    """
+    from ffs_tpu.ops import connected_components as cc
+    from ffs_tpu.ops.compact import compact_from_pcw_flat
+    from ffs_tpu.ops.dispersion_pallas import dispersion_packed_raw
+    from ffs_tpu.parallel import sharded_packed_sp_pipeline
+
+    h, w = 128, 192  # 16 rows per shard
+    image = rng.poisson(4.0, size=(h, w)).astype(np.uint16)
+    # spots spanning shard boundaries (rows 15/16, 63/64, 111/112) and a
+    # tall one crossing THREE shards (rows 40..56 spans 47/48-boundary..)
+    image[14:19, 30:34] = 700
+    image[60:68, 90:94] = 900
+    image[110:114, 150:153] = 650
+    image[40:57, 10:12] = 800
+    mask = np.ones((h, w), np.uint8)
+
+    table, total = sharded_packed_sp_pipeline(
+        mesh,
+        jnp.asarray(image),
+        jnp.asarray(mask),
+        65535.0,
+        max_pixels_per_chip=1024,
+        max_spots=512,
+        interpret=True,
+    )
+
+    # single-chip flat packed oracle with the same lin convention
+    pcw = dispersion_packed_raw(
+        jnp.asarray(image), jnp.asarray(mask), 65535.0, trim=True,
+        interpret=True,
+    )
+    pixels, nbu, nbd = compact_from_pcw_flat(
+        jnp.asarray(image)[None], pcw[None],
+        max_pixels_total=8 * 1024, with_neighbors=True,
+    )
+    root = cc.label_compact_pixels(pixels, width=w, neighbors=(nbu, nbd))
+    want = cc.spot_table_from_pixels(
+        pixels, root, width=w, max_spots=512, dtype=jnp.float32
+    )
+
+    assert int(total) == int(pixels.count) > 0
+    ns = int(want.n_spots)
+    assert int(table.n_spots) == ns > 0
+    for field in want._fields:
+        if field == "n_spots":
+            continue
+        a = np.asarray(getattr(table, field))[:ns]
+        b = np.asarray(getattr(want, field))[:ns]
+        np.testing.assert_array_equal(a, b, err_msg=f"column {field}")
+    # the boundary-spanning spots really exist as single components
+    n_px = np.asarray(want.n_pixels)[:ns]
+    assert (n_px >= 17 * 2).any(), "three-shard spot not merged"
