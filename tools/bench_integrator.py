@@ -32,7 +32,7 @@ def main() -> int:
     from ffs_tpu.integration import kabsch as kb
     from ffs_tpu.models.geometry import Goniometer, MonochromaticBeam, Scan, simple_panel
 
-    A = int(os.environ.get("FFS_BENCH_INT_REFL", "1024"))
+    A = int(os.environ.get("FFS_BENCH_INT_REFL", "2048"))
     F = 4
     REPS = int(os.environ.get("FFS_BENCH_INT_REPS", "16"))
     H, W = 2164, 2068  # Eiger 4M-ish frame
