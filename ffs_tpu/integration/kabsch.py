@@ -467,23 +467,20 @@ class KabschIntegrator:
         """(6, Hc, Wc) f32 hi/lo split of :meth:`corner_field`, padded so
         window lane starts satisfy the gather contract."""
         if getattr(self, "_field6", None) is None:
-            import jax
             import jax.numpy as jnp
 
-            f64 = self.corner_field()  # (3, h, w)
+            # host-side split: a jitted version folds the whole field into
+            # the program as a constant, writing a ~342 MB XLA cache entry
+            # per shape — NumPy is instant and uploads once
+            f64 = np.asarray(self.corner_field())  # (3, h, w)
             _, h, w = f64.shape
             # lane padding: x0 + box_w <= w - 128 must hold for the gather
             wp = ((w + self.box_w + 128 + 127) // 128) * 128
             hp = ((h + self.box_h + 8 + 7) // 8) * 8
-
-            @jax.jit
-            def split():
-                fp = jnp.pad(f64, ((0, 0), (0, hp - h), (0, wp - w)))
-                hi = fp.astype(jnp.float32)
-                lo = (fp - hi.astype(jnp.float64)).astype(jnp.float32)
-                return jnp.concatenate([hi, lo], axis=0)
-
-            self._field6 = jax.block_until_ready(split())
+            fp = np.pad(f64, ((0, 0), (0, hp - h), (0, wp - w)))
+            hi = fp.astype(np.float32)
+            lo = (fp - hi.astype(np.float64)).astype(np.float32)
+            self._field6 = jnp.asarray(np.concatenate([hi, lo], axis=0))
         return self._field6
 
     def _mask_windows(self, y0, x0):
