@@ -10,6 +10,7 @@ from __future__ import annotations
 import ctypes
 import functools
 import hashlib
+import os
 import pathlib
 import subprocess
 import tempfile
@@ -51,7 +52,8 @@ def lib() -> ctypes.CDLL | None:
         return None
     digest = hashlib.sha256(_SOURCE.read_bytes()).hexdigest()[:12]
     so_name = f"libffs_native-{digest}.so"
-    so_path = _CSRC / so_name
+    build_dir = os.environ.get("FFS_NATIVE_BUILD_DIR")
+    so_path = (pathlib.Path(build_dir) if build_dir else _CSRC) / so_name
     if not so_path.exists():
         target = so_path
         try:
