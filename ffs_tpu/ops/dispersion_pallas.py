@@ -98,6 +98,92 @@ def _htree7(v, s2, s4, n_rows, width, lane0=0):
     ) + v[0:n_rows, pl.ds(lane0 + 6, width)]
 
 
+def _rollm(x, k: int, axis: int):
+    """jnp.roll(x, -k, axis) via pltpu.roll (which requires shift >= 0)."""
+    return pltpu.roll(x, x.shape[axis] - k, axis)
+
+
+def _dispersion_predicate_roll(
+    img_v,
+    slot,
+    mask_strips,
+    mboxc_strips,
+    imf,
+    imsq,
+    vsum,
+    *,
+    strip: int,
+    radius: int,
+    halo: int,
+    trusted_max: float,
+    min_count: int,
+    nsig_b: float,
+    nsig_s: float,
+    signal_test: bool,
+):
+    """Full-register roll formulation of the dispersion predicate.
+
+    Same float addition order as :func:`_vtree7`/:func:`_htree7` element
+    for element (bit-identical outputs); the 1/2/4/6 window shifts ride
+    ``pltpu.roll`` over whole (rows, wp) registers instead of misaligned
+    sub-width slices with masked partial stores.  Requires:
+
+    * the CENTRE-MASKED mask box count ``mboxc = where(mask != 0, mbox, 0)``
+      — the centre-validity test then folds into the ``m > 1`` /
+      ``min_count`` conditions (identical predicate: a masked centre gives
+      m = 0, failing ``m > 1``), and its zero padding lanes force the
+      predicate false wherever the rolls wrapped garbage in;
+    * ``wp - (w + 2r) >= 0`` lanes of zero mbox padding beyond the image
+      (always true: mbox is padded to the 128-aligned wp).
+
+    The returned ``ok`` covers the full (strip, wp) register, lane j =
+    image column j, so the caller stores it with one aligned full-width
+    write and no concat padding.
+    """
+    r = radius
+    assert r == 3, "7-wide tree specialisation"
+    n = strip
+    off = halo - r
+    imf[...] = jnp.where(
+        mask_strips[0, off : off + strip + 2 * r] != 0,
+        img_v[slot, off : off + strip + 2 * r]
+        .astype(jnp.int32)
+        .astype(jnp.float32),
+        0.0,
+    )
+    m = mboxc_strips[0].astype(jnp.int32).astype(jnp.float32)
+
+    def vroll(srcref):
+        sv = srcref[...]
+        s2 = sv + _rollm(sv, 1, 0)
+        s4 = s2 + _rollm(s2, 2, 0)
+        return (s4 + _rollm(s2, 4, 0))[0:n] + _rollm(sv, 6, 0)[0:n]
+
+    def hroll(vref):
+        v = vref[...]
+        s2 = v + _rollm(v, 1, 1)
+        s4 = s2 + _rollm(s2, 2, 1)
+        return (s4 + _rollm(s2, 4, 1)) + _rollm(v, 6, 1)
+
+    # x = window(I): integer-valued f32, exact at any order
+    vsum[0] = vroll(imf)
+    x = hroll(vsum.at[0])
+    # y = window(I^2): rounding-sensitive; same canonical tree order
+    imsq[...] = imf[...] * imf[...]
+    vsum[1] = vroll(imsq)
+    y = hroll(vsum.at[1])
+
+    # centre pixels, lane-aligned to their column (lane j = column j)
+    src = _rollm(imf[r : r + strip], r, 1)
+    a = m * y - x * x - x * (m - 1.0)
+    c = x * nsig_b * jnp.sqrt(jnp.maximum(2.0 * (m - 1.0), 0.0))
+    ok = (src <= trusted_max) & (m >= min_count) & (m > 1)
+    ok &= a > c
+    if signal_test:
+        ok &= (m * src - x) > (nsig_s * jnp.sqrt(x * m))
+    return ok
+
+
 def _dispersion_predicate(
     img_v,
     slot,
@@ -381,6 +467,7 @@ def _dispersion_packed_kernel(
     nsig_s: float,
     signal_test: bool,
     has_mbox: bool,
+    tree_impl: str = "slice",
 ):
     """dispersion predicate -> packed u32 strong words + word-prefix counts.
 
@@ -394,7 +481,12 @@ def _dispersion_packed_kernel(
     else:
         img_hbm, mask_strips, *refs = args
         mbox_strips = None
-    strong_ref, img_v, imf, mkf, imsq, vsum, sems = refs
+    if tree_impl == "roll":
+        # roll mode needs no mkf scratch and only 2 vsum planes
+        strong_ref, img_v, imf, imsq, vsum, sems = refs
+        mkf = None
+    else:
+        strong_ref, img_v, imf, mkf, imsq, vsum, sems = refs
     batch_idx = pl.program_id(0)
     i = pl.program_id(1)
     n_strips = pl.num_programs(1)
@@ -429,6 +521,29 @@ def _dispersion_packed_kernel(
         img_v.at[slot],
         sems.at[slot],
     ).wait()
+
+    if tree_impl == "roll":
+        ok = _dispersion_predicate_roll(
+            img_v,
+            slot,
+            mask_strips,
+            mbox_strips,
+            imf,
+            imsq,
+            vsum,
+            strip=strip,
+            radius=r,
+            halo=halo,
+            trusted_max=trusted_max,
+            min_count=min_count,
+            nsig_b=nsig_b,
+            nsig_s=nsig_s,
+            signal_test=signal_test,
+        )
+        # full-width ok (lane j = column j, pad lanes already false via the
+        # zero mboxc padding): one aligned full-register store
+        strong_ref[0] = ok.astype(jnp.int8)
+        return
 
     ok = _dispersion_predicate(
         img_v,
@@ -521,6 +636,7 @@ def dispersion_packed(
         "signal_test",
         "interpret",
         "trim",
+        "tree_impl",
     ),
 )
 def dispersion_packed_raw(
@@ -537,6 +653,7 @@ def dispersion_packed_raw(
     signal_test: bool = True,
     interpret: bool = False,
     trim: bool = True,
+    tree_impl: str = "auto",
 ) -> jnp.ndarray:
     """Combined-row form: (B?, H, 2*nwl) i32 with lanes [pc | w32].
 
@@ -568,6 +685,18 @@ def dispersion_packed_raw(
     )(strip_starts)
 
     has_mbox = mbox is not None
+    if tree_impl == "auto":
+        # roll trees measured 8.7% faster than slice trees on v5e with
+        # bit-identical output (tools/measure_roll.py); they need the
+        # precomputed mbox (production callers always pass it)
+        tree_impl = "roll" if has_mbox else "slice"
+    if tree_impl == "roll":
+        if not has_mbox:
+            raise ValueError("tree_impl='roll' requires a precomputed mbox")
+        # centre-masked box count: folds the centre-validity test into the
+        # m>1/min_count conditions (see _dispersion_predicate_roll); a
+        # frame-invariant op, hoisted out of any rep/collection loop
+        mbox = jnp.where(mask != 0, mbox, 0).astype(jnp.uint16)
     kernel = functools.partial(
         _dispersion_packed_kernel,
         strip=strip,
@@ -581,6 +710,7 @@ def dispersion_packed_raw(
         nsig_s=nsig_s,
         signal_test=signal_test,
         has_mbox=has_mbox,
+        tree_impl=tree_impl,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
@@ -602,6 +732,23 @@ def dispersion_packed_raw(
     out_spec = pl.BlockSpec(
         (1, strip, wp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
     )
+    if tree_impl == "roll":
+        scratch = [
+            pltpu.VMEM((2, strip + 2 * halo, wp), image.dtype),
+            pltpu.VMEM((strip + 2 * r, wp), jnp.float32),  # imf
+            pltpu.VMEM((strip + 2 * r, wp), jnp.float32),  # imsq
+            pltpu.VMEM((2, strip, wp), jnp.float32),  # vsum x/y
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        scratch = [
+            pltpu.VMEM((2, strip + 2 * halo, wp), image.dtype),
+            pltpu.VMEM((strip + 2 * r, wp), jnp.float32),
+            pltpu.VMEM((strip + 2 * r, wp), jnp.float32),
+            pltpu.VMEM((strip + 2 * r, wp), jnp.float32),
+            pltpu.VMEM((3, strip, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     strong8 = pl.pallas_call(
         kernel,
         grid=(nb, n_strips),
@@ -610,14 +757,7 @@ def dispersion_packed_raw(
         out_shape=[
             jax.ShapeDtypeStruct((nb, hp, wp), jnp.int8),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2, strip + 2 * halo, wp), image.dtype),
-            pltpu.VMEM((strip + 2 * r, wp), jnp.float32),
-            pltpu.VMEM((strip + 2 * r, wp), jnp.float32),
-            pltpu.VMEM((strip + 2 * r, wp), jnp.float32),
-            pltpu.VMEM((3, strip, wp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
