@@ -66,6 +66,110 @@ def mask_box_count_extended(mask: jnp.ndarray, *, strip: int = DEFAULT_STRIP):
     return box_sum((mask_p != 0).astype(jnp.int32), _R).astype(jnp.uint16)
 
 
+def _ext_predicate_roll(
+    imf,
+    mkf,
+    disp,
+    surv,
+    wk0,
+    wk1,
+    wk2,
+    mboxc,
+    *,
+    strip: int,
+    trusted_max: float,
+    min_count: int,
+    nsig_b: float,
+    nsig_s: float,
+):
+    """Full-register roll formulation of all three extended stages.
+
+    Same float semantics as the slice path (stage-1's rounding-sensitive
+    y tree keeps the canonical order; every other grid is integer-exact);
+    the window shifts ride pltpu.roll over whole (rows, wp) registers.
+    Alignment convention: a grid produced by a (2k+1)-wide roll tree has
+    its row/lane origin advanced by k, so stage-1 grids sit at origin
+    -_APRON, stage-2 at -_RX, stage-3 at 0 — inter-grid reads are just
+    rolls by the origin difference.  Requires the CENTRE-MASKED stage-1
+    box count ``mboxc`` (folds the msk1>0 test, as in
+    dispersion_pallas._dispersion_predicate_roll); all roll wrap garbage
+    lands in lanes where the zero-padded mask/mbox force the predicates
+    false (left pad = _IMG >= every shift used, right pad >= 10 lanes).
+    """
+    from .dispersion_pallas import _rollm
+
+    n1 = strip + 2 * _APRON
+    n2 = strip + 2 * _RX
+
+    def rm2(v, k):
+        return _rollm(_rollm(v, k, 0), k, 1)
+
+    def vroll7(v):
+        s2 = v + _rollm(v, 1, 0)
+        s4 = s2 + _rollm(s2, 2, 0)
+        return (s4 + _rollm(s2, 4, 0)) + _rollm(v, 6, 0)
+
+    def hroll7(v):
+        s2 = v + _rollm(v, 1, 1)
+        s4 = s2 + _rollm(s2, 2, 1)
+        return (s4 + _rollm(s2, 4, 1)) + _rollm(v, 6, 1)
+
+    def roll5(v, ax):
+        # 5-wide tree, parts [4, 1]: (s2 + s2>>2) + s1>>4
+        s2 = v + _rollm(v, 1, ax)
+        return (s2 + _rollm(s2, 2, ax)) + _rollm(v, 4, ax)
+
+    def roll11(v, ax):
+        # 11-wide tree, parts [8, 2, 1] with s8 = s4 + s4>>4
+        s2 = v + _rollm(v, 1, ax)
+        s4 = s2 + _rollm(s2, 2, ax)
+        return ((s4 + _rollm(s4, 4, ax)) + _rollm(s2, 8, ax)) + _rollm(
+            v, 10, ax
+        )
+
+    # ---- stage 1: first pass (grid origin -_APRON) -------------------------
+    m = mboxc[0].astype(jnp.int32).astype(jnp.float32)  # (n1, wp), centre-masked
+    wk1[...] = vroll7(imf[...])
+    x = hroll7(wk1[...])[0:n1]
+    wk2[...] = imf[...] * imf[...]
+    wk0[...] = vroll7(wk2[...])
+    y = hroll7(wk0[...])[0:n1]
+    src1 = rm2(imf[...], _R)[0:n1]
+    a = m * y - x * x - x * (m - 1.0)
+    cthr = x * nsig_b * jnp.sqrt(jnp.maximum(2.0 * (m - 1.0), 0.0))
+    first = (src1 <= trusted_max) & (m >= min_count) & (m > 1) & (a > cthr)
+    disp[...] = first.astype(jnp.float32)
+
+    # ---- stage 2: erosion (grid origin -_RX) --------------------------------
+    msk1 = rm2(mkf[...], _R)[0:n1]
+    wk1[0:n1] = msk1 * (1.0 - disp[...])
+    bgnear = roll5(roll5(wk1[0:n1], 0), 1)
+    centre1 = rm2(disp[...], _E)
+    surv[...] = ((centre1[0:n2] > 0) & (bgnear[0:n2] == 0)).astype(
+        jnp.float32
+    )
+
+    # ---- stage 3: second pass (grid origin 0) -------------------------------
+    wk0[0:n2] = rm2(mkf[...], _RX)[0:n2] * (1.0 - surv[...])
+    wk1[0:n2] = wk0[0:n2] * rm2(imf[...], _RX)[0:n2]
+    nbg = roll11(roll11(wk0[0:n2], 0), 1)[0:strip]
+    xbg = roll11(roll11(wk1[0:n2], 0), 1)[0:strip]
+    src_c = rm2(imf[...], _IMG)[0:strip]
+    mask_c = rm2(mkf[...], _IMG)[0:strip]
+    sur_c = rm2(surv[...], _RX)[0:strip]
+    # mean = x/n for n > 1 else 0 (quirk preserved from thresholding.cu:482)
+    mean = jnp.where(nbg > 1, xbg / jnp.maximum(nbg, 1.0), 0.0)
+    local_ok = src_c >= mean + nsig_s * jnp.sqrt(mean)
+    return (
+        (mask_c > 0)
+        & (src_c <= trusted_max)
+        & (nbg > 0)
+        & (sur_c > 0)
+        & (src_c > 0.0)
+        & local_ok
+    )
+
+
 def _ext_kernel(
     *args,  # inputs, output refs, scratch (see unpack below)
     strip: int,
@@ -79,6 +183,7 @@ def _ext_kernel(
     wp: int = 0,
     nwl: int = 0,
     has_mbox: bool = False,
+    tree_impl: str = "slice",
 ):
     # scratch: img_v (2, strip+2*row_halo, wp) raw strips (origin row
     # -row_halo); imf/mkf (strip+2*_IMG, wp) f32 masked I / mask, origin
@@ -150,6 +255,29 @@ def _ext_kernel(
         .astype(jnp.float32)
     )
     imf[...] *= mkf[...]
+
+    if tree_impl == "roll":
+        # full-register roll path (production packed+mbox configuration);
+        # mbox_strips carries the CENTRE-MASKED box count (see wrapper)
+        ok = _ext_predicate_roll(
+            imf,
+            mkf,
+            disp,
+            surv,
+            wk0,
+            wk1,
+            wk2,
+            mbox_strips,
+            strip=strip,
+            trusted_max=trusted_max,
+            min_count=min_count,
+            nsig_b=nsig_b,
+            nsig_s=nsig_s,
+        )
+        # lane j = column j; pad lanes already false via the zero-padded
+        # mask, so one aligned full-register store
+        strong_ref[0] = ok.astype(jnp.int8)
+        return
 
     # All window sums below use the canonical shared-subsum tree order
     # (ops/dispersion._tree_window_axis; in-kernel helpers _vtree7/_htree7
@@ -473,6 +601,7 @@ def dispersion_extended_packed(
         "nsig_s",
         "strip",
         "interpret",
+        "tree_impl",
     ),
 )
 def dispersion_extended_packed_raw(
@@ -486,12 +615,16 @@ def dispersion_extended_packed_raw(
     nsig_s: float = DEFAULT_NSIG_S,
     strip: int = DEFAULT_STRIP,
     interpret: bool = False,
+    tree_impl: str = "auto",
 ) -> jnp.ndarray:
     """Combined-row form: (B?, H, 2*nwl) i32 with lanes [pc | w32].
 
     ``mbox`` is the frame-invariant first-pass mask box count from
     :func:`mask_box_count_extended` (same ``strip``); when given, the
-    kernel skips the stage-1 mask sliding sums.
+    kernel skips the stage-1 mask sliding sums.  ``tree_impl`` picks the
+    window-sum lowering: "slice" (sub-width slices) or "roll"
+    (full-register pltpu.roll, needs mbox, bit-identical output — see
+    tools/measure_roll.py); "auto" = roll when mbox is given.
     """
     from .dispersion_pallas import _n_word_lanes, _pack_pcw
 
@@ -512,6 +645,23 @@ def dispersion_extended_packed_raw(
     )(strip_starts)
 
     has_mbox = mbox is not None
+    if tree_impl == "auto":
+        tree_impl = "roll" if has_mbox else "slice"
+    if tree_impl == "roll":
+        if not has_mbox:
+            raise ValueError("tree_impl='roll' requires a precomputed mbox")
+        # centre-masked box count (folds the stage-1 msk1>0 test, see
+        # _ext_predicate_roll); frame-invariant, hoisted out of rep loops.
+        # The mbox canvas is 128 lanes wider than mask_p (see
+        # mask_box_count_extended), so rebuild its mask at canvas shape.
+        mask_canvas = jnp.pad(
+            mask,
+            (
+                (halo, hp - h + halo),
+                (_IMG, mbox.shape[1] - w - _IMG),
+            ),
+        )
+        mbox = jnp.where(mask_canvas != 0, mbox, 0).astype(mbox.dtype)
     kernel = functools.partial(
         _ext_kernel,
         strip=strip,
@@ -525,6 +675,7 @@ def dispersion_extended_packed_raw(
         wp=wp,
         nwl=nwl,
         has_mbox=has_mbox,
+        tree_impl=tree_impl,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
