@@ -422,3 +422,45 @@ def test_extended_packed_mbox_matches_oracle(small_frame):
     nwl = pcw.shape[-1] // 2
     np.testing.assert_array_equal(np.asarray(pcw[..., nwl:]), np.asarray(w32_ref))
     np.testing.assert_array_equal(np.asarray(pcw[..., :nwl]), np.asarray(pc_ref))
+
+
+def test_packed_roll_trees_match_slice_trees(small_frame):
+    """The full-register roll lowering (production default with mbox) is
+    bit-identical to the slice lowering: same float addition order, only
+    the shift mechanics differ (tools/measure_roll.py verifies the same
+    on hardware, where Mosaic lowers the two differently)."""
+    from ffs_tpu.ops.dispersion_pallas import (
+        dispersion_packed_raw,
+        mask_box_count,
+    )
+
+    image, mask = small_frame
+    tm = float(np.iinfo(np.uint16).max)
+    mbox = mask_box_count(jnp.asarray(mask))
+    kw = dict(mbox=mbox, strip=64, interpret=True)
+    a = dispersion_packed_raw(
+        jnp.asarray(image), jnp.asarray(mask), tm, tree_impl="slice", **kw
+    )
+    b = dispersion_packed_raw(
+        jnp.asarray(image), jnp.asarray(mask), tm, tree_impl="roll", **kw
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_extended_roll_trees_match_slice_trees(small_frame):
+    from ffs_tpu.ops.dispersion_extended_pallas import (
+        dispersion_extended_packed_raw,
+        mask_box_count_extended,
+    )
+
+    image, mask = small_frame
+    tm = float(np.iinfo(np.uint16).max)
+    mbox = mask_box_count_extended(jnp.asarray(mask), strip=64)
+    kw = dict(mbox=mbox, strip=64, interpret=True)
+    a = dispersion_extended_packed_raw(
+        jnp.asarray(image), jnp.asarray(mask), tm, tree_impl="slice", **kw
+    )
+    b = dispersion_extended_packed_raw(
+        jnp.asarray(image), jnp.asarray(mask), tm, tree_impl="roll", **kw
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
