@@ -330,6 +330,11 @@ def compact_from_pcw_flat(
     # never host pixels, so the clamp below only affects padding slots
     prow_img = b_idx * h_img + jnp.minimum(y_idx, h_img - 1)
 
+    # Whole-batch single row gather.  Unlike the image-intensity gather
+    # below, do NOT chunk this per frame: pcw is small enough to stage
+    # (~38 MB at Eiger B=8) and per-frame chunking measured +0.86
+    # ms/frame on v5e (B gathers of K rows each multiply the index
+    # count; tools/measure_bench_stages.py).
     rows = pcw.reshape(-1, nwl2)[prow]  # (K, 2*nwl) single row gather
     pc_rows = rows[:, :nwl]
     w_rows = rows[:, nwl:]
