@@ -5,6 +5,8 @@ measures — packed kernel (incl. _pack_pcw), + flat compaction, + CC,
 + table/filters — each chained REPS times with loop-dependent inputs and
 all outputs consumed.  Successive-row deltas give honest stage costs
 (cross-program deltas still mislead; treat them as bounds, not truths).
+
+JF=1 switches to the Jungfrau 1M bench shape (extended kernel, B=112).
 """
 
 import os
@@ -24,11 +26,15 @@ from ffs_tpu.ops import connected_components as cc
 from ffs_tpu.ops.compact import compact_from_pcw_flat
 from ffs_tpu.ops.dispersion_pallas import dispersion_packed_raw, mask_box_count
 
-H, W = E2XE_16M_SLOW, E2XE_16M_FAST
-B = int(os.environ.get("B", "8"))
+JF = bool(os.environ.get("JF"))
+if JF:
+    H, W = 1066, 1030
+else:
+    H, W = E2XE_16M_SLOW, E2XE_16M_FAST
+B = int(os.environ.get("B", "112" if JF else "8"))
 REPS = int(os.environ.get("REPS", "16"))
-K = int(os.environ.get("K", "24576"))
-S = int(os.environ.get("S", "12288"))
+K = int(os.environ.get("K", "16384" if JF else "24576"))
+S = int(os.environ.get("S", "8192" if JF else "12288"))
 STRIP = int(os.environ.get("STRIP", "128"))
 
 
@@ -52,15 +58,23 @@ def timeit(name, fn, *args, reps=REPS):
 
 
 def main():
-    print(f"backend={jax.default_backend()} B={B} reps={REPS} strip={STRIP}")
+    print(
+        f"backend={jax.default_backend()} jf={JF} B={B} reps={REPS} "
+        f"strip={STRIP}"
+    )
     rng = np.random.default_rng(12)
     base = rng.poisson(2.0, size=(H, W)).astype(np.uint16)
-    mask_np = sample_data.generate_mask()
+    if JF:
+        mask_np = np.ones((H, W), dtype=np.uint8)
+        mask_np[512:554, :] = 0  # module gap band (bench.py geometry)
+    else:
+        mask_np = sample_data.generate_mask()
     frames = []
     for _ in range(B):
         f = base.copy()
-        ys = rng.integers(8, H - 8, 300)
-        xs = rng.integers(8, W - 8, 300)
+        n_spots = 60 if JF else 300
+        ys = rng.integers(8, H - 8, n_spots)
+        xs = rng.integers(8, W - 8, n_spots)
         for yy, xx in zip(ys, xs):
             f[yy - 1 : yy + 2, xx - 1 : xx + 2] += rng.poisson(
                 60.0, size=(3, 3)
@@ -69,41 +83,62 @@ def main():
         frames.append(f)
     batch = jax.device_put(jnp.asarray(np.stack(frames)))
     mask = jnp.asarray(mask_np)
-    mbox = jax.block_until_ready(mask_box_count(mask))
+    if JF:
+        from ffs_tpu.ops.dispersion_extended_pallas import (
+            dispersion_extended_packed_raw,
+            mask_box_count_extended,
+        )
+
+        mbox = jax.block_until_ready(
+            mask_box_count_extended(mask, strip=STRIP)
+        )
+
+        def run_kernel(b):
+            return dispersion_extended_packed_raw(
+                b, mask, 65535.0, mbox=mbox, strip=STRIP
+            )
+
+    else:
+        mbox = jax.block_until_ready(mask_box_count(mask))
+
+        def run_kernel(b):
+            return dispersion_packed_raw(
+                b, mask, 65535.0, mbox=mbox, trim=False, strip=STRIP
+            )
 
     def vary(i, b):
         return b + (i & 1).astype(b.dtype)
 
     def kern(i, b):
-        pcw = dispersion_packed_raw(
-            vary(i, b), mask, 65535.0, mbox=mbox, trim=False, strip=STRIP
-        )
+        pcw = run_kernel(vary(i, b))
         nwl = pcw.shape[-1] // 2
         return (jnp.sum(pcw[:, :, nwl - 1]) + jnp.sum(pcw[0, 0])).astype(
             jnp.float32
         )
 
-    def kc(i, b):
-        bb = vary(i, b)
-        pcw = dispersion_packed_raw(
-            bb, mask, 65535.0, mbox=mbox, trim=False, strip=STRIP
-        )
-        p, nbu, nbd = compact_from_pcw_flat(
-            bb, pcw, max_pixels_total=K, with_neighbors=True
-        )
-        return (
-            jnp.sum(p.linear_index % 97)
-            + jnp.sum(p.intensity)
-            + jnp.sum(nbu) % 11
-            + jnp.sum(nbd) % 13
-            + p.count
-        ).astype(jnp.float32)
+    def kc_gg(gg):
+        def kc(i, b):
+            bb = vary(i, b)
+            pcw = run_kernel(bb)
+            p, nbu, nbd = compact_from_pcw_flat(
+                bb, pcw, max_pixels_total=K, with_neighbors=True,
+                gather_group_frames=gg,
+            )
+            return (
+                jnp.sum(p.linear_index % 97)
+                + jnp.sum(p.intensity)
+                + jnp.sum(nbu) % 11
+                + jnp.sum(nbd) % 13
+                + p.count
+            ).astype(jnp.float32)
+
+        return kc
+
+    kc = kc_gg(None)
 
     def kcc(i, b):
         bb = vary(i, b)
-        pcw = dispersion_packed_raw(
-            bb, mask, 65535.0, mbox=mbox, trim=False, strip=STRIP
-        )
+        pcw = run_kernel(bb)
         p, nbu, nbd = compact_from_pcw_flat(
             bb, pcw, max_pixels_total=K, with_neighbors=True
         )
@@ -114,9 +149,7 @@ def main():
 
     def full(i, b):
         bb = vary(i, b)
-        pcw = dispersion_packed_raw(
-            bb, mask, 65535.0, mbox=mbox, trim=False, strip=STRIP
-        )
+        pcw = run_kernel(bb)
         hp = pcw.shape[1]
         p, nbu, nbd = compact_from_pcw_flat(
             bb, pcw, max_pixels_total=K, with_neighbors=True
@@ -135,7 +168,13 @@ def main():
         ).astype(jnp.float32)
 
     timeit("kernel+pack (pcw consumed)", kern, batch)
-    timeit("+ flat compact (w/ neighbours)", kc, batch)
+    timeit("+ flat compact (w/ neighbours, auto groups)", kc, batch)
+    if JF:
+        timeit("+ flat compact (per-frame gather, old)", kc_gg(1), batch)
+    else:
+        # does a 72 MB two-frame table still gather at the fast rate?
+        timeit("+ flat compact (2-frame 72 MB tables)", kc_gg(2), batch)
+        timeit("+ flat compact (4-frame 144 MB tables)", kc_gg(4), batch)
     timeit("+ CC", kcc, batch)
     timeit("+ table + filters   [= bench program]", full, batch)
 

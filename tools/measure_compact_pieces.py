@@ -36,7 +36,8 @@ STRIP = int(os.environ.get("STRIP", "128"))
 
 
 def compact_variant(
-    images, pcw, k, *, neighbors=True, intensity=True, rowfind="dhist"
+    images, pcw, k, *, neighbors=True, intensity=True, rowfind="dhist",
+    upstart="pcw",
 ):
     Bn, h, nwl2 = pcw.shape
     nwl = nwl2 // 2
@@ -106,24 +107,36 @@ def compact_variant(
         size = Bn * h * nwl2
         up_base = (prow - 1) * nwl2
         dn_base = (prow + 1) * nwl2
-        lookups = jnp.concatenate(
-            [
-                up_base + nwl + jw_c,
-                jnp.where(jw_c > 0, up_base + jw_c - 1, 0),
-                up_base + nwl - 1,
-                dn_base + nwl + jw_c,
-                jnp.where(jw_c > 0, dn_base + jw_c - 1, 0),
-            ]
-        )
+        parts = [
+            up_base + nwl + jw_c,
+            jnp.where(jw_c > 0, up_base + jw_c - 1, 0),
+            up_base + nwl - 1,
+            dn_base + nwl + jw_c,
+            jnp.where(jw_c > 0, dn_base + jw_c - 1, 0),
+        ]
+        if upstart == "rowend":
+            # derive row_start_up = row_end[rt-2] from the tiny row_end
+            # array instead of a 5th point lookup into the big pcw
+            del parts[2]
+        lookups = jnp.concatenate(parts)
         g = pcwf[jnp.clip(lookups, 0, size - 1)]
-        word_up, pc_up_prev, row_up_cnt, word_dn, pc_dn_prev = jnp.split(g, 5)
+        if upstart == "rowend":
+            word_up, pc_up_prev, word_dn, pc_dn_prev = jnp.split(g, 4)
+            row_start_up = jnp.where(
+                row_tc >= 2, row_end[jnp.clip(row_tc - 2, 0, Bn * ht - 1)], 0
+            )
+        else:
+            word_up, pc_up_prev, row_up_cnt, word_dn, pc_dn_prev = jnp.split(
+                g, 5
+            )
+            row_start_up = prev_end - row_up_cnt
         pc_up_prev = jnp.where(jw_c > 0, pc_up_prev, 0)
         pc_dn_prev = jnp.where(jw_c > 0, pc_dn_prev, 0)
         low_mask = jnp.where(bit == 0, 0, (jnp.int32(1) << bit) - 1)
         slots = jnp.arange(k, dtype=jnp.int32)
         has_up = valid & (y_idx > 0) & (((word_up >> bit) & 1) == 1)
         rank_up = pc_up_prev + jax.lax.population_count(word_up & low_mask) + 1
-        nbu = jnp.where(has_up, prev_end - row_up_cnt + rank_up - 1, slots)
+        nbu = jnp.where(has_up, row_start_up + rank_up - 1, slots)
         has_dn = valid & (y_idx < h - 1) & (((word_dn >> bit) & 1) == 1)
         rank_dn = pc_dn_prev + jax.lax.population_count(word_dn & low_mask) + 1
         nbd = jnp.where(
@@ -203,6 +216,21 @@ def main():
         timeit(
             "+ compact FULL, i32-pair intensity gather",
             kc(intensity="pair32"),
+            batch,
+        )
+        return
+    if os.environ.get("UPSTART"):
+        a = jax.jit(lambda b: kc()(jnp.int32(0), b))(batch)
+        b2 = jax.jit(lambda b: kc(upstart="rowend")(jnp.int32(0), b))(batch)
+        print(
+            f"upstart parity: {float(a)} == {float(b2)} -> "
+            f"{float(a) == float(b2)}",
+            flush=True,
+        )
+        timeit("+ compact FULL, row_up_cnt from pcw (5K)", kc(), batch)
+        timeit(
+            "+ compact FULL, row_start_up from row_end (4K)",
+            kc(upstart="rowend"),
             batch,
         )
         return
