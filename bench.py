@@ -197,7 +197,17 @@ def main() -> int:
         if on_tpu
         else None
     )
-    jstep = make_full_step(16384, 8192, extended=True, msk=jmask, mb=jmbox)
+    JK = int(os.environ.get("FFS_BENCH_JF_MAX_PX", "16384"))
+    jstep = make_full_step(
+        JK,
+        int(os.environ.get("FFS_BENCH_JF_MAX_SPOTS", "8192")),
+        extended=True, msk=jmask, mb=jmbox,
+    )
+    jpk, *_ = jstep(jbatch)
+    if int(jpk.count) > JK:
+        print(f"JF bench frames exceed capacity: {int(jpk.count)}",
+              file=sys.stderr)
+        ok = False
 
     def jconsume(b):
         p, t, keep, hp = jstep(b)

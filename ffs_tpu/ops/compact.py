@@ -274,7 +274,12 @@ def compact_from_words(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_pixels_total", "with_neighbors")
+    jax.jit,
+    static_argnames=(
+        "max_pixels_total",
+        "with_neighbors",
+        "gather_group_frames",
+    ),
 )
 def compact_from_pcw_flat(
     images: jnp.ndarray,
@@ -282,6 +287,7 @@ def compact_from_pcw_flat(
     *,
     max_pixels_total: int = 24576,
     with_neighbors: bool = False,
+    gather_group_frames: int | None = None,
 ):
     """Batch compaction from the combined [pc | w32] kernel rows.
 
@@ -348,17 +354,28 @@ def compact_from_pcw_flat(
     col = jnp.clip(jw_c * 32 + bit, 0, w - 1)
 
     lin = jnp.where(valid, row_tc * w + col, BIG).astype(jnp.int32)
-    # Intensity gather, chunked per frame: gathers into fresh arrays are
-    # fast only while the table is VMEM-stageable (~6.5 ns/index into the
-    # 34 MB pc rows vs ~200 ns/index into the 288 MB batch, measured in
-    # tools/measure_compact.py) — so fetch from one 36 MB frame at a time,
-    # each forced to a real single-frame buffer with a barrier.
-    local = jnp.clip((prow_img - b_idx * h_img) * w + col, 0, h_img * w - 1)
+    # Intensity gather, chunked by VMEM-sized frame GROUPS: gathers into
+    # fresh arrays are fast only while the table is VMEM-stageable
+    # (~6.5 ns/index into a 34 MB table vs ~200 ns/index into the 288 MB
+    # Eiger batch, measured in tools/measure_compact.py) — so fetch from
+    # barrier'd tables of up to ~32 MB of frames at a time.  Eiger 16M
+    # (36 MB/frame) chunks per frame exactly as before; small detectors
+    # pool many frames per table (Jungfrau 1M: 15 per group), keeping the
+    # loop short — at batch 112 the old per-frame loop's 112 gather+select
+    # rounds were pure op-latency overhead.
+    frame_elems = h_img * w
+    gs = gather_group_frames or max(
+        1, (32 << 20) // (frame_elems * images.dtype.itemsize)
+    )
+    g_idx = b_idx // gs
+    local = (prow_img - g_idx * (gs * h_img)) * w + col
     inten = jnp.zeros(k, jnp.int32)
-    for b in range(B):
-        tab = jax.lax.optimization_barrier(images[b].reshape(-1))
-        vals = tab[local].astype(jnp.int32)
-        inten = jnp.where(b_idx == b, vals, inten)
+    for g in range(-(-B // gs)):
+        tab = jax.lax.optimization_barrier(
+            images[g * gs : (g + 1) * gs].reshape(-1)
+        )
+        vals = tab[jnp.clip(local, 0, tab.shape[0] - 1)].astype(jnp.int32)
+        inten = jnp.where(g_idx == g, vals, inten)
     inten = jnp.where(valid, inten, 0)
     pixels = CompactPixels(lin, inten, count)
     if not with_neighbors:

@@ -280,6 +280,68 @@ def test_compact_from_pcw_flat_matches_words_path(small_frame):
     )
 
 
+def test_compact_from_pcw_flat_gather_groups():
+    """The VMEM-budgeted frame-group intensity gather must return the same
+    pixels/intensities/neighbours for ANY group size (auto, per-frame, and
+    groups that straddle frame boundaries, incl. a ragged last group)."""
+    rng = np.random.default_rng(7)
+    B, h, w = 5, 40, 160
+    nwl = (w + 31) // 32
+    strong = rng.random((B, h, w)) < 0.02
+    images = rng.integers(1, 60000, size=(B, h, w)).astype(np.uint16)
+    words_l, pc_l = [], []
+    for b in range(B):
+        wn, pn = _pack_words_np(strong[b], nwl)
+        words_l.append(wn)
+        pc_l.append(pn)
+    pcw = jnp.concatenate(
+        [
+            jnp.asarray(np.stack(pc_l), dtype=jnp.int32),
+            jnp.asarray(
+                np.stack(words_l).astype(np.int64) & 0xFFFFFFFF
+            ).astype(jnp.int32),
+        ],
+        axis=-1,
+    )
+    batch = jnp.asarray(images)
+    results = {
+        gg: comp.compact_from_pcw_flat(
+            batch,
+            pcw,
+            max_pixels_total=1024,
+            with_neighbors=True,
+            gather_group_frames=gg,
+        )
+        for gg in (None, 1, 2, 5)
+    }
+    base_p, base_u, base_d = results[None]
+    n = int(base_p.count)
+    assert n == int(strong.sum())
+    # intensities against the raw frames (brute force)
+    ht = h + 1
+    lin = np.asarray(base_p.linear_index)[:n]
+    bi, yi, ci = lin // (ht * w), (lin // w) % ht, lin % w
+    np.testing.assert_array_equal(
+        np.asarray(base_p.intensity)[:n], images[bi, yi, ci].astype(np.int32)
+    )
+    for gg, (p, nbu, nbd) in results.items():
+        assert int(p.count) == n, gg
+        np.testing.assert_array_equal(
+            np.asarray(p.linear_index)[:n], lin, err_msg=str(gg)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(p.intensity)[:n],
+            np.asarray(base_p.intensity)[:n],
+            err_msg=str(gg),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(nbu)[:n], np.asarray(base_u)[:n], err_msg=str(gg)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(nbd)[:n], np.asarray(base_d)[:n], err_msg=str(gg)
+        )
+
+
 @pytest.mark.parametrize("cc_backend", ["host", "device"])
 def test_processor_pallas_path_interpret(small_frame, cc_backend):
     """SpotfindProcessor's production Pallas packed path (tiered host-CC and
