@@ -25,6 +25,7 @@ Measurement notes (hard-won; full history in CLAUDE.md):
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -33,6 +34,41 @@ os.environ.setdefault(
 )
 
 import numpy as np
+
+
+def _wait_for_backend(budget_s: float = 1800.0) -> None:
+    """Wait out TPU-tunnel outages before the main process touches JAX.
+
+    The axon service has full outages where backend init raises UNAVAILABLE
+    and in-flight programs hang blocked for 25+ minutes — so probe
+    ``jax.devices()`` in a cheap killable subprocess and retry until the
+    service returns (bounded).  A CPU-only run (no tunnel configured)
+    passes the probe immediately.
+    """
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=120,
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() > deadline:
+            print(
+                "backend probe still failing after "
+                f"{attempt} attempts; proceeding anyway", file=sys.stderr,
+            )
+            return
+        print(
+            f"backend probe attempt {attempt} failed; retrying in 60 s",
+            file=sys.stderr, flush=True,
+        )
+        time.sleep(60)
 
 
 def _make_frames(rng, h, w, n, mask, n_spots=300, amp=60.0):
@@ -53,6 +89,8 @@ def _make_frames(rng, h, w, n, mask, n_spots=300, amp=60.0):
 
 
 def main() -> int:
+    _wait_for_backend()
+
     import jax
     import jax.numpy as jnp
 
