@@ -235,7 +235,11 @@ def main() -> int:
         if on_tpu
         else None
     )
-    JK = int(os.environ.get("FFS_BENCH_JF_MAX_PX", "16384"))
+    # Honest capacity: the 112-frame batch carries ~59k strong pixels
+    # (112 x ~525); the sparse stages must be sized to HOLD the workload,
+    # not truncate it (compaction cost scales with the static capacity, so
+    # an undersized K would undercount the real per-frame cost).
+    JK = int(os.environ.get("FFS_BENCH_JF_MAX_PX", "65536"))
     jstep = make_full_step(
         JK,
         int(os.environ.get("FFS_BENCH_JF_MAX_SPOTS", "8192")),
@@ -267,16 +271,27 @@ def main() -> int:
     jf_fps = JB * REPS / (time.perf_counter() - t0)
 
     # --- integrator metric (subprocess: needs x64 on, Mosaic needs it off) ---
+    # Generous timeout: on a cold XLA cache the tunnel compile service can
+    # take 20+ minutes for the chained integrator program (a 900 s budget
+    # silently dropped the metric on a fresh machine).
     try:
         import subprocess
 
         r = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__), "tools", "bench_integrator.py")],
-            capture_output=True, timeout=900, text=True,
+            capture_output=True, timeout=3000, text=True,
         )
+        emitted = False
         for line in r.stdout.splitlines():
             if line.startswith("{"):
                 print(line)
+                emitted = True
+        if not emitted:
+            print(
+                "integrator bench produced no metric (rc="
+                f"{r.returncode}): {r.stderr[-400:]}",
+                file=sys.stderr,
+            )
     except Exception as e:  # integrator metric is best-effort
         print(f"integrator bench skipped: {e}", file=sys.stderr)
 

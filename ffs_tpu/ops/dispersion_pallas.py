@@ -637,6 +637,7 @@ def dispersion_packed(
         "interpret",
         "trim",
         "tree_impl",
+        "pack",
     ),
 )
 def dispersion_packed_raw(
@@ -654,8 +655,13 @@ def dispersion_packed_raw(
     interpret: bool = False,
     trim: bool = True,
     tree_impl: str = "auto",
+    pack: bool = True,
 ) -> jnp.ndarray:
     """Combined-row form: (B?, H, 2*nwl) i32 with lanes [pc | w32].
+
+    ``pack=False`` returns the kernel's dense (B?, H, wp) i8 strong plane
+    without the XLA bit-pack — measurement hook for isolating the
+    _pack_pcw cost (tools/measure_bench_stages.py).
 
     This is the hot-path contract — compaction
     (:func:`ffs_tpu.ops.compact.compact_from_pcw_flat`) fetches each
@@ -763,7 +769,7 @@ def dispersion_packed_raw(
         ),
         interpret=interpret,
     )(*inputs)[0]
-    pcw = _pack_pcw(strong8, nwl)
+    pcw = _pack_pcw(strong8, nwl) if pack else strong8
     if trim:
         pcw = pcw[:, :h]
     if squeeze:

@@ -9,6 +9,15 @@ import os
 
 # force CPU: the machine environment may export JAX_PLATFORMS=axon (TPU)
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+# CLI tests spawn `python -m ffs_tpu...` subprocesses: make the package
+# importable there even when it is not pip-installed (fresh machines)
+_repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_pp = os.environ.get("PYTHONPATH", "")
+if _repo_root not in _pp.split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _repo_root + (os.pathsep + _pp if _pp else "")
+    )
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -167,6 +167,18 @@ def main():
             + jnp.sum(t.com_y)
         ).astype(jnp.float32)
 
+    if not JF:
+
+        def kern0(i, b):
+            s8 = dispersion_packed_raw(
+                vary(i, b), mask, 65535.0, mbox=mbox, trim=False,
+                strip=STRIP, pack=False,
+            )
+            # consume the whole plane (a reduce pass XLA can fuse into the
+            # kernel output stream; treat the row as an upper bound)
+            return jnp.sum(s8.astype(jnp.int32)).astype(jnp.float32)
+
+        timeit("kernel only (dense strong8, no pack)", kern0, batch)
     timeit("kernel+pack (pcw consumed)", kern, batch)
     timeit("+ flat compact (w/ neighbours, auto groups)", kc, batch)
     if JF:
