@@ -279,6 +279,7 @@ def compact_from_words(
         "max_pixels_total",
         "with_neighbors",
         "gather_group_frames",
+        "gather_group_rows",
     ),
 )
 def compact_from_pcw_flat(
@@ -288,6 +289,7 @@ def compact_from_pcw_flat(
     max_pixels_total: int = 24576,
     with_neighbors: bool = False,
     gather_group_frames: int | None = None,
+    gather_group_rows: int | None = None,
 ):
     """Batch compaction from the combined [pc | w32] kernel rows.
 
@@ -364,18 +366,39 @@ def compact_from_pcw_flat(
     # loop short — at batch 112 the old per-frame loop's 112 gather+select
     # rounds were pure op-latency overhead.
     frame_elems = h_img * w
-    gs = gather_group_frames or max(
-        1, (32 << 20) // (frame_elems * images.dtype.itemsize)
-    )
-    g_idx = b_idx // gs
-    local = (prow_img - g_idx * (gs * h_img)) * w + col
-    inten = jnp.zeros(k, jnp.int32)
-    for g in range(-(-B // gs)):
-        tab = jax.lax.optimization_barrier(
-            images[g * gs : (g + 1) * gs].reshape(-1)
+    if gather_group_rows is not None:
+        # Row-band grouping: chunk the FLAT (B*h_img, w) row space into
+        # bands of gather_group_rows rows (bands may span frame
+        # boundaries — prow_img is already flat).  Measurement hook only:
+        # the theory that Eiger's 36.2 MB frames were past the ~34 MB
+        # VMEM-stage limit was DISPROVED on v5e (tools/
+        # measure_gather_bands.py: whole frames 12.6 ms/batch, ~33.5 MB
+        # bands 15.2, ~8 MB bands 19.8 — per-frame tables stage fine and
+        # every extra gather round costs ~0.19 ms of pure op overhead).
+        gb = gather_group_rows
+        imgf = images.reshape(-1, w)
+        g_idx = prow_img // gb
+        local = (prow_img - g_idx * gb) * w + col
+        inten = jnp.zeros(k, jnp.int32)
+        for g in range(-(-(B * h_img) // gb)):
+            tab = jax.lax.optimization_barrier(
+                imgf[g * gb : (g + 1) * gb].reshape(-1)
+            )
+            vals = tab[jnp.clip(local, 0, tab.shape[0] - 1)].astype(jnp.int32)
+            inten = jnp.where(g_idx == g, vals, inten)
+    else:
+        gs = gather_group_frames or max(
+            1, (32 << 20) // (frame_elems * images.dtype.itemsize)
         )
-        vals = tab[jnp.clip(local, 0, tab.shape[0] - 1)].astype(jnp.int32)
-        inten = jnp.where(g_idx == g, vals, inten)
+        g_idx = b_idx // gs
+        local = (prow_img - g_idx * (gs * h_img)) * w + col
+        inten = jnp.zeros(k, jnp.int32)
+        for g in range(-(-B // gs)):
+            tab = jax.lax.optimization_barrier(
+                images[g * gs : (g + 1) * gs].reshape(-1)
+            )
+            vals = tab[jnp.clip(local, 0, tab.shape[0] - 1)].astype(jnp.int32)
+            inten = jnp.where(g_idx == g, vals, inten)
     inten = jnp.where(valid, inten, 0)
     pixels = CompactPixels(lin, inten, count)
     if not with_neighbors:
@@ -385,26 +408,22 @@ def compact_from_pcw_flat(
     # A pixel at (row, col) has an up/down neighbour iff the same bit is
     # set in the adjacent row's word; the neighbour's SLOT follows from the
     # adjacent row's counts: slot = (pixels before that row) + (rank of the
-    # bit within it) - 1.  One fused point-gather into the (VMEM-sized)
-    # pcw serves all five lookups; row starts reuse prev_end.  Feeds
+    # bit within it) - 1.  The adjacent rows arrive as two (K, 2*nwl)
+    # row-slice gathers — a row-slice gather prices like K POINT gathers
+    # on v5e (lane count ~free, CLAUDE.md cost model), so two of them beat
+    # the previous single 5K-index point-gather ~2.5x; the word / preceding
+    # count / row total then fall out of dense lane selects.  Feeds
     # label_compact_pixels(..., neighbors=...), replacing its 3K sort-merge.
-    pcwf = pcw.reshape(-1)
-    size = B * h * nwl2
-    up_base = (prow - 1) * nwl2
-    dn_base = (prow + 1) * nwl2
-    lookups = jnp.concatenate(
-        [
-            up_base + nwl + jw_c,  # word in the row above
-            jnp.where(jw_c > 0, up_base + jw_c - 1, 0),  # pc before word (up)
-            up_base + nwl - 1,  # total count of the row above
-            dn_base + nwl + jw_c,  # word in the row below
-            jnp.where(jw_c > 0, dn_base + jw_c - 1, 0),  # pc before word (dn)
-        ]
-    )
-    g = pcwf[jnp.clip(lookups, 0, size - 1)]
-    word_up, pc_up_prev, row_up_cnt, word_dn, pc_dn_prev = jnp.split(g, 5)
-    pc_up_prev = jnp.where(jw_c > 0, pc_up_prev, 0)
-    pc_dn_prev = jnp.where(jw_c > 0, pc_dn_prev, 0)
+    rows2d = pcw.reshape(-1, nwl2)
+    up_rows = rows2d[jnp.clip(prow - 1, 0, B * h - 1)]
+    dn_rows = rows2d[jnp.clip(prow + 1, 0, B * h - 1)]
+    # lane == jw_c - 1 never matches for jw_c == 0, giving the wanted 0
+    oh_prev = jnp.arange(nwl, dtype=jnp.int32)[None, :] == (jw_c - 1)[:, None]
+    word_up = jnp.sum(jnp.where(onehot, up_rows[:, nwl:], 0), axis=1)
+    pc_up_prev = jnp.sum(jnp.where(oh_prev, up_rows[:, :nwl], 0), axis=1)
+    row_up_cnt = up_rows[:, nwl - 1]
+    word_dn = jnp.sum(jnp.where(onehot, dn_rows[:, nwl:], 0), axis=1)
+    pc_dn_prev = jnp.sum(jnp.where(oh_prev, dn_rows[:, :nwl], 0), axis=1)
     # low_mask = (1 << bit) - 1; at bit == 31 the i32 wrap yields
     # 0x7FFFFFFF, which is exactly the wanted mask
     low_mask = jnp.where(bit == 0, 0, (jnp.int32(1) << bit) - 1)

@@ -340,6 +340,31 @@ def test_compact_from_pcw_flat_gather_groups():
         np.testing.assert_array_equal(
             np.asarray(nbd)[:n], np.asarray(base_d)[:n], err_msg=str(gg)
         )
+    # row-band grouping (bands inside a frame, spanning frames, ragged
+    # last band, and one band == whole batch) must match bit-for-bit too
+    for gr in (7, h, h + 13, 3 * h, B * h):
+        p, nbu, nbd = comp.compact_from_pcw_flat(
+            batch,
+            pcw,
+            max_pixels_total=1024,
+            with_neighbors=True,
+            gather_group_rows=gr,
+        )
+        assert int(p.count) == n, gr
+        np.testing.assert_array_equal(
+            np.asarray(p.linear_index)[:n], lin, err_msg=f"rows={gr}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(p.intensity)[:n],
+            np.asarray(base_p.intensity)[:n],
+            err_msg=f"rows={gr}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(nbu)[:n], np.asarray(base_u)[:n], err_msg=f"rows={gr}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(nbd)[:n], np.asarray(base_d)[:n], err_msg=f"rows={gr}"
+        )
 
 
 @pytest.mark.parametrize("cc_backend", ["host", "device"])

@@ -179,6 +179,18 @@ def main():
             return jnp.sum(s8.astype(jnp.int32)).astype(jnp.float32)
 
         timeit("kernel only (dense strong8, no pack)", kern0, batch)
+
+        def kern0_nosig(i, b):
+            # signal_test=False drops one full-grid sqrt + two mults: the
+            # delta calibrates what a sqrt-free predicate form could save
+            s8 = dispersion_packed_raw(
+                vary(i, b), mask, 65535.0, mbox=mbox, trim=False,
+                strip=STRIP, pack=False, signal_test=False,
+            )
+            return jnp.sum(s8.astype(jnp.int32)).astype(jnp.float32)
+
+        timeit("kernel only, signal_test=False (sqrt cost probe)",
+               kern0_nosig, batch)
     timeit("kernel+pack (pcw consumed)", kern, batch)
     timeit("+ flat compact (w/ neighbours, auto groups)", kc, batch)
     if JF:
