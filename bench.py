@@ -98,7 +98,10 @@ def main() -> int:
     from ffs_tpu.io import sample_data
     from ffs_tpu.ops import connected_components as cc
     from ffs_tpu.ops.cc2d_host import cc2d
-    from ffs_tpu.ops.compact import compact_from_pcw_flat
+    from ffs_tpu.ops.compact import (
+        compact_from_pcw_flat,
+        compact_from_pcw_segmented,
+    )
     from ffs_tpu.ops.dispersion_extended_pallas import (
         dispersion_extended_packed_raw,
         mask_box_count_extended,
@@ -121,7 +124,17 @@ def main() -> int:
     mask = jnp.asarray(mask_np)
     mbox = jax.block_until_ready(mask_box_count(mask)) if on_tpu else None
 
-    def make_full_step(max_px, max_spots, extended=False, msk=None, mb=None):
+    def make_full_step(
+        max_px, max_spots, extended=False, msk=None, mb=None,
+        per_frame_px=None,
+    ):
+        """per_frame_px selects the SEGMENTED compaction (per-frame slot
+        capacity): each intensity-gather round then touches only its own
+        frame's indices — measured 14.3 -> 13.4 ms/batch on the Eiger
+        pipeline (tools/measure_segmented.py).  The Jungfrau path keeps
+        the flat shared capacity: its ~525-pixel frames pool 15 to a
+        gather table already, and a per-frame split of its 65536 slots
+        would leave no headroom for frame-to-frame variance."""
         msk = mask if msk is None else msk
 
         jf_strip = int(os.environ.get("FFS_BENCH_JF_STRIP", "128"))
@@ -140,39 +153,47 @@ def main() -> int:
                 )
             hp = pcw.shape[1]
             w = batch.shape[-1]
-            p, nbu, nbd = compact_from_pcw_flat(
-                batch, pcw, max_pixels_total=max_px, with_neighbors=True
-            )
+            if per_frame_px is not None:
+                p, nbu, nbd, counts = compact_from_pcw_segmented(
+                    batch, pcw, max_pixels_per_frame=per_frame_px,
+                    with_neighbors=True,
+                )
+            else:
+                p, nbu, nbd = compact_from_pcw_flat(
+                    batch, pcw, max_pixels_total=max_px, with_neighbors=True
+                )
+                counts = None
             root = cc.label_compact_pixels(p, width=w, neighbors=(nbu, nbd))
             t = cc.spot_table_from_pixels(
                 p, root, width=w, max_spots=max_spots,
                 dtype=jnp.float32, frame_rows=hp,
             )
             keep, _, _ = cc.filter_spots(t, 3, 2.0)
-            return p, t, keep, hp
+            return p, t, keep, hp, counts
 
         return step
 
     # --- correctness anchors (deterministic sample frames) -------------------
     img2 = sample_data.generate_sample_image(2)
     img5 = sample_data.generate_sample_image(5)
+    VKF = 16384  # validation per-frame capacity (img2 holds 9506)
     val_step = jax.jit(
         lambda b: tuple(
             v
-            for p, t, keep, hp in [make_full_step(16384, 16384, mb=mbox)(b)]
+            for p, t, keep, hp, counts in [
+                make_full_step(None, 16384, mb=mbox, per_frame_px=VKF)(b)
+            ]
             for v in (
-                p.linear_index, p.intensity, p.count, t.n_spots,
+                p.linear_index, p.intensity, counts, t.n_spots,
                 jnp.sum(keep.astype(jnp.int32)), hp,
             )
         )
     )
-    lin_v, int_v, n_px, n_spots, n_keep, hp_v = jax.device_get(
+    lin_v, int_v, counts_v, n_spots, n_keep, hp_v = jax.device_get(
         val_step(jnp.stack([jnp.asarray(img2), jnp.asarray(img5)]))
     )
     hp_v = int(hp_v)
-    n = int(n_px)
-    z = lin_v[:n] // ((hp_v + 1) * W)
-    per_frame = [int((z == 0).sum()), int((z == 1).sum())]
+    per_frame = [int(counts_v[0]), int(counts_v[1])]
     ok = per_frame == [9506, 2388] and int(n_spots) == 9506 + 2311
     if not ok:
         print(
@@ -181,8 +202,9 @@ def main() -> int:
         )
 
     # host-CC cross-check (the production CLI backend) on the same pixels
-    lin0 = lin_v[:n][z == 0]
-    host_table = cc2d(lin0 % ((hp_v + 1) * W), int_v[:n][z == 0], W)
+    # (frame 0 occupies the first per-frame slot segment)
+    lin0 = lin_v[: per_frame[0]]
+    host_table = cc2d(lin0 % ((hp_v + 1) * W), int_v[: per_frame[0]], W)
     if host_table.n_spots != 9506:
         print(f"HOST-CC MISMATCH: {host_table.n_spots}", file=sys.stderr)
         ok = False
@@ -190,19 +212,25 @@ def main() -> int:
     # --- Eiger 16M throughput -------------------------------------------------
     rng = np.random.default_rng(12)
     batch = jax.device_put(jnp.asarray(_make_frames(rng, H, W, BATCH, mask_np)))
-    step = make_full_step(K, S, mb=mbox)
+    KF = K // BATCH  # per-frame capacity (segmented compaction)
+    step = make_full_step(None, S, mb=mbox, per_frame_px=KF)
 
     def consume(b):
-        p, t, keep, hp = step(b)
+        p, t, keep, hp, counts = step(b)
         return (
-            p.count + t.n_spots + jnp.sum(keep.astype(jnp.int32))
+            p.count + jnp.max(counts) + t.n_spots
+            + jnp.sum(keep.astype(jnp.int32))
             + jnp.sum(t.com_x) + jnp.sum(t.com_y)
         ).astype(jnp.float32)
 
-    # capacity check on the realistic frames
-    pk, *_ = step(batch)
-    if int(pk.count) > K:
-        print(f"bench frames exceed capacity: {int(pk.count)}", file=sys.stderr)
+    # capacity check on the realistic frames (per frame: segmented slots)
+    _, _, _, _, counts_k = step(batch)
+    if int(jnp.max(counts_k)) > KF:
+        print(
+            f"bench frames exceed per-frame capacity: "
+            f"{int(jnp.max(counts_k))} > {KF}",
+            file=sys.stderr,
+        )
         ok = False
 
     @jax.jit
@@ -252,7 +280,7 @@ def main() -> int:
         ok = False
 
     def jconsume(b):
-        p, t, keep, hp = jstep(b)
+        p, t, keep, hp, _ = jstep(b)
         return (
             p.count + t.n_spots + jnp.sum(keep.astype(jnp.int32))
             + jnp.sum(t.com_x) + jnp.sum(t.com_y)

@@ -441,6 +441,138 @@ def compact_from_pcw_flat(
     return pixels, nbu, nbd
 
 
+@functools.partial(
+    jax.jit, static_argnames=("max_pixels_per_frame", "with_neighbors")
+)
+def compact_from_pcw_segmented(
+    images: jnp.ndarray,
+    pcw: jnp.ndarray,
+    *,
+    max_pixels_per_frame: int = 4096,
+    with_neighbors: bool = False,
+):
+    """Batch compaction with PER-FRAME slot segments.
+
+    Same contract as :func:`compact_from_pcw_flat` (tall linear indices
+    with the (h+1)-row gap pitch, BIG padding, optional neighbour slots)
+    except capacity is per frame, not shared: frame b's pixels occupy the
+    static slot range [b*Kf, (b+1)*Kf) with its own BIG padding tail, so
+    valid pixels and padding interleave across the K = B*Kf array.
+    Downstream CC and spot tables handle that layout unchanged (padding
+    slots are self-rooted and carry lin == BIG).
+
+    Why it exists: the flat form's per-frame intensity-gather rounds each
+    gather ALL K indices and select one frame's worth (the table budget
+    rules out pooling Eiger frames), so B rounds cost B*K gathered
+    indices.  Here round b statically slices its own (Kf,) indices —
+    B*Kf = K indices total, no K-wide selects — and every other stage
+    vectorises over (B, Kf) with frame-local ranks.
+
+    Returns ``(pixels, counts)`` or ``(pixels, nbu, nbd, counts)`` where
+    ``counts`` is the (B,) per-frame strong-pixel total; a frame
+    overflows when ``counts[b] > max_pixels_per_frame`` (callers must
+    check per frame — ``pixels.count`` still holds the batch total).
+    """
+    B, h, nwl2 = pcw.shape
+    nwl = nwl2 // 2
+    h_img, w = images.shape[-2], images.shape[-1]
+    ht = h + 1
+    if B * ht * w * 4 >= 2**31:
+        raise ValueError(
+            f"flat batch too tall for i32 CC sort keys: B*{ht}*{w}*4 = "
+            f"{B * ht * w * 4} >= 2^31; split the batch (max "
+            f"{(2**31 // (4 * ht * w))} frames at this geometry)"
+        )
+    kf = max_pixels_per_frame
+
+    row_counts = pcw[:, :, nwl - 1]  # (B, h)
+    row_end = jnp.cumsum(row_counts, axis=1)  # (B, h) frame-local inclusive
+    counts = row_end[:, -1]  # (B,)
+
+    ks = jnp.arange(1, kf + 1, dtype=jnp.int32)[None, :]  # (1, Kf) 1-based
+    valid = ks <= counts[:, None]  # (B, Kf)
+
+    # frame-local row of the k-th pixel: per-frame histogram inversion
+    b_grid = jnp.arange(B, dtype=jnp.int32)[:, None]
+    dhist = jnp.zeros((B, kf + 1), jnp.int32).at[
+        jnp.broadcast_to(b_grid, (B, h)), jnp.clip(row_end, 0, kf)
+    ].add(1)
+    y_f = jnp.cumsum(dhist, axis=1)[:, :kf]  # (B, Kf) row within frame
+    y_idx = jnp.clip(y_f, 0, h - 1)
+    prev_end = jnp.where(
+        y_idx > 0,
+        jnp.take_along_axis(row_end, jnp.clip(y_idx - 1, 0, h - 1), axis=1),
+        0,
+    )
+    rank = ks - prev_end  # (B, Kf) 1-based within the row
+
+    prow = b_grid * h + y_idx  # (B, Kf) physical pcw row
+    prow_img = b_grid * h_img + jnp.minimum(y_idx, h_img - 1)
+
+    # whole-batch single row gather (pcw stages fine — see flat form)
+    rows = pcw.reshape(-1, nwl2)[prow.reshape(-1)].reshape(B, kf, nwl2)
+    pc_rows = rows[..., :nwl]
+    w_rows = rows[..., nwl:]
+    below = pc_rows < rank[..., None]
+    jw = jnp.sum(below.astype(jnp.int32), axis=-1)
+    jw_c = jnp.clip(jw, 0, nwl - 1)
+    before = jnp.max(jnp.where(below, pc_rows, 0), axis=-1)
+    lanes = jnp.arange(nwl, dtype=jnp.int32)
+    onehot = lanes == jw_c[..., None]
+    word = jnp.sum(jnp.where(onehot, w_rows, 0), axis=-1)
+    bit = _select_bit(word, rank - before)
+    col = jnp.clip(jw_c * 32 + bit, 0, w - 1)
+
+    row_t = b_grid * ht + y_idx  # tall row
+    lin = jnp.where(valid, row_t * w + col, BIG).astype(jnp.int32)
+
+    # per-frame intensity gathers: round b touches ONLY its (Kf,) indices
+    local = jnp.clip(jnp.minimum(y_idx, h_img - 1) * w + col, 0, h_img * w - 1)
+    vals = []
+    for b in range(B):
+        tab = jax.lax.optimization_barrier(images[b].reshape(-1))
+        vals.append(tab[local[b]].astype(jnp.int32))
+    inten = jnp.where(valid, jnp.stack(vals), 0)
+
+    pixels = CompactPixels(
+        lin.reshape(-1), inten.reshape(-1), jnp.sum(counts)
+    )
+    if not with_neighbors:
+        return pixels, counts
+
+    # vertical neighbour slots (frame-local ranks; see flat form for the
+    # row-slice-gather rationale) — slot = b*Kf + frame-local rank - 1
+    rows2d = pcw.reshape(-1, nwl2)
+    pflat = prow.reshape(-1)
+    up_rows = rows2d[jnp.clip(pflat - 1, 0, B * h - 1)].reshape(B, kf, nwl2)
+    dn_rows = rows2d[jnp.clip(pflat + 1, 0, B * h - 1)].reshape(B, kf, nwl2)
+    oh_prev = lanes == (jw_c - 1)[..., None]
+    word_up = jnp.sum(jnp.where(onehot, up_rows[..., nwl:], 0), axis=-1)
+    pc_up_prev = jnp.sum(jnp.where(oh_prev, up_rows[..., :nwl], 0), axis=-1)
+    row_up_cnt = up_rows[..., nwl - 1]
+    word_dn = jnp.sum(jnp.where(onehot, dn_rows[..., nwl:], 0), axis=-1)
+    pc_dn_prev = jnp.sum(jnp.where(oh_prev, dn_rows[..., :nwl], 0), axis=-1)
+
+    low_mask = jnp.where(bit == 0, 0, (jnp.int32(1) << bit) - 1)
+    slots = jnp.arange(B * kf, dtype=jnp.int32).reshape(B, kf)
+    seg0 = b_grid * kf  # first slot of each frame's segment
+
+    has_up = valid & (y_idx > 0) & (((word_up >> bit) & 1) == 1)
+    rank_up = pc_up_prev + jax.lax.population_count(word_up & low_mask) + 1
+    row_start_up = prev_end - row_up_cnt
+    nbu = jnp.where(has_up, seg0 + row_start_up + rank_up - 1, slots).astype(
+        jnp.int32
+    )
+
+    has_dn = valid & (y_idx < h - 1) & (((word_dn >> bit) & 1) == 1)
+    rank_dn = pc_dn_prev + jax.lax.population_count(word_dn & low_mask) + 1
+    row_start_dn = prev_end + pc_rows[..., nwl - 1]
+    nbd = jnp.where(has_dn, seg0 + row_start_dn + rank_dn - 1, slots).astype(
+        jnp.int32
+    )
+    return pixels, nbu.reshape(-1), nbd.reshape(-1), counts
+
+
 @functools.partial(jax.jit, static_argnames=("max_pixels", "with_neighbors"))
 def compact_from_pcw(
     image: jnp.ndarray,

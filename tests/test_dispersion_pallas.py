@@ -397,6 +397,80 @@ def test_processor_pallas_path_interpret(small_frame, cc_backend):
     np.testing.assert_array_equal(lin, np.flatnonzero(want.reshape(-1)))
 
 
+def test_compact_from_pcw_segmented_matches_flat():
+    """Per-frame-segment compaction must agree with the flat form: same
+    per-frame pixel sets/intensities, an equivalent neighbour graph (slot
+    numbering differs; compare through linear indices), and bit-identical
+    CC + spot tables."""
+    from ffs_tpu.ops.compact import compact_from_pcw_segmented
+    from ffs_tpu.ops.dispersion_pallas import dispersion_packed_raw
+
+    rng = np.random.default_rng(3)
+    B, H, W = 4, 70, 150
+    imgs = rng.poisson(4.0, size=(B, H, W)).astype(np.uint16)
+    imgs[0, 10:13, 20:23] = 900
+    imgs[1, 40:44, 100:104] = 800
+    imgs[2, 0:3, 0:3] = 700
+    imgs[3, 67:70, 140:145] = 600
+    mask = np.ones((H, W), np.uint8)
+    mask[:, 50:55] = 0
+    pcw = dispersion_packed_raw(
+        jnp.asarray(imgs), jnp.asarray(mask), 65535.0, interpret=True,
+        trim=False,
+    )
+    h = pcw.shape[1]
+    kf = 128
+    fp, fu, fd = comp.compact_from_pcw_flat(
+        jnp.asarray(imgs), pcw, max_pixels_total=512, with_neighbors=True
+    )
+    sp, su, sd, counts = compact_from_pcw_segmented(
+        jnp.asarray(imgs), pcw, max_pixels_per_frame=kf, with_neighbors=True
+    )
+    counts = np.asarray(counts)
+    n = int(fp.count)
+    assert int(sp.count) == n == counts.sum() > 0
+    flin, slin = np.asarray(fp.linear_index), np.asarray(sp.linear_index)
+    fint, sint = np.asarray(fp.intensity), np.asarray(sp.intensity)
+    off = 0
+    for b in range(B):
+        c = counts[b]
+        np.testing.assert_array_equal(
+            slin[b * kf : b * kf + c], flin[off : off + c], err_msg=str(b)
+        )
+        np.testing.assert_array_equal(
+            sint[b * kf : b * kf + c], fint[off : off + c], err_msg=str(b)
+        )
+        assert (slin[b * kf + c : (b + 1) * kf] == cc.BIG).all(), b
+        off += c
+    # neighbour graph equivalence through linear indices
+    su_, sd_, fu_, fd_ = map(np.asarray, (su, sd, fu, fd))
+    for s in range(B * kf):
+        if slin[s] >= cc.BIG:
+            continue
+        fs = np.nonzero(flin == slin[s])[0][0]
+        assert slin[su_[s]] == flin[fu_[fs]], s
+        assert slin[sd_[s]] == flin[fd_[fs]], s
+    # CC + spot tables bit-identical
+    rootf = cc.label_compact_pixels(fp, width=W, neighbors=(fu, fd))
+    roots = cc.label_compact_pixels(sp, width=W, neighbors=(su, sd))
+    tf = cc.spot_table_from_pixels(
+        fp, rootf, width=W, max_spots=256, dtype=jnp.float32, frame_rows=h
+    )
+    ts = cc.spot_table_from_pixels(
+        sp, roots, width=W, max_spots=256, dtype=jnp.float32, frame_rows=h
+    )
+    ns = int(tf.n_spots)
+    assert int(ts.n_spots) == ns > 0
+    for f in tf._fields:
+        if f == "n_spots":
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(getattr(tf, f))[:ns],
+            np.asarray(getattr(ts, f))[:ns],
+            err_msg=f,
+        )
+
+
 def test_compact_from_pcw_flat_untrimmed_padding(small_frame):
     """Strip-padded (untrimmed) pcw rows must yield the same pixels; the
     padded rows are empty and only shift the tall row pitch."""
