@@ -2,9 +2,10 @@
 
 Pipeline under test (all on device): MXU bit-packed dispersion threshold
 (ops/dispersion_pallas.dispersion_packed_raw -> combined [pc | w32] rows) ->
-flat-batch word compaction (ops/compact.compact_from_pcw_flat; ONE set of
-sparse ops for the whole frame batch) -> sparse 2D connected components ->
-multi-frame spot table + filters.  Strong-pixel and spot counts are
+segmented batch word compaction (ops/compact.compact_from_pcw_segmented;
+ONE set of sparse ops for the whole frame batch, per-frame slot segments
+so each intensity-gather round touches only its own frames' indices) ->
+sparse 2D connected components -> multi-frame spot table + filters.  Strong-pixel and spot counts are
 validated against the deterministic sample-data anchors, then throughput is
 measured with chained loop-dependent reps and every output consumed.
 
@@ -129,12 +130,11 @@ def main() -> int:
         per_frame_px=None,
     ):
         """per_frame_px selects the SEGMENTED compaction (per-frame slot
-        capacity): each intensity-gather round then touches only its own
-        frame's indices — measured 14.3 -> 13.4 ms/batch on the Eiger
-        pipeline (tools/measure_segmented.py).  The Jungfrau path keeps
-        the flat shared capacity: its ~525-pixel frames pool 15 to a
-        gather table already, and a per-frame split of its 65536 slots
-        would leave no headroom for frame-to-frame variance."""
+        capacity): each intensity-gather round then statically slices
+        only its own frames' indices — measured 14.3 -> 13.4 ms/batch on
+        the Eiger pipeline (tools/measure_segmented.py) and 33.5 -> 31.2
+        on Jungfrau at honest per-frame capacity Kf=640 (small frames
+        still pool 15 per gather table; tools/measure_segmented_jf.py)."""
         msk = mask if msk is None else msk
 
         jf_strip = int(os.environ.get("FFS_BENCH_JF_STRIP", "128"))
@@ -263,26 +263,30 @@ def main() -> int:
         if on_tpu
         else None
     )
-    # Honest capacity: the 112-frame batch carries ~59k strong pixels
-    # (112 x ~525); the sparse stages must be sized to HOLD the workload,
-    # not truncate it (compaction cost scales with the static capacity, so
-    # an undersized K would undercount the real per-frame cost).
-    JK = int(os.environ.get("FFS_BENCH_JF_MAX_PX", "65536"))
+    # Honest capacity: every frame of the 112-frame batch carries up to
+    # ~560 strong pixels; the segmented per-frame capacity must HOLD the
+    # max frame (not truncate it), with margin for the loop-varied
+    # inputs — checked loudly below against the exact per-frame counts.
+    JKF = int(os.environ.get("FFS_BENCH_JF_MAX_PX_PER_FRAME", "640"))
     jstep = make_full_step(
-        JK,
+        None,
         int(os.environ.get("FFS_BENCH_JF_MAX_SPOTS", "8192")),
-        extended=True, msk=jmask, mb=jmbox,
+        extended=True, msk=jmask, mb=jmbox, per_frame_px=JKF,
     )
-    jpk, *_ = jstep(jbatch)
-    if int(jpk.count) > JK:
-        print(f"JF bench frames exceed capacity: {int(jpk.count)}",
-              file=sys.stderr)
+    _, _, _, _, jcounts = jstep(jbatch)
+    if int(jnp.max(jcounts)) > JKF:
+        print(
+            f"JF bench frames exceed per-frame capacity: "
+            f"{int(jnp.max(jcounts))} > {JKF}",
+            file=sys.stderr,
+        )
         ok = False
 
     def jconsume(b):
-        p, t, keep, hp, _ = jstep(b)
+        p, t, keep, hp, counts = jstep(b)
         return (
-            p.count + t.n_spots + jnp.sum(keep.astype(jnp.int32))
+            p.count + jnp.max(counts) + t.n_spots
+            + jnp.sum(keep.astype(jnp.int32))
             + jnp.sum(t.com_x) + jnp.sum(t.com_y)
         ).astype(jnp.float32)
 

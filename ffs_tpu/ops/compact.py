@@ -442,7 +442,12 @@ def compact_from_pcw_flat(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_pixels_per_frame", "with_neighbors")
+    jax.jit,
+    static_argnames=(
+        "max_pixels_per_frame",
+        "with_neighbors",
+        "gather_group_frames",
+    ),
 )
 def compact_from_pcw_segmented(
     images: jnp.ndarray,
@@ -450,6 +455,7 @@ def compact_from_pcw_segmented(
     *,
     max_pixels_per_frame: int = 4096,
     with_neighbors: bool = False,
+    gather_group_frames: int | None = None,
 ):
     """Batch compaction with PER-FRAME slot segments.
 
@@ -526,13 +532,28 @@ def compact_from_pcw_segmented(
     row_t = b_grid * ht + y_idx  # tall row
     lin = jnp.where(valid, row_t * w + col, BIG).astype(jnp.int32)
 
-    # per-frame intensity gathers: round b touches ONLY its (Kf,) indices
-    local = jnp.clip(jnp.minimum(y_idx, h_img - 1) * w + col, 0, h_img * w - 1)
+    # per-group intensity gathers: round g statically slices its own
+    # frames' (gs, Kf) indices — K total gathered indices, no K-wide
+    # selects.  Small detectors pool gs frames per VMEM-sized table
+    # exactly like the flat form (Jungfrau: 15/group); Eiger runs gs=1.
+    gs = gather_group_frames or max(
+        1, (32 << 20) // (h_img * w * images.dtype.itemsize)
+    )
+    local = jnp.clip(
+        ((b_grid % gs) * h_img + jnp.minimum(y_idx, h_img - 1)) * w + col,
+        0,
+        gs * h_img * w - 1,
+    )
     vals = []
-    for b in range(B):
-        tab = jax.lax.optimization_barrier(images[b].reshape(-1))
-        vals.append(tab[local[b]].astype(jnp.int32))
-    inten = jnp.where(valid, jnp.stack(vals), 0)
+    for g in range(-(-B // gs)):
+        tab = jax.lax.optimization_barrier(
+            images[g * gs : (g + 1) * gs].reshape(-1)
+        )
+        lg = local[g * gs : (g + 1) * gs]
+        vals.append(
+            tab[jnp.clip(lg, 0, tab.shape[0] - 1)].astype(jnp.int32)
+        )
+    inten = jnp.where(valid, jnp.concatenate(vals, axis=0), 0)
 
     pixels = CompactPixels(
         lin.reshape(-1), inten.reshape(-1), jnp.sum(counts)

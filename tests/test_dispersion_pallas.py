@@ -426,6 +426,24 @@ def test_compact_from_pcw_segmented_matches_flat():
     sp, su, sd, counts = compact_from_pcw_segmented(
         jnp.asarray(imgs), pcw, max_pixels_per_frame=kf, with_neighbors=True
     )
+    # grouped gather rounds (incl. ragged last group and one whole-batch
+    # group) must be bit-identical to the per-frame rounds
+    for gg in (2, 3, B):
+        sp_g, su_g, sd_g, counts_g = compact_from_pcw_segmented(
+            jnp.asarray(imgs), pcw, max_pixels_per_frame=kf,
+            with_neighbors=True, gather_group_frames=gg,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sp_g.linear_index), np.asarray(sp.linear_index),
+            err_msg=f"gg={gg}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sp_g.intensity), np.asarray(sp.intensity),
+            err_msg=f"gg={gg}",
+        )
+        np.testing.assert_array_equal(np.asarray(su_g), np.asarray(su))
+        np.testing.assert_array_equal(np.asarray(sd_g), np.asarray(sd))
+        np.testing.assert_array_equal(np.asarray(counts_g), np.asarray(counts))
     counts = np.asarray(counts)
     n = int(fp.count)
     assert int(sp.count) == n == counts.sum() > 0
