@@ -99,10 +99,7 @@ def main() -> int:
     from ffs_tpu.io import sample_data
     from ffs_tpu.ops import connected_components as cc
     from ffs_tpu.ops.cc2d_host import cc2d
-    from ffs_tpu.ops.compact import (
-        compact_from_pcw_flat,
-        compact_from_pcw_segmented,
-    )
+    from ffs_tpu.ops.compact import compact_from_pcw_segmented
     from ffs_tpu.ops.dispersion_extended_pallas import (
         dispersion_extended_packed_raw,
         mask_box_count_extended,
@@ -126,15 +123,14 @@ def main() -> int:
     mbox = jax.block_until_ready(mask_box_count(mask)) if on_tpu else None
 
     def make_full_step(
-        max_px, max_spots, extended=False, msk=None, mb=None,
-        per_frame_px=None,
+        per_frame_px, max_spots, extended=False, msk=None, mb=None
     ):
-        """per_frame_px selects the SEGMENTED compaction (per-frame slot
-        capacity): each intensity-gather round then statically slices
-        only its own frames' indices — measured 14.3 -> 13.4 ms/batch on
-        the Eiger pipeline (tools/measure_segmented.py) and 33.5 -> 31.2
-        on Jungfrau at honest per-frame capacity Kf=640 (small frames
-        still pool 15 per gather table; tools/measure_segmented_jf.py)."""
+        """SEGMENTED compaction throughout (per-frame slot capacity):
+        each intensity-gather round statically slices only its own
+        frames' indices — measured 14.3 -> 13.4 ms/batch on the Eiger
+        pipeline (tools/measure_segmented.py) and 33.5 -> 31.2 on
+        Jungfrau at honest per-frame capacity Kf=640 (small frames still
+        pool 15 per gather table; tools/measure_segmented_jf.py)."""
         msk = mask if msk is None else msk
 
         jf_strip = int(os.environ.get("FFS_BENCH_JF_STRIP", "128"))
@@ -153,16 +149,10 @@ def main() -> int:
                 )
             hp = pcw.shape[1]
             w = batch.shape[-1]
-            if per_frame_px is not None:
-                p, nbu, nbd, counts = compact_from_pcw_segmented(
-                    batch, pcw, max_pixels_per_frame=per_frame_px,
-                    with_neighbors=True,
-                )
-            else:
-                p, nbu, nbd = compact_from_pcw_flat(
-                    batch, pcw, max_pixels_total=max_px, with_neighbors=True
-                )
-                counts = None
+            p, nbu, nbd, counts = compact_from_pcw_segmented(
+                batch, pcw, max_pixels_per_frame=per_frame_px,
+                with_neighbors=True,
+            )
             root = cc.label_compact_pixels(p, width=w, neighbors=(nbu, nbd))
             t = cc.spot_table_from_pixels(
                 p, root, width=w, max_spots=max_spots,
@@ -181,7 +171,7 @@ def main() -> int:
         lambda b: tuple(
             v
             for p, t, keep, hp, counts in [
-                make_full_step(None, 16384, mb=mbox, per_frame_px=VKF)(b)
+                make_full_step(VKF, 16384, mb=mbox)(b)
             ]
             for v in (
                 p.linear_index, p.intensity, counts, t.n_spots,
@@ -213,7 +203,7 @@ def main() -> int:
     rng = np.random.default_rng(12)
     batch = jax.device_put(jnp.asarray(_make_frames(rng, H, W, BATCH, mask_np)))
     KF = K // BATCH  # per-frame capacity (segmented compaction)
-    step = make_full_step(None, S, mb=mbox, per_frame_px=KF)
+    step = make_full_step(KF, S, mb=mbox)
 
     def consume(b):
         p, t, keep, hp, counts = step(b)
@@ -224,7 +214,8 @@ def main() -> int:
         ).astype(jnp.float32)
 
     # capacity check on the realistic frames (per frame: segmented slots)
-    _, _, _, _, counts_k = step(batch)
+    # check BOTH loop parities (the chained loop runs batch and batch+1)
+    counts_k = jnp.maximum(step(batch)[4], step(batch + jnp.uint16(1))[4])
     if int(jnp.max(counts_k)) > KF:
         print(
             f"bench frames exceed per-frame capacity: "
@@ -269,11 +260,11 @@ def main() -> int:
     # inputs — checked loudly below against the exact per-frame counts.
     JKF = int(os.environ.get("FFS_BENCH_JF_MAX_PX_PER_FRAME", "640"))
     jstep = make_full_step(
-        None,
+        JKF,
         int(os.environ.get("FFS_BENCH_JF_MAX_SPOTS", "8192")),
-        extended=True, msk=jmask, mb=jmbox, per_frame_px=JKF,
+        extended=True, msk=jmask, mb=jmbox,
     )
-    _, _, _, _, jcounts = jstep(jbatch)
+    jcounts = jnp.maximum(jstep(jbatch)[4], jstep(jbatch + jnp.uint16(1))[4])
     if int(jnp.max(jcounts)) > JKF:
         print(
             f"JF bench frames exceed per-frame capacity: "

@@ -513,7 +513,6 @@ def compact_from_pcw_segmented(
     rank = ks - prev_end  # (B, Kf) 1-based within the row
 
     prow = b_grid * h + y_idx  # (B, Kf) physical pcw row
-    prow_img = b_grid * h_img + jnp.minimum(y_idx, h_img - 1)
 
     # whole-batch single row gather (pcw stages fine — see flat form)
     rows = pcw.reshape(-1, nwl2)[prow.reshape(-1)].reshape(B, kf, nwl2)

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from bench import _make_frames  # keep the measured workload in lockstep
 from ffs_tpu.constants import E2XE_16M_FAST, E2XE_16M_SLOW
 from ffs_tpu.io import sample_data
 from ffs_tpu.ops import connected_components as cc
@@ -54,20 +55,8 @@ def timeit(name, fn, *args, reps=REPS):
 def main():
     print(f"backend={jax.default_backend()} B={B} reps={REPS} K={K}")
     rng = np.random.default_rng(12)
-    base = rng.poisson(2.0, size=(H, W)).astype(np.uint16)
     mask_np = sample_data.generate_mask()
-    frames = []
-    for _ in range(B):
-        f = base.copy()
-        ys = rng.integers(8, H - 8, 300)
-        xs = rng.integers(8, W - 8, 300)
-        for yy, xx in zip(ys, xs):
-            f[yy - 1 : yy + 2, xx - 1 : xx + 2] += rng.poisson(
-                60.0, size=(3, 3)
-            ).astype(np.uint16)
-        f[mask_np == 0] = 0
-        frames.append(f)
-    batch = jax.device_put(jnp.asarray(np.stack(frames)))
+    batch = jax.device_put(jnp.asarray(_make_frames(rng, H, W, B, mask_np)))
     mask = jnp.asarray(mask_np)
     mbox = jax.block_until_ready(mask_box_count(mask))
 

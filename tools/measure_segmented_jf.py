@@ -43,9 +43,8 @@ def timeit(name, fn, *args, reps=REPS):
 
     jax.block_until_ready(chained(*args))
     t0 = time.perf_counter()
-    t = time.perf_counter
     jax.block_until_ready(chained(*args))
-    dt = (t() - t0) / reps
+    dt = (time.perf_counter() - t0) / reps
     print(
         f"{name:58s} {dt * 1e3:9.3f} ms/batch  {B / dt:9.1f} fps",
         flush=True,
