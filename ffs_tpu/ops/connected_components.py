@@ -309,24 +309,25 @@ def spot_table_from_pixels(
     n_pixels = fsum[:, 0].astype(jnp.int32)
     sum_i, sum_ix, sum_iy = fsum[:, 1], fsum[:, 2], fsum[:, 3]
 
-    imins = jax.ops.segment_min(
-        jnp.where(in_spot[:, None], jnp.stack([px_x, px_y, px_z], axis=1), BIG),
-        sid,
-        num_segments=max_spots + 1,
-    )[:max_spots]
-    x_min, y_min, z_min = imins[:, 0], imins[:, 1], imins[:, 2]
-    # Peak intensity rides in the max op; z is constant within a spot
-    # (frames never bridge), so z_max == z_min — no extra reduction
+    # mins ride the SAME segment_max as negated columns (exact for
+    # integers; segment ops are latency-bound regardless of payload
+    # width, so one 6-column op beats a min + a max).  Peak intensity
+    # rides along; z is constant within a spot (frames never bridge),
+    # so z_max == z_min — no extra reduction.
+    pad6 = jnp.array([-1, -1, -1, -BIG, -BIG, -BIG], jnp.int32)
     imaxs = jax.ops.segment_max(
         jnp.where(
             in_spot[:, None],
-            jnp.stack([px_x, px_y, pixels.intensity], axis=1),
-            -1,
+            jnp.stack(
+                [px_x, px_y, pixels.intensity, -px_x, -px_y, -px_z], axis=1
+            ),
+            pad6,
         ),
         sid,
         num_segments=max_spots + 1,
     )[:max_spots]
     x_max, y_max, peak_i = imaxs[:, 0], imaxs[:, 1], imaxs[:, 2]
+    x_min, y_min, z_min = -imaxs[:, 3], -imaxs[:, 4], -imaxs[:, 5]
     z_max = jnp.where(n_pixels > 0, z_min, -1)
     z_min = jnp.where(n_pixels > 0, z_min, BIG)
 
