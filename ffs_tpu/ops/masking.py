@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("dtype",))
+@functools.partial(jax.jit, static_argnames=("dmin", "dmax", "dtype"))
 def resolution_mask(
     mask: jnp.ndarray,
     wavelength: float,
@@ -40,14 +40,11 @@ def resolution_mask(
     theta = 0.5 * jnp.arctan(r / distance)
     d = wavelength / (2.0 * jnp.sin(theta))
 
+    # dmin/dmax are static (per-collection constants, jitted once), so
+    # disabled filters fold away at trace time
     keep = jnp.ones((h, w), dtype=bool)
-    if isinstance(dmin, (int, float)):
-        # static filter bounds: fold the branch at trace time
-        if dmin > 0:
-            keep &= d >= dmin
-        if dmax > 0:
-            keep &= d <= dmax
-    else:
-        keep &= jnp.where(dmin > 0, d >= dmin, True)
-        keep &= jnp.where(dmax > 0, d <= dmax, True)
+    if dmin > 0:
+        keep &= d >= dmin
+    if dmax > 0:
+        keep &= d <= dmax
     return ((mask != 0) & keep).astype(jnp.uint8)

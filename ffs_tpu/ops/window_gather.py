@@ -121,6 +121,10 @@ def window_gather_planes(
     :func:`window_gather` otherwise."""
     p, hp, wp = img.shape
     assert wp % 128 == 0 and bh % 8 == 0
+    # the kernel DMAs a 2-block (256-lane) window span, so the plane must
+    # be at least 256 lanes wide (else xblk = min(x0>>7, wp//128 - 2)
+    # would go negative and read out of range); pad narrower planes up
+    assert wp >= 256, f"plane width {wp} < 256 lanes; pad the plane"
     assert img.dtype.itemsize >= 4
     a = y0.shape[0]
     ap = ((a + _R - 1) // _R) * _R
@@ -248,6 +252,8 @@ def window_gather(
     """
     hp, wp = img.shape
     assert wp % 128 == 0 and bh % 8 == 0
+    # 2-block (256-lane) DMA span: see window_gather_planes
+    assert wp >= 256, f"image width {wp} < 256 lanes; pad the image"
     assert img.dtype.itemsize >= 4, (
         "window_gather needs a >=32-bit image (16-bit HBM refs pack two "
         "sublanes per tile row, which forbids dynamic row offsets) — "

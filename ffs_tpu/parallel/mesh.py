@@ -96,6 +96,14 @@ def halo_sharded_dispersion(
     h, w = image.shape
     if h % n:
         raise ValueError(f"rows ({h}) must divide the mesh axis ({n})")
+    if h // n < radius:
+        # one ppermute hop supplies at most one neighbour's rows; a shard
+        # shorter than the halo cannot be completed (and the boundary
+        # slice would go negative) — same guard as the packed SP pipeline
+        raise ValueError(
+            f"shard height ({h // n}) must be >= the kernel radius "
+            f"({radius}); use fewer chips for this image"
+        )
 
     image = jax.device_put(image, NamedSharding(mesh, P(axis, None)))
     mask = jax.device_put(mask, NamedSharding(mesh, P(axis, None)))
@@ -177,7 +185,7 @@ def sharded_packed_pipeline(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(axis, None, None), P(None, None)),
-        out_specs=(P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis), P(), P(axis)),
         # pallas_call output avals carry no varying-mesh-axes annotation
         check_vma=False,
     )
@@ -203,9 +211,20 @@ def sharded_packed_pipeline(
             frame_rows=pcw.shape[1],
         )
         total = jax.lax.psum(jnp.sum(per_frame), axis)
-        return per_frame, table.n_spots[None], total
+        return per_frame, table.n_spots[None], total, jnp.sum(per_frame)[None]
 
-    return jax.jit(step)(frames, mask)
+    per_frame, n_spots, total, chip_counts = jax.jit(step)(frames, mask)
+    # fail loudly on per-chip capacity overflow instead of silently
+    # truncating the spot list (the per-frame counts are exact — from the
+    # kernel's prefix sums — while the compact arrays cap at the static
+    # capacity; same policy as SpotfindProcessor.collect)
+    chip_counts = jax.device_get(chip_counts)
+    if int(chip_counts.max()) > max_pixels_per_chip:
+        raise RuntimeError(
+            f"a chip's shard holds {int(chip_counts.max())} strong pixels, "
+            f"exceeding max_pixels_per_chip={max_pixels_per_chip}; raise it"
+        )
+    return per_frame, n_spots, total
 
 
 def sharded_packed_sp_pipeline(
@@ -273,7 +292,7 @@ def sharded_packed_sp_pipeline(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(axis, None), P(axis, None)),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P(axis)),
         check_vma=False,
     )
     def step(img_shard, mask_shard):
@@ -370,6 +389,15 @@ def sharded_packed_sp_pipeline(
             max_spots=max_spots,
             dtype=jnp.float32,
         )
-        return table, total
+        return table, total, pixels.count[None]
 
-    return jax.jit(step)(frame, mask)
+    table, total, chip_counts = jax.jit(step)(frame, mask)
+    # fail loudly on per-chip capacity overflow (a truncated boundary
+    # pixel would additionally break the cross-shard label merge)
+    chip_counts = jax.device_get(chip_counts)
+    if int(chip_counts.max()) > max_pixels_per_chip:
+        raise RuntimeError(
+            f"a row shard holds {int(chip_counts.max())} strong pixels, "
+            f"exceeding max_pixels_per_chip={max_pixels_per_chip}; raise it"
+        )
+    return table, total

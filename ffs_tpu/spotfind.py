@@ -274,7 +274,11 @@ class SpotfindProcessor:
         self._step = jax.jit(_step)
 
     def warmup(self, dtype=np.uint16) -> None:
-        self.dispatch(np.zeros((self.height, self.width), dtype=dtype))
+        """Trace + compile the full dispatch->collect path on a zero frame
+        (kernel, the smallest compaction tier, and the host/device CC
+        backend) so the first real frame doesn't pay the XLA compile
+        stall (the tunnelled compile service can take minutes)."""
+        self.process_frame(-1, np.zeros((self.height, self.width), dtype=dtype))
 
     def dispatch(self, image: np.ndarray):
         """Asynchronously dispatch one frame; returns device futures."""
@@ -443,16 +447,26 @@ class SpotfindProcessor:
                 "upload",
                 lambda: jax.block_until_ready(jnp.asarray(image)),
             )
-            if self.host_cc:
+            # the tiered kernel/compact split exists only on the Pallas
+            # path — host-CC WITHOUT Pallas (e.g. precision="f64") takes
+            # the fused dense step below, exactly as dispatch() does
+            if self.host_cc and self._x64_off:
                 rowcum, count = tick(
                     "kernel",
                     lambda: jax.block_until_ready(self._rowcum_step(img_dev)),
                 )
                 n = int(count)
                 tier = next(
-                    (t for t in self._capacity_tiers if n <= t),
-                    self._capacity_tiers[-1],
+                    (t for t in self._capacity_tiers if n <= t), None
                 )
+                if tier is None:
+                    # same hard failure as collect(): never silently
+                    # truncate past the top capacity tier
+                    raise RuntimeError(
+                        f"frame {image_number}: {n} strong pixels exceed "
+                        f"the maximum capacity {self._capacity_tiers[-1]}; "
+                        "raise SpotfindConfig.max_strong_pixels"
+                    )
                 pixels = tick(
                     "compact",
                     lambda: jax.block_until_ready(

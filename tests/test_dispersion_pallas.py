@@ -397,6 +397,31 @@ def test_processor_pallas_path_interpret(small_frame, cc_backend):
     np.testing.assert_array_equal(lin, np.flatnonzero(want.reshape(-1)))
 
 
+def test_profiled_host_cc_without_pallas(small_frame):
+    """process_frame_profiled with cc_backend='host' but the Pallas path
+    OFF (e.g. precision='f64') must take the fused dense step like
+    dispatch() does — it previously traced the Mosaic kernel with
+    interpret=False, which cannot run here."""
+    from ffs_tpu.spotfind import SpotfindConfig, SpotfindProcessor
+
+    image, mask = small_frame
+    h, w = image.shape
+    tm = float(np.iinfo(np.uint16).max)
+    cfg = SpotfindConfig(
+        precision="f64",
+        cc_backend="host",
+        max_strong_pixels=4096,
+        max_spots=2048,
+        min_spot_size=1,
+    )
+    proc = SpotfindProcessor(w, h, mask, tm, cfg)
+    assert proc.host_cc and not proc._x64_off
+    res, timings = proc.process_frame_profiled(0, image)
+    want = np.asarray(jops.dispersion(jnp.asarray(image), jnp.asarray(mask), tm))
+    assert res.n_strong_pixels == int(want.sum()) > 0
+    assert "upload" in timings and "collect" in timings
+
+
 def test_compact_from_pcw_segmented_matches_flat():
     """Per-frame-segment compaction must agree with the flat form: same
     per-frame pixel sets/intensities, an equivalent neighbour graph (slot
