@@ -154,9 +154,13 @@ def main() -> int:
                 with_neighbors=True,
             )
             root = cc.label_compact_pixels(p, width=w, neighbors=(nbu, nbd))
+            # peak_key_slots folds the peak tie-break into the bbox
+            # segment_max (bit-identical for u16 data; measured -0.31
+            # ms/batch Eiger, -0.99 JF — tools/measure_cc_variants.py)
             t = cc.spot_table_from_pixels(
                 p, root, width=w, max_spots=max_spots,
                 dtype=jnp.float32, frame_rows=hp,
+                peak_key_slots=per_frame_px,
             )
             keep, _, _ = cc.filter_spots(t, 3, 2.0)
             return p, t, keep, hp, counts

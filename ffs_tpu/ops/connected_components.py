@@ -240,7 +240,10 @@ class SpotTable(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "max_spots", "dtype", "frame_rows")
+    jax.jit,
+    static_argnames=(
+        "width", "max_spots", "dtype", "frame_rows", "peak_key_slots"
+    ),
 )
 def spot_table_from_pixels(
     pixels: CompactPixels,
@@ -250,6 +253,7 @@ def spot_table_from_pixels(
     max_spots: int = DEFAULT_MAX_SPOTS,
     dtype=jnp.float32,
     frame_rows: int | None = None,
+    peak_key_slots: int | None = None,
 ) -> SpotTable:
     """Per-spot statistics from compacted, labelled pixels.
 
@@ -260,6 +264,22 @@ def spot_table_from_pixels(
     index becomes z, so one call tabulates a whole batch (spots never
     span frames thanks to the gap row, and the raster tie-break order is
     exactly the (z, y, x) order the reference uses).
+
+    ``peak_key_slots`` (opt-in fast path, bit-identical result): the
+    per-frame slot capacity Kf of a SEGMENTED compaction layout (frame b
+    owns slots [b*Kf, (b+1)*Kf)), or the total capacity K for flat /
+    single-frame layouts.  Folds the peak tie-break into the bounding-box
+    segment_max via the exact composite key
+    ``intensity * 2^m + (2^m - 1 - frame-local slot)`` (m =
+    ceil_log2(peak_key_slots)) — valid because within-frame slot order is
+    linear-index order, so max key = max intensity with ties resolved to
+    the smallest linear index, exactly the reference's (z, y, x) ordering
+    (connected_components.cc:143-157).  Drops the dedicated peak
+    segment_min and the K-wide peak-intensity broadcast gather (measured
+    -0.31 ms/batch on the Eiger bench pipeline,
+    tools/measure_cc_variants.py).  Requires intensities < 2^16 (u16
+    detectors) so the key fits i32; callers with 32-bit pixel data must
+    leave it None.
     """
     lin = pixels.linear_index
     k = lin.shape[0]
@@ -312,21 +332,34 @@ def spot_table_from_pixels(
     # mins ride the SAME segment_max as negated columns (exact for
     # integers; segment ops are latency-bound regardless of payload
     # width, so one 6-column op beats a min + a max).  Peak intensity
-    # rides along; z is constant within a spot (frames never bridge),
-    # so z_max == z_min — no extra reduction.
-    pad6 = jnp.array([-1, -1, -1, -BIG, -BIG, -BIG], jnp.int32)
+    # (or the composite peak KEY) rides along; z is constant within a
+    # spot (frames never bridge), so z_max == z_min — no extra reduction.
+    if peak_key_slots is not None:
+        mlog = max(1, (peak_key_slots - 1).bit_length())
+        if mlog + 16 > 31:
+            raise ValueError(
+                f"peak_key_slots={peak_key_slots} needs {mlog} low bits; "
+                "intensity * 2^m must fit i32 (max 32768 slots per frame)"
+            )
+        mcap = jnp.int32((1 << mlog) - 1)
+        col2 = (pixels.intensity << mlog) + (
+            mcap - (slots % peak_key_slots)
+        )
+        pad2 = -BIG
+    else:
+        col2 = pixels.intensity
+        pad2 = -1
+    pad6 = jnp.array([-1, -1, pad2, -BIG, -BIG, -BIG], jnp.int32)
     imaxs = jax.ops.segment_max(
         jnp.where(
             in_spot[:, None],
-            jnp.stack(
-                [px_x, px_y, pixels.intensity, -px_x, -px_y, -px_z], axis=1
-            ),
+            jnp.stack([px_x, px_y, col2, -px_x, -px_y, -px_z], axis=1),
             pad6,
         ),
         sid,
         num_segments=max_spots + 1,
     )[:max_spots]
-    x_max, y_max, peak_i = imaxs[:, 0], imaxs[:, 1], imaxs[:, 2]
+    x_max, y_max = imaxs[:, 0], imaxs[:, 1]
     x_min, y_min, z_min = -imaxs[:, 3], -imaxs[:, 4], -imaxs[:, 5]
     z_max = jnp.where(n_pixels > 0, z_min, -1)
     z_min = jnp.where(n_pixels > 0, z_min, BIG)
@@ -334,10 +367,29 @@ def spot_table_from_pixels(
     # Peak pixel: max intensity, ties -> smallest (z, y, x); the (tall)
     # raster linear index is the exact tie-break order
     # (reference: connected_components.cc:143-157)
-    is_peak = in_spot & (pixels.intensity == peak_i[jnp.clip(sid, 0, max_spots - 1)])
-    peak_lin = jax.ops.segment_min(
-        jnp.where(is_peak, lin, BIG), sid, num_segments=max_spots + 1
-    )[:max_spots]
+    if peak_key_slots is not None:
+        # frame-local slot straight from the key; the frame's segment
+        # base is z * Kf (z == frame index in the segmented layout; 0
+        # for single-frame / flat layouts where the modulus is K)
+        peak_local = mcap - (imaxs[:, 2] & mcap)
+        peak_slot = (
+            jnp.where(n_pixels > 0, z_max, 0) * peak_key_slots + peak_local
+        )
+        # empty rows take segment_min's identity (i32 max) so the padding
+        # values match the two-op path bit-for-bit
+        peak_lin = jnp.where(
+            n_pixels > 0,
+            lin[jnp.clip(peak_slot, 0, k - 1)],
+            jnp.int32(2**31 - 1),
+        )
+    else:
+        peak_i = imaxs[:, 2]
+        is_peak = in_spot & (
+            pixels.intensity == peak_i[jnp.clip(sid, 0, max_spots - 1)]
+        )
+        peak_lin = jax.ops.segment_min(
+            jnp.where(is_peak, lin, BIG), sid, num_segments=max_spots + 1
+        )[:max_spots]
     peak_x = peak_lin % width
     peak_row_t = jnp.where(peak_lin < BIG, peak_lin // width, BIG)
     if frame_rows is not None:

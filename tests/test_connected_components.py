@@ -307,3 +307,69 @@ def test_union_edges_matches_sequential(rng):
 
     idx = np.arange(n)
     np.testing.assert_array_equal(seq.find_all(idx), batch.find_all(idx))
+
+
+@pytest.mark.parametrize("kf", [640, 1024])  # non-pow2 (JF) + pow2 moduli
+def test_spot_table_peak_key_bit_parity(kf):
+    """peak_key_slots folds the peak tie-break into the bbox segment_max;
+    the table must stay BIT-identical to the two-op path — segmented
+    per-frame slot layout, planted intensity ties included."""
+    rng = np.random.default_rng(7)
+    B, H, W = 3, 48, 96
+    ht = H + 1
+    stack = rng.random((B, H, W)) < 0.10
+    image = rng.integers(1, 200, size=(B, H, W)).astype(np.uint16)
+    # planted flat-top spots: equal max intensity across several pixels
+    # (cleared guard band so noise never merges into the planted spots)
+    stack[:, 8:15, :] = False
+    for b in range(B):
+        stack[b, 10:13, 20 + 5 * b : 23 + 5 * b] = True
+        image[b, 10:13, 20 + 5 * b : 23 + 5 * b] = 65535  # u16 extreme
+    # build the segmented slot layout by hand: frame b owns [b*kf, (b+1)*kf)
+    lin = np.full(B * kf, cc.BIG, np.int64)
+    inten = np.zeros(B * kf, np.int32)
+    for b in range(B):
+        ys, xs = np.nonzero(stack[b])
+        assert len(ys) <= kf
+        tall = (b * ht + ys) * W + xs  # raster order within the frame
+        lin[b * kf : b * kf + len(ys)] = tall
+        inten[b * kf : b * kf + len(ys)] = image[b, ys, xs]
+    pixels = cc.CompactPixels(
+        jnp.asarray(lin, jnp.int32),
+        jnp.asarray(inten),
+        jnp.int32(int(stack.sum())),
+    )
+    root = cc.label_compact_pixels(pixels, width=W)
+    t0 = cc.spot_table_from_pixels(
+        pixels, root, width=W, max_spots=2048, frame_rows=H
+    )
+    t1 = cc.spot_table_from_pixels(
+        pixels, root, width=W, max_spots=2048, frame_rows=H,
+        peak_key_slots=kf,
+    )
+    for f in t0._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(t0, f)), np.asarray(getattr(t1, f)), err_msg=f
+        )
+    # the planted ties must resolve to the smallest (z, y, x)
+    ns = int(t0.n_spots)
+    planted = [
+        s for s in range(ns)
+        if int(t1.n_pixels[s]) == 9 and float(t1.sum_intensity[s]) == 9 * 65535
+    ]
+    assert len(planted) == B
+    for b, s in enumerate(sorted(planted, key=lambda s: int(t1.peak_z[s]))):
+        assert (
+            int(t1.peak_x[s]), int(t1.peak_y[s]), int(t1.peak_z[s])
+        ) == (20 + 5 * b, 10, b)
+
+
+def test_spot_table_peak_key_rejects_wide_slots():
+    pixels = cc.CompactPixels(
+        jnp.full(8, cc.BIG, jnp.int32), jnp.zeros(8, jnp.int32), jnp.int32(0)
+    )
+    root = jnp.arange(8, dtype=jnp.int32)
+    with pytest.raises(ValueError, match="peak_key_slots"):
+        cc.spot_table_from_pixels(
+            pixels, root, width=16, max_spots=8, peak_key_slots=65536
+        )
