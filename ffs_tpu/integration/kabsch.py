@@ -28,6 +28,26 @@ import numpy as np
 from .background import NUM_BG_BINS
 
 
+def _weighted_index_dot(vals_i32, n: int):
+    """Exact ``sum_j vals[:, j] * j`` for i32 ``vals < 2**26``, in f64.
+
+    f64 dot_general lowers catastrophically on TPU (software-emulated
+    mantissa arithmetic; ~10 ms for an (512, 3, h, w) contraction,
+    tools/measure_kabsch.py) — but these moment dots are pure integer
+    arithmetic, so a 13-bit hi/lo split keeps every partial dot exactly
+    representable in native i32: hi, lo < 2**13 and the weighted sums are
+    bounded by 2**13 * n*(n-1)/2 < 2**31 for n <= 512.  The recombined
+    f64 value is bit-identical to the f64 dot it replaces.
+    """
+    import jax.numpy as jnp
+
+    assert n <= 512, "i32 split dot bound needs n <= 512"
+    w = jnp.arange(n, dtype=jnp.int32)
+    hi_dot = jnp.sum((vals_i32 >> 13) * w, axis=1)
+    lo_dot = jnp.sum((vals_i32 & 8191) * w, axis=1)
+    return hi_dot.astype(jnp.float64) * 8192.0 + lo_dot.astype(jnp.float64)
+
+
 @dataclass
 class FrameWork:
     """Per-frame work unit: which reflections are active and their windows."""
@@ -366,7 +386,7 @@ class KabschIntegrator:
         # running at native i32 VPU speed: per-window column sums of the
         # masked intensities stay < 2^26, and the (x + 0.5) / (y + 0.5)
         # moments split into (x0 + 0.5) * fg_sum + sum(I * col) with the
-        # small weighted dots done in f64 on (A, bw)-sized arrays.
+        # small weighted dots done exactly in split i32 (_weighted_index_dot).
         ivals = jnp.clip(windows.astype(jnp.int32), 0, None)
         mi = jnp.where(fg, ivals, 0)  # masked intensities, i32 exact
         colsum = jnp.sum(mi, axis=1)  # (A, bw) over rows; <= bh * 65535
@@ -374,13 +394,11 @@ class KabschIntegrator:
         fg_sum_i = jnp.sum(colsum, axis=1)  # (A,) <= bh*bw*65535 < 2^27
         fg_sum = fg_sum_i.astype(jnp.float64)
         fg_count = jnp.sum(fg, axis=(1, 2)).astype(jnp.int32)
-        cols64 = jnp.arange(bw, dtype=jnp.float64)
-        rows64 = jnp.arange(bh, dtype=jnp.float64)
-        sum_ix = (x0.astype(jnp.float64) + 0.5) * fg_sum + (
-            colsum.astype(jnp.float64) @ cols64
+        sum_ix = (x0.astype(jnp.float64) + 0.5) * fg_sum + _weighted_index_dot(
+            colsum, bw
         )
-        sum_iy = (y0.astype(jnp.float64) + 0.5) * fg_sum + (
-            rowsum.astype(jnp.float64) @ rows64
+        sum_iy = (y0.astype(jnp.float64) + 0.5) * fg_sum + _weighted_index_dot(
+            rowsum, bh
         )
         sum_iz = fg_sum * (z_value + 0.5)
 
@@ -567,6 +585,12 @@ class KabschIntegrator:
         )
         if maskw is not None:
             in_bbox = in_bbox & (maskw != 0)
+        # frame-invariant valid-pixel count, hoisted out of the frame loop:
+        # bg_count and overflow are derived from it below instead of being
+        # re-reduced over the full (A, bh, 128) grid every frame (the two
+        # full-grid count reductions cost 1.29 ms of the 8.95 ms A=2048/F=4
+        # block step, tools/measure_int_variants.py nocounts probe)
+        in_bbox_count = jnp.sum(in_bbox, axis=(1, 2)).astype(jnp.int32)
 
         # chunk geometry: e12 over the (bh+1, bw+1<=128) corner grid from
         # the hi/lo field windows.  delta = (hi - s1hi) + (lo - s1lo) is
@@ -595,8 +619,6 @@ class KabschIntegrator:
             return e12 <= t[:, None, None]
 
         k16 = jnp.arange(16, dtype=jnp.int32)
-        cols64 = jnp.arange(lanes, dtype=jnp.float64)
-        rows64 = jnp.arange(bh, dtype=jnp.float64)
 
         outs = []
         for f in range(F):
@@ -635,12 +657,12 @@ class KabschIntegrator:
             rowsum = jnp.sum(mi, axis=2)
             fg_sum = jnp.sum(colsum, axis=1).astype(jnp.float64)
             fg_count = jnp.sum(fg, axis=(1, 2)).astype(jnp.int32)
-            sum_ix = (x0.astype(jnp.float64) + 0.5) * fg_sum + (
-                colsum.astype(jnp.float64) @ cols64
-            )
-            sum_iy = (y0.astype(jnp.float64) + 0.5) * fg_sum + (
-                rowsum.astype(jnp.float64) @ rows64
-            )
+            sum_ix = (
+                x0.astype(jnp.float64) + 0.5
+            ) * fg_sum + _weighted_index_dot(colsum, lanes)
+            sum_iy = (
+                y0.astype(jnp.float64) + 0.5
+            ) * fg_sum + _weighted_index_dot(rowsum, bh)
             sum_iz = fg_sum * (z_values[f] + 0.5)
 
             in_range = bg & (ivals < NUM_BG_BINS)
@@ -658,10 +680,14 @@ class KabschIntegrator:
                 .reshape(A, NUM_BG_BINS)
                 .astype(jnp.int32)
             )
-            overflow = jnp.sum(bg & (ivals >= NUM_BG_BINS), axis=(1, 2)).astype(
-                jnp.int32
-            )
-            bg_count = jnp.sum(bg, axis=(1, 2)).astype(jnp.int32)
+            # derived counts (bit-exact, no extra full-grid reductions):
+            # every valid pixel is fg or bg, and every in-range bg pixel
+            # lands in exactly one histogram bin, so
+            #   bg_count = valid_count - fg_count
+            #   overflow = bg_count - sum_bins(hist)
+            valid_count = jnp.where(act_f, in_bbox_count, 0)
+            bg_count = valid_count - fg_count
+            overflow = bg_count - jnp.sum(hist, axis=1)
             outs.append(
                 (
                     fg_sum,

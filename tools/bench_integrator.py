@@ -89,11 +89,20 @@ def main() -> int:
     def chained(fr, *rest):
         def body(i, acc):
             out = block(fr + (i & 1), *rest, centre_slices=True)
+            # consume ALL eight outputs: production integrate() uses every
+            # one, and any unconsumed output lets XLA DCE its stage (the
+            # f64 moment dots were silently dropped by an earlier 3-output
+            # reduction, overstating the rate by ~40%)
             return (
                 acc
                 + out[0].sum()
+                + out[1].sum().astype(jnp.float64)
+                + out[2].sum()
+                + out[3].sum()
+                + out[4].sum()
                 + out[5].sum().astype(jnp.float64)
-                + out[1].sum()
+                + out[6].sum().astype(jnp.float64)
+                + out[7].sum().astype(jnp.float64)
             )
 
         return jax.lax.fori_loop(0, REPS, body, jnp.float64(0.0))

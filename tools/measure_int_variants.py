@@ -338,17 +338,24 @@ def main() -> int:
         )
         return dt
 
-    def nohist_wrap(step_fn):
+    def zero_wrap(step_fn, drop):
+        """DCE probe: zero the listed output slots so XLA drops their
+        producing stages; the delta vs base is those stages' cost."""
+
         def fn(*a):
             out = step_fn(*a)
-            zero_h = jnp.zeros_like(out[5])
-            zero_o = jnp.zeros_like(out[6])
-            return out[:5] + (zero_h, zero_o, out[7])
+            return tuple(
+                jnp.zeros_like(o) if k in drop else o
+                for k, o in enumerate(out)
+            )
 
         return fn
 
     timeit("base", lambda *a: base(*a))
-    timeit("nohist", nohist_wrap(lambda *a: base(*a)))
+    timeit("nohist", zero_wrap(lambda *a: base(*a), (5, 6)))
+    timeit("nomoments", zero_wrap(lambda *a: base(*a), (2, 3, 4)))
+    timeit("nocounts", zero_wrap(lambda *a: base(*a), (6, 7)))
+    timeit("nofg", zero_wrap(lambda *a: base(*a), (0, 1, 2, 3, 4)))
     for name, fn in variants.items():
         timeit(name, fn)
     return 0
