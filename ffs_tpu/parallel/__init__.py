@@ -3,6 +3,7 @@
 from .mesh import (  # noqa: F401
     make_mesh,
     shard_frames,
+    sharded_kabsch_block_step,
     sharded_packed_pipeline,
     sharded_packed_sp_pipeline,
     sharded_spotfind_counts,

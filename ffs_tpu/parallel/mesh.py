@@ -401,3 +401,87 @@ def sharded_packed_sp_pipeline(
             f"exceeding max_pixels_per_chip={max_pixels_per_chip}; raise it"
         )
     return table, total
+
+
+def sharded_kabsch_block_step(
+    mesh: Mesh,
+    integ,
+    frames: jnp.ndarray,
+    dev: dict,
+    phi_lows: jnp.ndarray,
+    d_osc,
+    z_values: jnp.ndarray,
+    frame_ok: jnp.ndarray,
+    *,
+    centre_slices: bool = True,
+    axis: str = "data",
+):
+    """The PRODUCTION integrator block step, reflection-parallel (DP).
+
+    The Kabsch classification is embarrassingly parallel over reflections
+    (reference analogue: one CUDA block per shoebox, kabsch.cu:455-675;
+    SURVEY.md P4/P8), so the chunk's per-reflection arrays — corner-field
+    windows, mask windows, origins, bboxes, beam vectors — shard over the
+    mesh's ``data`` axis while the resident frame block is replicated.
+    Each chip runs the full jitted step (multi-plane DMA window gathers +
+    classification + exact-integer accumulation) on its reflection shard;
+    there is NO cross-chip communication — the host accumulators consume
+    the sharded outputs directly, exactly as in single-chip integrate().
+
+    ``integ`` is a KabschIntegrator; ``dev`` is its _chunk_setup dict.
+    Returns the same 8-tuple as _block_step_impl, each output sharded on
+    its reflection axis (axis 1; (F, A, ...)).
+    """
+    n = mesh.shape[axis]
+    A = dev["x0"].shape[0]
+    if A % n:
+        raise ValueError(f"chunk ({A}) must divide the mesh axis ({n})")
+
+    refl = P(axis)  # (A,) leading-dim arrays
+    specs = {
+        "fieldw": P(axis, None, None, None),
+        "maskw": P(axis, None, None),
+        "x0": refl, "y0": refl,
+        "bbox": P(axis, None),
+        "s1": P(axis, None), "phi": refl,
+        "e1": P(axis, None), "e2": P(axis, None),
+        "zeta": refl, "active": refl,
+    }
+    keys = [k for k in specs if dev.get(k) is not None]
+    in_specs = (
+        (P(None, None, None),)  # replicated frame block
+        + tuple(specs[k] for k in keys)
+        + (P(), P(None), P(None), P(None))  # d_osc, phi_lows, z_values, frame_ok
+    )
+    out_specs = (
+        P(None, axis), P(None, axis), P(None, axis), P(None, axis),
+        P(None, axis), P(None, axis, None), P(None, axis), P(None, axis),
+    )
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        # pallas_call output avals carry no varying-mesh-axes annotation
+        check_vma=False,
+    )
+    def step(local_frames, *rest):
+        local_dev = dict(zip(keys, rest[: len(keys)]))
+        local_dev.setdefault("maskw", None)
+        d_osc_l, plows, zvals, fok = rest[len(keys) :]
+        return integ._block_step_impl(
+            local_frames,
+            local_dev["fieldw"], local_dev["maskw"],
+            local_dev["x0"], local_dev["y0"], local_dev["bbox"],
+            local_dev["s1"], local_dev["phi"],
+            local_dev["e1"], local_dev["e2"], local_dev["zeta"],
+            local_dev["active"], plows, d_osc_l, zvals, fok,
+            centre_slices=centre_slices,
+        )
+
+    args = [jax.device_put(dev[k], NamedSharding(mesh, specs[k])) for k in keys]
+    frames = jax.device_put(frames, NamedSharding(mesh, P(None, None, None)))
+    return jax.jit(step)(
+        frames, *args, jnp.asarray(d_osc), phi_lows, z_values, frame_ok
+    )

@@ -156,3 +156,75 @@ def test_sharded_packed_sp_table_bit_identical(mesh, rng):
     # the boundary-spanning spots really exist as single components
     n_px = np.asarray(want.n_pixels)[:ns]
     assert (n_px >= 17 * 2).any(), "three-shard spot not merged"
+
+
+def test_sharded_kabsch_block_step_bit_identical(mesh, rng):
+    """Reflection-parallel (DP) integrator block step == single-chip,
+    bitwise, on every one of the 8 outputs."""
+    from ffs_tpu.integration import kabsch as kb
+    from ffs_tpu.models.geometry import (
+        Goniometer,
+        MonochromaticBeam,
+        Scan,
+        simple_panel,
+    )
+    from ffs_tpu.parallel import sharded_kabsch_block_step
+
+    A, F, H, W = 32, 2, 160, 256
+    panel = simple_panel(150.0, (W / 2, H / 2), (0.075, 0.075), (W, H))
+    beam = MonochromaticBeam(wavelength=0.976)
+    gonio = Goniometer()
+    scan = Scan(image_range=(1, 10), oscillation=(0.0, 0.1))
+
+    x = rng.uniform(20, W - 20, A)
+    y = rng.uniform(20, H - 20, A)
+    xmm, ymm = panel.px_to_mm(x, y)
+    lab = panel.get_lab_coord(xmm, ymm)
+    s1 = lab / np.linalg.norm(lab, axis=1, keepdims=True) / beam.wavelength
+    phi = np.deg2rad(rng.uniform(0, 0.2, A))
+    half = 5
+    bboxes = np.stack(
+        [
+            np.clip(x - half, 0, W - 1), np.clip(x + half, 0, W - 1),
+            np.clip(y - half, 0, H - 1), np.clip(y + half, 0, H - 1),
+            np.zeros(A), np.full(A, F),
+        ],
+        axis=1,
+    ).astype(np.int64)
+
+    integ = kb.KabschIntegrator(
+        panel=panel, beam=beam, gonio=gonio, scan=scan,
+        s1=s1, phi=phi, bboxes=bboxes,
+        delta_b=np.deg2rad(0.3), delta_m=np.deg2rad(1.0), max_active=A,
+    )
+    cs_e1 = np.cross(s1, np.asarray(beam.s0))
+    cs_e1 /= np.linalg.norm(cs_e1, axis=1, keepdims=True)
+    cs_e2 = np.cross(s1, cs_e1)
+    cs_e2 /= np.linalg.norm(cs_e2, axis=1, keepdims=True)
+    zeta = cs_e1 @ (gonio.rotation_axis / np.linalg.norm(gonio.rotation_axis))
+    dev = integ._chunk_setup(np.arange(A), cs_e1, cs_e2, zeta)
+
+    image = rng.poisson(4.0, size=(F, H, W)).astype(np.uint16)
+    image[:, 80:83, 120:123] = 600
+    frames = jnp.asarray(integ.pad_frames(image)).astype(jnp.int32)
+    phi_lows = jnp.asarray(np.deg2rad(np.arange(F) * 0.1))
+    d_osc = float(np.deg2rad(0.1))
+    z_values = jnp.asarray(np.arange(F, dtype=np.float64))
+    frame_ok = jnp.ones(F, dtype=bool)
+
+    want = jax.jit(
+        integ._block_step_impl, static_argnames=("centre_slices",)
+    )(
+        frames, dev["fieldw"], dev["maskw"], dev["x0"], dev["y0"],
+        dev["bbox"], dev["s1"], dev["phi"], dev["e1"], dev["e2"],
+        dev["zeta"], dev["active"], phi_lows, d_osc, z_values, frame_ok,
+        centre_slices=True,
+    )
+    got = sharded_kabsch_block_step(
+        mesh, integ, frames, dev, phi_lows, d_osc, z_values, frame_ok
+    )
+    assert int(np.asarray(want[1]).sum()) > 0  # some foreground classified
+    for k, (g, w_) in enumerate(zip(got, want)):
+        np.testing.assert_array_equal(
+            np.asarray(g), np.asarray(w_), err_msg=f"output {k} diverged"
+        )
