@@ -209,13 +209,22 @@ def main() -> int:
     KF = K // BATCH  # per-frame capacity (segmented compaction)
     step = make_full_step(KF, S, mb=mbox)
 
-    def consume(b):
-        p, t, keep, hp, counts = step(b)
-        return (
+    def consume_all(p, t, keep, counts):
+        """Sum EVERY SpotTable column + the filter mask + capacities:
+        production writes every column to the reflection table, so an
+        honest fps claim must not let XLA DCE any of them (the heavy
+        segment ops are shared, but the per-column extractions are not)."""
+        acc = (
             p.count + jnp.max(counts) + t.n_spots
             + jnp.sum(keep.astype(jnp.int32))
-            + jnp.sum(t.com_x) + jnp.sum(t.com_y)
         ).astype(jnp.float32)
+        for col in t[1:]:  # every (S,) column incl. valid/bbox/peaks
+            acc = acc + jnp.sum(col.astype(jnp.float32))
+        return acc
+
+    def consume(b):
+        p, t, keep, hp, counts = step(b)
+        return consume_all(p, t, keep, counts)
 
     # capacity check on the realistic frames (per frame: segmented slots)
     # check BOTH loop parities (the chained loop runs batch and batch+1)
@@ -279,11 +288,7 @@ def main() -> int:
 
     def jconsume(b):
         p, t, keep, hp, counts = jstep(b)
-        return (
-            p.count + jnp.max(counts) + t.n_spots
-            + jnp.sum(keep.astype(jnp.int32))
-            + jnp.sum(t.com_x) + jnp.sum(t.com_y)
-        ).astype(jnp.float32)
+        return consume_all(p, t, keep, counts)
 
     @jax.jit
     def jchained(b):
