@@ -247,3 +247,27 @@ def test_integration_bit_stable_between_runs(integration_experiment):
         np.testing.assert_array_equal(a, b)  # BITWISE equality, no tolerance
     np.testing.assert_array_equal(accs[0].bg_hist, accs[1].bg_hist)
     np.testing.assert_array_equal(accs[0].fg_count, accs[1].fg_count)
+
+
+def test_weighted_index_dot_exact_at_bounds():
+    """The 13-bit-split i32 moment dot must equal the exact integer dot
+    (as f64) everywhere in its stated domain: vals < 2**26, n <= 512 —
+    including the all-maximal corner where the f64 emulation it replaced
+    would still have been exact but any split overflow would not be."""
+    import jax.numpy as jnp
+
+    from ffs_tpu.integration.kabsch import _weighted_index_dot
+
+    rng = np.random.default_rng(7)
+    for n in (21, 128, 512):
+        vals = rng.integers(0, 1 << 26, size=(17, n), dtype=np.int64)
+        vals[0] = (1 << 26) - 1  # all-maximal row
+        vals[1] = 0
+        want = (vals * np.arange(n, dtype=np.int64)).sum(axis=1)
+        got = np.asarray(
+            _weighted_index_dot(jnp.asarray(vals, jnp.int32), n)
+        )
+        np.testing.assert_array_equal(got, want.astype(np.float64))
+
+    with pytest.raises(AssertionError):
+        _weighted_index_dot(jnp.zeros((2, 513), jnp.int32), 513)
