@@ -72,6 +72,18 @@ def _build_parser(version: str) -> argparse.ArgumentParser:
         help="Decision arithmetic precision (f64 = DIALS bit-parity)",
     )
     p.add_argument(
+        "--batch",
+        type=int,
+        default=1,
+        metavar="B",
+        help="Process frames in device batches of B through the batched"
+        " all-device pipeline (segmented per-frame compaction; the exact"
+        " configuration bench.py measures) — amortises per-dispatch"
+        " overhead at high frame rates.  Requires the Pallas packed path"
+        " (TPU + --precision f32); falls back to per-frame otherwise."
+        " Incompatible with --profile (which times stages per frame).",
+    )
+    p.add_argument(
         "--profile",
         action="store_true",
         help="Per-image stage timing breakdown (upload/kernel/compact/post),"
@@ -310,6 +322,12 @@ def run(argv=None, default_pixel_depth: int = 16) -> int:
         dmax=args.dmax,
         precision=args.precision,
     )
+    if os.environ.get("FFS_PALLAS_INTERPRET"):
+        # test hook: run the production Pallas packed path (and with it
+        # the --batch mode) on CPU via Mosaic interpret mode — never set
+        # in production (orders of magnitude slower than the jnp path)
+        config.use_pallas = True
+        config.pallas_interpret = True
     mask = reader.get_mask()
     if mask is None:
         mask = np.ones((height, width), dtype=np.uint8)
@@ -346,6 +364,8 @@ def run(argv=None, default_pixel_depth: int = 16) -> int:
         timings = None
         if isinstance(result, tuple) and len(result) == 3 and result[0] == "profiled":
             _, res, timings = result
+        elif isinstance(result, tuple) and len(result) == 2 and result[0] == "collected":
+            res = result[1]  # batched mode: already a FrameResult
         else:
             res = processor.collect(image_num, result, want_com=want_com)
         n_strong = res.n_strong_pixels
@@ -432,16 +452,60 @@ def run(argv=None, default_pixel_depth: int = 16) -> int:
 
         executor = ThreadPoolExecutor(max_workers=args.threads)
 
+    # batched collection mode (--batch B): frames buffer into device
+    # batches of B and run through the batched all-device pipeline —
+    # the exact configuration bench.py's throughput metrics measure
+    batch_n = max(1, args.batch)
+    use_batch = (
+        batch_n > 1 and not args.profile and processor.batch_supported()
+    )
+    if batch_n > 1 and not use_batch:
+        print(
+            "Batched mode unavailable "
+            "(requires the Pallas packed path: TPU + f32); "
+            "falling back to per-frame processing"
+        )
+    batch_buf: list = []  # [(image_num, host_frame)]
+
+    def _emit_next():
+        item = inflight.popleft()
+        if item[0] == "batch":
+            _, nums, dev, imgs = item
+            ress = processor.collect_batch(
+                nums, dev, images=imgs, want_com=want_com
+            )
+            for num, res, img in zip(nums, ress, imgs):
+                _emit(num, ("collected", res), img)
+        else:
+            _emit(*item[1:])
+
+    def _flush_batch():
+        if not batch_buf:
+            return
+        nums = [n for n, _ in batch_buf]
+        imgs = [im for _, im in batch_buf]
+        stack = imgs + [np.zeros_like(imgs[0])] * (batch_n - len(imgs))
+        dev = processor.dispatch_batch(np.stack(stack))
+        inflight.append(("batch", nums, dev, imgs))
+        batch_buf.clear()
+        while len(inflight) >= 2:  # keep one batch in flight
+            _emit_next()
+
     def _dispatch_image(num, image):
+        if use_batch:
+            batch_buf.append((num, image))
+            if len(batch_buf) == batch_n:
+                _flush_batch()
+            return
         if args.profile:
             res, timings = processor.process_frame_profiled(
                 num, image, want_com=want_com
             )
-            inflight.append((num, ("profiled", res, timings), image))
+            inflight.append(("frame", num, ("profiled", res, timings), image))
         else:
-            inflight.append((num, processor.dispatch(image), image))
+            inflight.append(("frame", num, processor.dispatch(image), image))
         if len(inflight) >= depth:
-            _emit(*inflight.popleft())
+            _emit_next()
 
     def _drain_decoded(block: bool):
         while decode_q and (
@@ -484,8 +548,10 @@ def run(argv=None, default_pixel_depth: int = 16) -> int:
     if executor is not None:
         _drain_decoded(block=True)
         executor.shutdown(wait=True)
+    if use_batch:
+        _flush_batch()  # partial tail batch (zero-padded to B)
     while inflight:
-        _emit(*inflight.popleft())
+        _emit_next()
 
     # ----- epilogues (reference: spotfinder.cc:1099-1305) -------------------
     if rotation:

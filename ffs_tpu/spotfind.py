@@ -42,6 +42,11 @@ class SpotfindConfig:
     dmax: float = -1.0
     max_strong_pixels: int = 65536
     max_spots: int = 16384
+    # Batched collection mode (dispatch_batch/collect_batch): per-frame
+    # strong-pixel slot capacity of the SEGMENTED batch compaction.  None
+    # = min(max_strong_pixels, 16384); frames past it transparently fall
+    # back to the per-frame tiered path (up to max_strong_pixels).
+    batch_max_px_per_frame: Optional[int] = None
     precision: str = "f64"  # "f64" (bit-parity with DIALS CPU) or "f32"
     use_pallas: bool | None = None  # None = auto (TPU + f32 + dispersion)
     # "host" labels the compact pixels on the CPU (the reference's own
@@ -147,10 +152,15 @@ class SpotfindProcessor:
                     mask_box_count_extended(self.mask)
                 )
 
-        def _fused_pcw(image):
+        def _fused_pcw(image, trim: bool = True):
             """Packed-words kernel step -> combined [pc | w32] rows
             (the 72 MB/frame dense rowcum era is over — see
-            ops/dispersion_pallas.dispersion_packed_raw)."""
+            ops/dispersion_pallas.dispersion_packed_raw).
+
+            ``trim=False`` (batched path) keeps the strip-padded row count:
+            downstream gathers from the whole padded array avoid XLA's slow
+            sliced-view composite-gather lowering (see the packed-raw
+            docstring; bench.py measures this form)."""
             from .ops.dispersion_extended_pallas import (
                 dispersion_extended_packed_raw,
             )
@@ -168,6 +178,7 @@ class SpotfindProcessor:
                     self.trusted_max,
                     mbox=self.mbox,
                     interpret=cfg.pallas_interpret,
+                    trim=trim,
                     **kwargs,
                 )
             return dispersion_extended_packed_raw(
@@ -272,6 +283,163 @@ class SpotfindProcessor:
             return pixels, root_lin, table, both_keep, n_boxes, n_px_filtered
 
         self._step = jax.jit(_step)
+
+        # --- batched collection mode (all-device segmented pipeline) ------
+        # The throughput configuration bench.py measures, exposed as a
+        # production path: one jitted step per (B, H, W) frame batch —
+        # packed kernel, SEGMENTED per-frame compaction, sparse CC over
+        # the whole batch, one multi-frame spot table.  Amortises the
+        # per-dispatch overhead the per-frame path pays B times.  Only
+        # meaningful on the Pallas packed path (batch hot path == bench).
+        self._batch_kf = cfg.batch_max_px_per_frame or min(
+            cfg.max_strong_pixels, 16384
+        )
+
+        def _batch_step(images, kf: int):
+            from .ops.compact import compact_from_pcw_segmented
+
+            pcw = _fused_pcw(images, trim=False)
+            hp = pcw.shape[1]  # per-frame kernel rows (tall pitch hp+1)
+            if self.host_cc:
+                pixels, counts = compact_from_pcw_segmented(
+                    images, pcw, max_pixels_per_frame=kf
+                )
+                return pixels, counts, jnp.int32(hp)
+            pixels, nbu, nbd, counts = compact_from_pcw_segmented(
+                images, pcw, max_pixels_per_frame=kf, with_neighbors=True
+            )
+            root_slot = cc.label_compact_pixels(
+                pixels, width=width, neighbors=(nbu, nbd)
+            )
+            root_lin = pixels.linear_index[root_slot]
+            # peak-key fold needs intensities < 2^16 (see
+            # spot_table_from_pixels); 32-bit data takes the two-op path
+            peak_slots = kf if images.dtype == jnp.uint16 else None
+            table = cc.spot_table_from_pixels(
+                pixels,
+                root_slot,
+                width=width,
+                max_spots=cfg.max_spots,
+                dtype=jnp.float32,
+                frame_rows=hp,
+                peak_key_slots=peak_slots,
+            )
+            size_keep, _, _ = cc.filter_spots(table, cfg.min_spot_size, -1.0)
+            both_keep, _, _ = cc.filter_spots(
+                table, cfg.min_spot_size, cfg.max_peak_centroid_separation
+            )
+            return pixels, counts, jnp.int32(hp), root_lin, table, size_keep, both_keep
+
+        self._batch_step = (
+            jax.jit(_batch_step, static_argnames=("kf",)) if use_pallas else None
+        )
+
+    def batch_supported(self) -> bool:
+        """Batched collection needs the Pallas packed path (the dense jnp
+        path has no packed-word compaction to segment)."""
+        return self._batch_step is not None
+
+    def dispatch_batch(self, images: np.ndarray):
+        """Asynchronously dispatch a (B, H, W) frame batch.
+
+        The batched analogue of :meth:`dispatch`: the whole batch runs as
+        ONE device program (the exact pipeline bench.py's throughput
+        metrics measure), so the per-dispatch overhead amortises over B
+        frames.  Pair with :meth:`collect_batch`.
+        """
+        if self._batch_step is None:
+            raise ValueError(
+                "batched collection requires the Pallas packed path "
+                "(SpotfindConfig.use_pallas / precision='f32' on TPU)"
+            )
+        with jax.enable_x64(False):
+            return self._batch_step(jnp.asarray(images), kf=self._batch_kf)
+
+    def collect_batch(
+        self,
+        image_numbers,
+        device_result,
+        images=None,
+        want_com: bool = False,
+    ) -> list[FrameResult]:
+        """Block on a dispatched batch and split it into per-frame results.
+
+        ``images`` (the host frames, any sequence indexable by batch
+        position) enables the transparent per-frame fallback when a frame
+        overflows the batched per-frame capacity; without it such frames
+        raise.  Results are bit-identical to the per-frame path: the
+        segmented layout keeps each frame's pixels in its own slot
+        segment, and spots never bridge frames (gap row), so per-frame
+        slices of the batch table ARE the per-frame tables.
+        """
+        cfg = self.config
+        kf = self._batch_kf
+        host = jax.device_get(device_result)
+        if self.host_cc:
+            pixels, counts, hp = host
+            table = size_keep = both_keep = root_lin = None
+        else:
+            pixels, counts, hp, root_lin, table, size_keep, both_keep = host
+            if int(table.n_spots) > cfg.max_spots:
+                raise RuntimeError(
+                    f"batch produced {int(table.n_spots)} spots, exceeding "
+                    f"max_spots={cfg.max_spots}; raise SpotfindConfig."
+                    "max_spots or lower the batch size"
+                )
+        pitch = (int(hp) + 1) * self.width
+        results: list[FrameResult] = []
+        for b, num in enumerate(image_numbers):
+            n = int(counts[b])
+            if n > kf:
+                # transparent fallback: the per-frame tiered path holds up
+                # to max_strong_pixels and hard-fails loudly past that
+                if images is None:
+                    raise RuntimeError(
+                        f"frame {num}: {n} strong pixels exceed the batched "
+                        f"per-frame capacity {kf} and no host frames were "
+                        "provided for the per-frame fallback"
+                    )
+                results.append(self.process_frame(num, images[b], want_com))
+                continue
+            sl = slice(b * kf, b * kf + n)
+            lin_f = np.asarray(pixels.linear_index[sl]) - b * pitch
+            inten = np.asarray(pixels.intensity[sl])
+            if self.host_cc:
+                cp = cc.CompactPixels(
+                    linear_index=lin_f, intensity=inten, count=np.int32(n)
+                )
+                results.append(self._collect_host(num, cp, want_com))
+                continue
+            root_f = np.asarray(root_lin[sl]) - b * pitch
+            mine = np.asarray(table.valid) & (np.asarray(table.z_min) == b)
+            keep_sz = mine & np.asarray(size_keep)
+            coms = np.zeros((0, 3))
+            if want_com:
+                kb = mine & np.asarray(both_keep)
+                coms = np.stack(
+                    [
+                        np.asarray(table.com_x)[kb],
+                        np.asarray(table.com_y)[kb],
+                        np.asarray(table.com_z)[kb] - b,
+                    ],
+                    axis=1,
+                )
+            results.append(
+                FrameResult(
+                    image_number=num,
+                    n_strong_pixels=n,
+                    n_spots=int(keep_sz.sum()),
+                    n_spots_prefilter=int(mine.sum()),
+                    n_strong_pixels_filtered=int(
+                        np.asarray(table.n_pixels)[keep_sz].sum()
+                    ),
+                    pixels=cc3d.FramePixels(
+                        linear_index=lin_f, intensity=inten, root=root_f
+                    ),
+                    centers_of_mass=coms,
+                )
+            )
+        return results
 
     def warmup(self, dtype=np.uint16) -> None:
         """Trace + compile the full dispatch->collect path on a zero frame
