@@ -265,6 +265,12 @@ class PiaService:
             command.extend(["--dmax", str(parameters.d_max)])
         if self.output_for_index:
             command.append("--output-for-index")
+        # deployment knob (per-beamline Helm values -> env): run the
+        # spotfinder in batched collection mode (--batch B, the
+        # bench-measured amortised device pipeline).  The CLI falls back
+        # to per-frame processing when the packed path is unavailable.
+        if os.getenv("FFS_SPOTFIND_BATCH"):
+            command.extend(["--batch", os.environ["FFS_SPOTFIND_BATCH"]])
 
         self.log.info(f"Running: {' '.join(str(x) for x in command)}")
 

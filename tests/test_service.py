@@ -130,6 +130,33 @@ def test_pia_service_end_to_end(tmp_path, monkeypatch, spotfinder_env):
     assert all("num_strong_pixels" in d for _, d in rw.sent)
 
 
+@pytest.mark.slow
+def test_pia_service_batch_env_knob(tmp_path, monkeypatch, spotfinder_env):
+    """FFS_SPOTFIND_BATCH flows into the spotfinder command line; without
+    the packed path (CPU here) the CLI falls back per-frame and the
+    per-image results are unchanged."""
+    stack, mask = synthetic_rotation_stack(nimg=3, h=96, w=128)
+    path = tmp_path / "data.nxs"
+    write_nexus(path, stack, oscillation=None, mask=mask, distance=0.25,
+                pixel_size=75e-6, beam_center=(64.0, 48.0))
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("FFS_SPOTFIND_BATCH", "2")
+
+    service = PiaService(threads=2, with_indexer=False)
+    rw = FakeRecipeWrapper(
+        {
+            "dcid": 100, "dcgid": 7, "filename": str(path),
+            "message_index": 0, "number_of_frames": 3, "start_frame_index": 0,
+            "xBeam": 64 * 0.075, "yBeam": 48 * 0.075,
+            "detector_distance": 250.0, "wavelength": 0.9762,
+        }
+    )
+    service.handle(rw, {}, {})
+    assert rw.transport.acked
+    assert len(rw.sent) == 3
+    assert all("num_strong_pixels" in d for _, d in rw.sent)
+
+
 def test_pia_service_rejects_bad_request(spotfinder_env):
     service = PiaService(threads=1, with_indexer=False)
     rw = FakeRecipeWrapper({"dcid": 5})  # missing fields
