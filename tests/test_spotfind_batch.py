@@ -137,6 +137,38 @@ def test_collect_batch_overflow_falls_back(cc_backend):
         proc.collect_batch(range(len(stack)), proc.dispatch_batch(stack))
 
 
+def test_collect_batch_uint32_matches_per_frame():
+    """32-bit data (the spotfinder32 protocol) takes the two-op peak path
+    (peak_key_slots needs intensities < 2^16); results must still match
+    the per-frame path, including intensities beyond the u16 range."""
+    from ffs_tpu.spotfind import SpotfindConfig, SpotfindProcessor
+
+    stack, mask = synthetic_rotation_stack()
+    stack32 = stack.astype(np.uint32)
+    stack32[2, 50:53, 10:13] = 70000  # beyond u16
+    h, w = stack.shape[1:]
+    cfg = SpotfindConfig(
+        precision="f32",
+        use_pallas=True,
+        pallas_interpret=True,
+        cc_backend="device",
+        max_strong_pixels=4096,
+        max_spots=2048,
+        min_spot_size=1,
+    )
+    proc = SpotfindProcessor(w, h, mask, float(2**31 - 1), cfg)
+    nums = list(range(len(stack32)))
+    want = [proc.process_frame(n, stack32[n], want_com=True) for n in nums]
+    got = proc.collect_batch(
+        nums, proc.dispatch_batch(stack32), images=stack32, want_com=True
+    )
+    assert any(
+        (np.asarray(r.pixels.intensity) > 65535).any() for r in want
+    ), "fixture must exercise intensities beyond u16"
+    for g, p in zip(got, want):
+        _assert_frame_equal(g, p)
+
+
 def test_batch_unsupported_without_pallas():
     """The dense jnp path has no segmented compaction: batch_supported()
     is False and dispatch_batch raises."""
