@@ -218,19 +218,26 @@ def test_cli_batch_mode(rotation_nexus, tmp_path):
     per-image strong-pixel counts and the 3D spot epilogue."""
     path, stack, mask = rotation_nexus
     env = {"FFS_PALLAS_INTERPRET": "1"}
-    base = _run_cli([str(path), "--precision", "f32"], tmp_path, env)
+    base = _run_cli(
+        [str(path), "--precision", "f32", "--validate"], tmp_path, env
+    )
     assert base.returncode == 0, base.stdout.decode() + base.stderr.decode()
     batched = _run_cli(
-        [str(path), "--precision", "f32", "--batch", "4"], tmp_path, env
+        [str(path), "--precision", "f32", "--validate", "--batch", "4"],
+        tmp_path,
+        env,
     )
     assert batched.returncode == 0, (
         batched.stdout.decode() + batched.stderr.decode()
     )
     blog = batched.stdout.decode()
     assert "falling back to per-frame" not in blog
-    want = _per_image_counts(base.stdout.decode())
-    got = _per_image_counts(blog)
-    assert got == want and len(got) == stack.shape[0]
+    # per-pixel mask validation lines identical between the runs (the
+    # strongest CLI-level batch == per-frame check: same full masks)
+    val_re = r"Image\s+\d+: Compared:.*"
+    base_val = sorted(re.findall(val_re, base.stdout.decode()))
+    batch_val = sorted(re.findall(val_re, blog))
+    assert batch_val == base_val and len(batch_val) == stack.shape[0]
     # identical rotation epilogue (3D merge runs on the same FramePixels)
     spots_re = r"Calculated\s+(\d+)\s+spots"
     assert re.search(spots_re, blog).group(1) == re.search(
