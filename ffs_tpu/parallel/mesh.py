@@ -153,7 +153,7 @@ def sharded_packed_pipeline(
     mask: jnp.ndarray,
     trusted_max: float,
     *,
-    max_pixels_per_chip: int = 8192,
+    max_pixels_per_frame: int = 4096,
     max_spots_per_chip: int = 4096,
     interpret: bool = False,
     axis: str = "data",
@@ -161,8 +161,10 @@ def sharded_packed_pipeline(
     """The PRODUCTION packed pipeline, data-parallel over the mesh.
 
     Each chip runs the full per-chip hot path on its local frame shard —
-    packed Pallas dispersion kernel, flat word compaction with neighbour
-    derivation, sparse CC, multi-frame spot table — under ``shard_map``;
+    packed Pallas dispersion kernel, SEGMENTED per-frame word compaction
+    with neighbour derivation (the exact configuration bench.py measures
+    and the CLI ``--batch`` mode runs, incl. the peak-key spot table for
+    u16 data), sparse CC, multi-frame spot table — under ``shard_map``;
     the only cross-chip communication is the psum for the global totals.
     This is the P8 scale-out shape for the 500-2500 Hz stream
     (reference: one CUDA process per collection, service.py:497-507 —
@@ -171,13 +173,16 @@ def sharded_packed_pipeline(
     Returns (per_frame_strong (B,), n_spots_per_chip (n,), global_total ()).
     """
     from ..ops import connected_components as cc
-    from ..ops.compact import compact_from_pcw_flat
+    from ..ops.compact import compact_from_pcw_segmented
     from ..ops.dispersion_pallas import dispersion_packed_raw
 
     n = mesh.shape[axis]
     B, h, w = frames.shape
     if B % n:
         raise ValueError(f"batch ({B}) must divide the mesh axis ({n})")
+    peak_slots = (
+        max_pixels_per_frame if frames.dtype == jnp.uint16 else None
+    )
     frames = shard_frames(mesh, frames, axis)
     mask = jax.device_put(mask, NamedSharding(mesh, P(None, None)))
 
@@ -193,12 +198,10 @@ def sharded_packed_pipeline(
         pcw = dispersion_packed_raw(
             local_frames, mask_rep, trusted_max, trim=False, interpret=interpret
         )
-        nwl = pcw.shape[-1] // 2
-        per_frame = jnp.sum(pcw[:, :, nwl - 1], axis=1, dtype=jnp.int32)
-        p, nbu, nbd = compact_from_pcw_flat(
+        p, nbu, nbd, per_frame = compact_from_pcw_segmented(
             local_frames,
             pcw,
-            max_pixels_total=max_pixels_per_chip,
+            max_pixels_per_frame=max_pixels_per_frame,
             with_neighbors=True,
         )
         root = cc.label_compact_pixels(p, width=w, neighbors=(nbu, nbd))
@@ -209,20 +212,21 @@ def sharded_packed_pipeline(
             max_spots=max_spots_per_chip,
             dtype=jnp.float32,
             frame_rows=pcw.shape[1],
+            peak_key_slots=peak_slots,
         )
         total = jax.lax.psum(jnp.sum(per_frame), axis)
-        return per_frame, table.n_spots[None], total, jnp.sum(per_frame)[None]
+        return per_frame, table.n_spots[None], total, jnp.max(per_frame)[None]
 
-    per_frame, n_spots, total, chip_counts = jax.jit(step)(frames, mask)
-    # fail loudly on per-chip capacity overflow instead of silently
+    per_frame, n_spots, total, frame_maxes = jax.jit(step)(frames, mask)
+    # fail loudly on per-frame capacity overflow instead of silently
     # truncating the spot list (the per-frame counts are exact — from the
-    # kernel's prefix sums — while the compact arrays cap at the static
+    # kernel's prefix sums — while the compact segments cap at the static
     # capacity; same policy as SpotfindProcessor.collect)
-    chip_counts = jax.device_get(chip_counts)
-    if int(chip_counts.max()) > max_pixels_per_chip:
+    frame_maxes = jax.device_get(frame_maxes)
+    if int(frame_maxes.max()) > max_pixels_per_frame:
         raise RuntimeError(
-            f"a chip's shard holds {int(chip_counts.max())} strong pixels, "
-            f"exceeding max_pixels_per_chip={max_pixels_per_chip}; raise it"
+            f"a frame holds {int(frame_maxes.max())} strong pixels, "
+            f"exceeding max_pixels_per_frame={max_pixels_per_frame}; raise it"
         )
     return per_frame, n_spots, total
 

@@ -77,7 +77,7 @@ def test_sharded_packed_pipeline_matches_single_chip(small_frame):
         jnp.asarray(batch),
         jnp.asarray(mask),
         65535.0,
-        max_pixels_per_chip=4096,
+        max_pixels_per_frame=2048,
         max_spots_per_chip=2048,
         interpret=True,
     )
