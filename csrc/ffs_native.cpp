@@ -472,4 +472,69 @@ long long ffs_byte_offset_decompress(const uint8_t* src, long long src_len,
     return n;
 }
 
+// ---------------------------------------------------------------------------
+// Host stream compaction from packed strong words.
+//
+// The fused dispersion kernel emits combined [pc | w32] rows (see
+// ops/dispersion_pallas._pack_pcw: bit t of word j = image column j*32+t,
+// pc lanes are the within-row inclusive word popcount prefix).  With
+// locally-attached hardware the cheapest production split ends the
+// device's job at those packed words: the host expands set bits to
+// (linear index, intensity) against its own decoded frame copy, then the
+// existing host union-find labels them (the reference's GPU-threshold /
+// CPU-connected-components split taken one stage earlier;
+// spotfinder/connected_components/connected_components.cc:24-31 is the
+// equivalent host pixel scan).
+// ---------------------------------------------------------------------------
+
+// Scan the word half of pcw ((rows, 2*nwl) i32, row-major) emitting
+// raster-ordered linear indices and intensities read from image
+// (row stride img_w elements of elem_size = 1/2/4 bytes, zero-extended).
+// Writes at most cap entries but ALWAYS returns the true total count;
+// callers detect overflow by total > cap.  Bits at columns >= width never
+// occur (the kernel's zero-padded mask forces the predicate false there).
+long long ffs_compact_pcw(const int32_t* pcw, long long rows, long long nwl,
+                          const void* image, long long img_w,
+                          int32_t elem_size, long long width,
+                          int32_t* out_lin, int32_t* out_val,
+                          long long cap) {
+    const uint8_t* img8 = static_cast<const uint8_t*>(image);
+    long long n = 0;
+    for (long long r = 0; r < rows; ++r) {
+        const int32_t* row = pcw + r * 2 * nwl;
+        if (row[nwl - 1] == 0) continue;  // row-total prefix: skip empty rows
+        const uint8_t* irow = img8 + r * img_w * elem_size;
+        for (long long j = 0; j < nwl; ++j) {
+            uint32_t w = static_cast<uint32_t>(row[nwl + j]);
+            while (w) {
+                const int32_t x =
+                    static_cast<int32_t>(j * 32) + __builtin_ctz(w);
+                w &= w - 1;
+                if (n < cap) {
+                    out_lin[n] = static_cast<int32_t>(r * width) + x;
+                    uint32_t v;
+                    switch (elem_size) {
+                        case 1:
+                            v = irow[x];
+                            break;
+                        case 2: {
+                            uint16_t t;
+                            std::memcpy(&t, irow + 2ll * x, 2);
+                            v = t;
+                            break;
+                        }
+                        default: {
+                            std::memcpy(&v, irow + 4ll * x, 4);
+                            break;
+                        }
+                    }
+                    out_val[n] = static_cast<int32_t>(v);
+                }
+                ++n;
+            }
+        }
+    }
+    return n;
+}
+
 }  // extern "C"

@@ -84,6 +84,16 @@ def _build_parser(version: str) -> argparse.ArgumentParser:
         " Incompatible with --profile (which times stages per frame).",
     )
     p.add_argument(
+        "--compact-backend",
+        choices=["device", "host"],
+        default=os.environ.get("FFS_SPOTFIND_COMPACT", "device"),
+        help="Where strong-pixel compaction runs.  'host' ends the device's"
+        " job at the packed strong words and expands them on the CPU against"
+        " the decoded frame copy (wins with locally-attached hardware;"
+        " requires the Pallas packed path, ignored otherwise and by"
+        " --batch).  Env default: FFS_SPOTFIND_COMPACT.",
+    )
+    p.add_argument(
         "--profile",
         action="store_true",
         help="Per-image stage timing breakdown (upload/kernel/compact/post),"
@@ -321,6 +331,7 @@ def run(argv=None, default_pixel_depth: int = 16) -> int:
         dmin=args.dmin,
         dmax=args.dmax,
         precision=args.precision,
+        compact_backend=args.compact_backend,
     )
     if os.environ.get("FFS_PALLAS_INTERPRET"):
         # test hook: run the production Pallas packed path (and with it

@@ -54,6 +54,14 @@ class SpotfindConfig:
     # "device" runs the sparse union-find on the accelerator (needed for
     # multi-chip sharding), "auto" = host whenever the Pallas path is on.
     cc_backend: str = "auto"  # "auto" | "host" | "device"
+    # "host" ends the device's job at the packed strong words: the host
+    # expands set bits against its own decoded frame copy (ops/compact_host)
+    # and feeds the host CC directly — no device compaction pass.  Wins on
+    # locally-attached hardware (packed words are ~2-4 MB/frame, ~0.2 ms at
+    # PCIe rates, and the ~0.4 ms/frame device compact stage disappears);
+    # loses over the development tunnel's ~40 MB/s d2h, hence not "auto".
+    # Requires the Pallas packed path and host CC.
+    compact_backend: str = "device"  # "device" | "host"
     # Mosaic interpret mode: lets the Pallas packed path run on CPU in
     # tests; never set in production
     pallas_interpret: bool = False
@@ -73,6 +81,16 @@ class SpotfindConfig:
         if self.cc_backend == "device":
             return False
         return self.pallas_enabled()
+
+    def host_compact_enabled(self) -> bool:
+        """Host compaction needs the packed words (Pallas path) and makes
+        sense only feeding the host CC; falls back to device compaction
+        otherwise (the processor validates contradictory explicit configs)."""
+        return (
+            self.compact_backend == "host"
+            and self.pallas_enabled()
+            and self.host_cc_enabled()
+        )
 
 
 @dataclass
@@ -129,6 +147,12 @@ class SpotfindProcessor:
 
         use_pallas = cfg.pallas_enabled()
         self.host_cc = cfg.host_cc_enabled()
+        self.host_compact = cfg.host_compact_enabled()
+        if cfg.compact_backend == "host" and use_pallas and not self.host_cc:
+            raise ValueError(
+                "compact_backend='host' produces host arrays; it cannot feed "
+                "cc_backend='device' — use cc_backend 'host' or 'auto'"
+            )
 
         # Mosaic does not compile under jax_enable_x64 (i64 scalars leak
         # into the kernel and fail lowering), so the Pallas f32 step is
@@ -452,6 +476,11 @@ class SpotfindProcessor:
         """Asynchronously dispatch one frame; returns device futures."""
         if self._x64_off:
             with jax.enable_x64(False):
+                if self.host_compact:
+                    # host-compaction path: the device's job ends at the
+                    # packed words; keep the host frame for the bit scan
+                    pcw, count = self._rowcum_step(jnp.asarray(image))
+                    return ("hostcompact", image, pcw, count)
                 if self.host_cc:
                     # tiered path: kernel now, compaction sized in collect()
                     img_dev = jnp.asarray(image)
@@ -464,6 +493,31 @@ class SpotfindProcessor:
         self, image_number: int, device_result, want_com: bool = False
     ) -> FrameResult:
         """Block on a dispatched frame and assemble the host result."""
+        if isinstance(device_result, tuple) and (
+            len(device_result) == 4 and device_result[0] == "hostcompact"
+        ):
+            _, img_host, pcw, count = device_result
+            n = int(count)
+            if n > self.config.max_strong_pixels:
+                # same hard failure as the device paths: never silently
+                # truncate past the configured capacity
+                raise RuntimeError(
+                    f"frame {image_number}: {n} strong pixels exceed the "
+                    f"configured capacity {self.config.max_strong_pixels}; "
+                    "raise SpotfindConfig.max_strong_pixels"
+                )
+            from types import SimpleNamespace
+
+            from .ops.compact_host import compact_pcw_host
+
+            lin, inten = compact_pcw_host(
+                np.asarray(pcw), img_host, self.width
+            )
+            return self._collect_host(
+                image_number,
+                SimpleNamespace(count=n, linear_index=lin, intensity=inten),
+                want_com,
+            )
         if isinstance(device_result, tuple) and (
             len(device_result) == 4 and device_result[0] == "tiered"
         ):
@@ -618,6 +672,38 @@ class SpotfindProcessor:
             # the tiered kernel/compact split exists only on the Pallas
             # path — host-CC WITHOUT Pallas (e.g. precision="f64") takes
             # the fused dense step below, exactly as dispatch() does
+            if self.host_compact and self._x64_off:
+                from types import SimpleNamespace
+
+                from .ops.compact_host import compact_pcw_host
+
+                pcw, count = tick(
+                    "kernel",
+                    lambda: jax.block_until_ready(self._rowcum_step(img_dev)),
+                )
+                n = int(count)
+                if n > self.config.max_strong_pixels:
+                    raise RuntimeError(
+                        f"frame {image_number}: {n} strong pixels exceed "
+                        f"the configured capacity "
+                        f"{self.config.max_strong_pixels}; raise "
+                        "SpotfindConfig.max_strong_pixels"
+                    )
+                lin, inten = tick(
+                    "compact",  # d2h of the packed words + host bit scan
+                    lambda: compact_pcw_host(np.asarray(pcw), image, self.width),
+                )
+                result = tick(
+                    "post",
+                    lambda: self._collect_host(
+                        image_number,
+                        SimpleNamespace(
+                            count=n, linear_index=lin, intensity=inten
+                        ),
+                        want_com,
+                    ),
+                )
+                return result, timings
             if self.host_cc and self._x64_off:
                 rowcum, count = tick(
                     "kernel",
