@@ -54,19 +54,31 @@ def compact_pcw_host(
     compaction's widened gather.
     """
     pcw = np.ascontiguousarray(pcw, dtype=np.int32)
+    if image.ndim != 2:
+        image = image.reshape(image.shape[-2:])
     rows = min(pcw.shape[0], image.shape[0])
     nwl = pcw.shape[1] // 2
     # exact total from the pc half (inclusive within-row word prefix)
     total = int(pcw[:rows, nwl - 1].sum())
     native = lib()
-    if (
-        native is None
-        or not hasattr(native, "ffs_compact_pcw")
-        or image.dtype.itemsize not in (1, 2, 4)
-    ):
-        img = image if image.ndim == 2 else image.reshape(image.shape[-2:])
-        lin, inten = _compact_pcw_numpy(pcw, img, width, rows, nwl)
-        assert len(lin) == total
+    # the native scan zero-extends raw bytes: correct for u8/u16/u32 and
+    # (identity) i32; anything else (signed sub-32-bit, floats) must take
+    # the NumPy path, whose astype matches the device widening convention
+    native_ok = (
+        native is not None
+        and hasattr(native, "ffs_compact_pcw")
+        and (
+            (image.dtype.kind == "u" and image.dtype.itemsize in (1, 2, 4))
+            or image.dtype == np.int32
+        )
+    )
+    if not native_ok:
+        lin, inten = _compact_pcw_numpy(pcw, image, width, rows, nwl)
+        if len(lin) != total:
+            raise RuntimeError(
+                f"compact_pcw_host count mismatch: scanned {len(lin)} set "
+                f"bits but the prefix counts sum to {total}"
+            )
         return lin, inten
     img = np.ascontiguousarray(image)
     out_lin = np.empty(total, np.int32)

@@ -83,10 +83,20 @@ def _build_parser(version: str) -> argparse.ArgumentParser:
         " (TPU + --precision f32); falls back to per-frame otherwise."
         " Incompatible with --profile (which times stages per frame).",
     )
+    default_compact = os.environ.get("FFS_SPOTFIND_COMPACT", "device")
+    if default_compact not in ("device", "host"):
+        # argparse does not validate choices against defaults, so an env
+        # typo would silently disable host compaction — warn like the
+        # invalid-SPOTFINDER_TIMEOUT path does
+        print(
+            "Warning: Ignoring invalid FFS_SPOTFIND_COMPACT value:",
+            default_compact,
+        )
+        default_compact = "device"
     p.add_argument(
         "--compact-backend",
         choices=["device", "host"],
-        default=os.environ.get("FFS_SPOTFIND_COMPACT", "device"),
+        default=default_compact,
         help="Where strong-pixel compaction runs.  'host' ends the device's"
         " job at the packed strong words and expands them on the CPU against"
         " the decoded frame copy (wins with locally-attached hardware;"

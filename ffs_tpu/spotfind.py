@@ -497,26 +497,8 @@ class SpotfindProcessor:
             len(device_result) == 4 and device_result[0] == "hostcompact"
         ):
             _, img_host, pcw, count = device_result
-            n = int(count)
-            if n > self.config.max_strong_pixels:
-                # same hard failure as the device paths: never silently
-                # truncate past the configured capacity
-                raise RuntimeError(
-                    f"frame {image_number}: {n} strong pixels exceed the "
-                    f"configured capacity {self.config.max_strong_pixels}; "
-                    "raise SpotfindConfig.max_strong_pixels"
-                )
-            from types import SimpleNamespace
-
-            from .ops.compact_host import compact_pcw_host
-
-            lin, inten = compact_pcw_host(
-                np.asarray(pcw), img_host, self.width
-            )
-            return self._collect_host(
-                image_number,
-                SimpleNamespace(count=n, linear_index=lin, intensity=inten),
-                want_com,
+            return self._collect_hostcompact(
+                image_number, img_host, pcw, int(count), want_com
             )
         if isinstance(device_result, tuple) and (
             len(device_result) == 4 and device_result[0] == "tiered"
@@ -583,6 +565,43 @@ class SpotfindProcessor:
             pixels=frame_pixels,
             centers_of_mass=coms,
         )
+
+    def _collect_hostcompact(
+        self,
+        image_number: int,
+        img_host: np.ndarray,
+        pcw,
+        n: int,
+        want_com: bool,
+        timings: dict | None = None,
+    ) -> FrameResult:
+        """Host-compaction epilogue: d2h the packed words, expand the set
+        bits against the host frame copy, label + tabulate on the host.
+        ``timings`` (profiled path) receives 'compact' and 'post' ms."""
+        import time
+
+        if n > self.config.max_strong_pixels:
+            # same hard failure as the device paths: never silently
+            # truncate past the configured capacity
+            raise RuntimeError(
+                f"frame {image_number}: {n} strong pixels exceed the "
+                f"configured capacity {self.config.max_strong_pixels}; "
+                "raise SpotfindConfig.max_strong_pixels"
+            )
+        from .ops.compact_host import compact_pcw_host
+
+        t0 = time.perf_counter()
+        lin, inten = compact_pcw_host(np.asarray(pcw), img_host, self.width)
+        t1 = time.perf_counter()
+        result = self._collect_host(
+            image_number,
+            cc.CompactPixels(linear_index=lin, intensity=inten, count=n),
+            want_com,
+        )
+        if timings is not None:
+            timings["compact"] = (t1 - t0) * 1e3  # d2h + host bit scan
+            timings["post"] = (time.perf_counter() - t1) * 1e3
+        return result
 
     def _collect_host(
         self, image_number: int, pixels, want_com: bool
@@ -673,35 +692,13 @@ class SpotfindProcessor:
             # path — host-CC WITHOUT Pallas (e.g. precision="f64") takes
             # the fused dense step below, exactly as dispatch() does
             if self.host_compact and self._x64_off:
-                from types import SimpleNamespace
-
-                from .ops.compact_host import compact_pcw_host
-
                 pcw, count = tick(
                     "kernel",
                     lambda: jax.block_until_ready(self._rowcum_step(img_dev)),
                 )
-                n = int(count)
-                if n > self.config.max_strong_pixels:
-                    raise RuntimeError(
-                        f"frame {image_number}: {n} strong pixels exceed "
-                        f"the configured capacity "
-                        f"{self.config.max_strong_pixels}; raise "
-                        "SpotfindConfig.max_strong_pixels"
-                    )
-                lin, inten = tick(
-                    "compact",  # d2h of the packed words + host bit scan
-                    lambda: compact_pcw_host(np.asarray(pcw), image, self.width),
-                )
-                result = tick(
-                    "post",
-                    lambda: self._collect_host(
-                        image_number,
-                        SimpleNamespace(
-                            count=n, linear_index=lin, intensity=inten
-                        ),
-                        want_com,
-                    ),
+                result = self._collect_hostcompact(
+                    image_number, image, pcw, int(count), want_com,
+                    timings=timings,
                 )
                 return result, timings
             if self.host_cc and self._x64_off:

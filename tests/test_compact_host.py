@@ -83,6 +83,54 @@ def test_wrapper_dtype_widening(dtype, big):
     np.testing.assert_array_equal(val, [big, 7])
 
 
+def test_wrapper_non_native_dtypes_match_device_convention():
+    """f32 / signed sub-32-bit frames must route around the native byte
+    scan (which would bit-reinterpret/zero-extend them) and produce the
+    device path's astype(int32) semantics."""
+    from ffs_tpu.ops.compact_host import compact_pcw_host
+
+    h, w = 8, 64
+    strong = np.zeros((h, w), bool)
+    strong[2, 10] = True
+    pcw = _pack_pcw_independent(strong, (w + 31) // 32)
+    for dtype, value, want in [
+        (np.float32, 7.0, 7),
+        (np.int16, -5, -5),
+        (np.int32, -9, -9),
+    ]:
+        image = np.zeros((h, w), dtype)
+        image[2, 10] = value
+        lin, val = compact_pcw_host(pcw, image, w)
+        np.testing.assert_array_equal(lin, [2 * w + 10])
+        np.testing.assert_array_equal(val, [want])
+
+
+def test_wrapper_accepts_leading_singleton_axis():
+    from ffs_tpu.ops.compact_host import compact_pcw_host
+
+    h, w = 8, 64
+    strong = np.zeros((h, w), bool)
+    strong[0, 1] = strong[5, 40] = True
+    pcw = _pack_pcw_independent(strong, (w + 31) // 32)
+    image = np.arange(h * w, dtype=np.uint16).reshape(1, h, w)
+    lin, val = compact_pcw_host(pcw, image, w)
+    np.testing.assert_array_equal(lin, [1, 5 * w + 40])
+    np.testing.assert_array_equal(val, [1, 5 * w + 40])
+
+
+def test_cli_env_default_validated(monkeypatch):
+    """Invalid FFS_SPOTFIND_COMPACT falls back to 'device' with a warning
+    (argparse does not validate choices against env-derived defaults)."""
+    from ffs_tpu.pipeline.spotfinder import _build_parser
+
+    monkeypatch.setenv("FFS_SPOTFIND_COMPACT", "true")
+    args = _build_parser("test").parse_args(["--sample"])
+    assert args.compact_backend == "device"
+    monkeypatch.setenv("FFS_SPOTFIND_COMPACT", "host")
+    args = _build_parser("test").parse_args(["--sample"])
+    assert args.compact_backend == "host"
+
+
 def test_processor_parity_host_vs_device_compaction():
     """compact_backend='host' FrameResults are identical to the device
     compaction path, frame by frame (counts, pixels, roots, centroids)."""
