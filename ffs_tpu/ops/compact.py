@@ -37,11 +37,15 @@ def _bsearch(gather, n: int, targets: jnp.ndarray) -> jnp.ndarray:
 def _widened_flat(images: jnp.ndarray) -> jnp.ndarray:
     """Flattened i32 view of the frame batch for intensity gathers.
 
-    TPU gathers from sub-32-bit arrays take a ~30x slower path (measured
-    ~200 ns/index u16 vs ~6.5 ns/index i32 on v5e, tools/measure_compact);
-    widening to a REAL i32 buffer first (the barrier stops XLA re-fusing
-    the convert into the gather) costs ~1 ms per 8-frame Eiger batch and
-    buys back ~4 ms of gather.
+    Cost-model note (r2 correction, CLAUDE.md): gather speed is set by
+    whether the TABLE is VMEM-stageable (~6.5 ns/index) or HBM-resident
+    (~200 ns/index) — dtype alone made NO difference at the 288 MB batch
+    scale, and widening the WHOLE batch there measured worse.  This
+    helper therefore only pays off on tables that stay within the ~34 MB
+    staging budget (the pooled per-frame-group tables of
+    compact_from_pcw_flat / _segmented); the legacy whole-batch flat
+    paths below keep it for bit-parity with their original baselines but
+    are not the production configuration.
     """
     flat = images.reshape(-1)
     if flat.dtype.itemsize < 4:
@@ -97,6 +101,54 @@ def compact_from_rowcum(
     return CompactPixels(lin, inten, count)
 
 
+def _check_i32_sort_keys(B: int, ht: int, w: int) -> None:
+    """Downstream label_compact_pixels builds int32 sort keys lin*4 + tag;
+    the largest tall linear index must leave that headroom or the
+    sort-merge silently corrupts — fail loudly instead (ADVICE r1)."""
+    if B * ht * w * 4 >= 2**31:
+        raise ValueError(
+            f"flat batch too tall for i32 CC sort keys: B*{ht}*{w}*4 = "
+            f"{B * ht * w * 4} >= 2^31; split the batch (max "
+            f"{(2**31 // (4 * ht * w))} frames at this geometry)"
+        )
+
+
+def _invert_tall_rows(row_counts: jnp.ndarray, B: int, h: int, k: int):
+    """Tall-row histogram inversion shared by the flat compactions.
+
+    ``row_counts``: (B, h) per-row strong-pixel totals.  Treats the batch
+    as one tall frame of B*(h+1) rows (one virtual gap row per frame) and
+    locates the k-th strong pixel's row for k = 1..K with one histogram +
+    prefix sum (see compact_from_rowcum; gap rows duplicate their
+    predecessor's row_end and drop out like any zero-count row; they are
+    never selected for valid ks, and the y clamp only affects padding
+    slots).  Returns (count, ks, valid, rank_in_row, prev_end, row_tc,
+    b_idx, y_idx) — row_tc is the clipped TALL row (the linear-index
+    row), b_idx/y_idx its frame/row split for physical gathers, and
+    prev_end the strong-pixel total BEFORE that row (the row's first
+    slot index, used by the neighbour-slot derivation).
+    """
+    ht = h + 1
+    flat_counts = jnp.pad(row_counts, ((0, 0), (0, 1))).reshape(-1)
+    row_end = jnp.cumsum(flat_counts)  # (B*ht,) inclusive
+    count = row_end[-1]
+
+    ks = jnp.arange(1, k + 1, dtype=jnp.int32)
+    valid = ks <= count
+
+    dhist = jnp.zeros(k + 1, jnp.int32).at[jnp.clip(row_end, 0, k)].add(1)
+    row_t = jnp.cumsum(dhist)[:k]
+    row_tc = jnp.clip(row_t, 0, B * ht - 1)
+    prev_end = jnp.where(
+        row_tc > 0, row_end[jnp.clip(row_tc - 1, 0, B * ht - 1)], 0
+    )
+    rank_in_row = ks - prev_end  # 1-based within the row
+
+    b_idx = row_tc // ht
+    y_idx = jnp.minimum(row_tc - b_idx * ht, h - 1)
+    return count, ks, valid, rank_in_row, prev_end, row_tc, b_idx, y_idx
+
+
 @functools.partial(jax.jit, static_argnames=("max_pixels_total",))
 def compact_from_rowcum_flat(
     images: jnp.ndarray,
@@ -126,37 +178,11 @@ def compact_from_rowcum_flat(
     """
     B, h, w = rowcum.shape
     ht = h + 1  # +1 virtual gap row per frame
-    # downstream label_compact_pixels builds int32 sort keys lin*4 + tag;
-    # the largest tall linear index must leave that headroom or the
-    # sort-merge silently corrupts — fail loudly instead (ADVICE r1).
-    if B * ht * w * 4 >= 2**31:
-        raise ValueError(
-            f"flat batch too tall for i32 CC sort keys: B*{ht}*{w}*4 = "
-            f"{B * ht * w * 4} >= 2^31; split the batch (max "
-            f"{(2**31 // (4 * ht * w))} frames at this geometry)"
-        )
+    _check_i32_sort_keys(B, ht, w)
     k = max_pixels_total
-    row_counts = rowcum[:, :, -1]  # (B, h)
-    flat_counts = jnp.pad(row_counts, ((0, 0), (0, 1))).reshape(-1)
-    row_end = jnp.cumsum(flat_counts)  # (B*ht,) inclusive
-    count = row_end[-1]
-
-    ks = jnp.arange(1, k + 1, dtype=jnp.int32)
-    valid = ks <= count
-
-    # tall row of the k-th pixel: histogram inversion as in
-    # compact_from_rowcum (gap rows duplicate their predecessor's row_end
-    # and drop out like any zero-count row)
-    dhist = jnp.zeros(k + 1, jnp.int32).at[jnp.clip(row_end, 0, k)].add(1)
-    row_t = jnp.cumsum(dhist)[:k]
-    row_tc = jnp.clip(row_t, 0, B * ht - 1)
-    prev_end = jnp.where(row_tc > 0, row_end[jnp.clip(row_tc - 1, 0, B * ht - 1)], 0)
-    rank_in_row = ks - prev_end
-
-    # gap rows are never selected for valid ks (zero counts); clip for the
-    # padding slots so the gathers stay in range
-    b_idx = row_tc // ht
-    y_idx = jnp.minimum(row_tc - b_idx * ht, h - 1)
+    count, ks, valid, rank_in_row, _, row_tc, b_idx, y_idx = (
+        _invert_tall_rows(rowcum[:, :, -1], B, h, k)
+    )
     src_row_base = (b_idx * h + y_idx) * w  # flat offset into rowcum/images
 
     flat_rc = rowcum.reshape(-1)
@@ -213,30 +239,11 @@ def compact_from_words_flat(
     B, h, nwl = pc.shape
     w = images.shape[-1]
     ht = h + 1
-    if B * ht * w * 4 >= 2**31:
-        raise ValueError(
-            f"flat batch too tall for i32 CC sort keys: B*{ht}*{w}*4 = "
-            f"{B * ht * w * 4} >= 2^31; split the batch (max "
-            f"{(2**31 // (4 * ht * w))} frames at this geometry)"
-        )
+    _check_i32_sort_keys(B, ht, w)
     k = max_pixels_total
-    row_counts = pc[:, :, -1]  # (B, h)
-    flat_counts = jnp.pad(row_counts, ((0, 0), (0, 1))).reshape(-1)
-    row_end = jnp.cumsum(flat_counts)  # (B*ht,) inclusive
-    count = row_end[-1]
-
-    ks = jnp.arange(1, k + 1, dtype=jnp.int32)
-    valid = ks <= count
-
-    # tall row via histogram inversion (see compact_from_rowcum)
-    dhist = jnp.zeros(k + 1, jnp.int32).at[jnp.clip(row_end, 0, k)].add(1)
-    row_t = jnp.cumsum(dhist)[:k]
-    row_tc = jnp.clip(row_t, 0, B * ht - 1)
-    prev_end = jnp.where(row_tc > 0, row_end[jnp.clip(row_tc - 1, 0, B * ht - 1)], 0)
-    rank_in_row = ks - prev_end  # 1-based
-
-    b_idx = row_tc // ht
-    y_idx = jnp.minimum(row_tc - b_idx * ht, h - 1)
+    count, ks, valid, rank_in_row, _, row_tc, b_idx, y_idx = (
+        _invert_tall_rows(pc[:, :, -1], B, h, k)
+    )
     prow = b_idx * h + y_idx  # physical row into words/pc/images
 
     # word: first j with pc[prow, j] >= rank (8 gather steps over nwl lanes)
@@ -310,29 +317,11 @@ def compact_from_pcw_flat(
     nwl = nwl2 // 2
     h_img, w = images.shape[-2], images.shape[-1]
     ht = h + 1
-    if B * ht * w * 4 >= 2**31:
-        raise ValueError(
-            f"flat batch too tall for i32 CC sort keys: B*{ht}*{w}*4 = "
-            f"{B * ht * w * 4} >= 2^31; split the batch (max "
-            f"{(2**31 // (4 * ht * w))} frames at this geometry)"
-        )
+    _check_i32_sort_keys(B, ht, w)
     k = max_pixels_total
-    row_counts = pcw[:, :, nwl - 1]  # (B, h) per-row totals
-    flat_counts = jnp.pad(row_counts, ((0, 0), (0, 1))).reshape(-1)
-    row_end = jnp.cumsum(flat_counts)  # (B*ht,) inclusive
-    count = row_end[-1]
-
-    ks = jnp.arange(1, k + 1, dtype=jnp.int32)
-    valid = ks <= count
-
-    dhist = jnp.zeros(k + 1, jnp.int32).at[jnp.clip(row_end, 0, k)].add(1)
-    row_t = jnp.cumsum(dhist)[:k]
-    row_tc = jnp.clip(row_t, 0, B * ht - 1)
-    prev_end = jnp.where(row_tc > 0, row_end[jnp.clip(row_tc - 1, 0, B * ht - 1)], 0)
-    rank = ks - prev_end  # 1-based within the row
-
-    b_idx = row_tc // ht
-    y_idx = jnp.minimum(row_tc - b_idx * ht, h - 1)
+    count, ks, valid, rank, prev_end, row_tc, b_idx, y_idx = (
+        _invert_tall_rows(pcw[:, :, nwl - 1], B, h, k)
+    )
     prow = b_idx * h + y_idx  # row into pcw
     # image rows may be fewer than (strip-padded) pcw rows; padded rows
     # never host pixels, so the clamp below only affects padding slots
@@ -483,12 +472,7 @@ def compact_from_pcw_segmented(
     nwl = nwl2 // 2
     h_img, w = images.shape[-2], images.shape[-1]
     ht = h + 1
-    if B * ht * w * 4 >= 2**31:
-        raise ValueError(
-            f"flat batch too tall for i32 CC sort keys: B*{ht}*{w}*4 = "
-            f"{B * ht * w * 4} >= 2^31; split the batch (max "
-            f"{(2**31 // (4 * ht * w))} frames at this geometry)"
-        )
+    _check_i32_sort_keys(B, ht, w)
     kf = max_pixels_per_frame
 
     row_counts = pcw[:, :, nwl - 1]  # (B, h)

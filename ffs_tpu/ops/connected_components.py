@@ -39,9 +39,18 @@ DEFAULT_MAX_SPOTS = 8192
 
 
 class CompactPixels(NamedTuple):
-    """Strong pixels of one frame, compacted in raster order (fixed size K).
+    """Strong pixels, compacted in raster order (fixed size K).
 
-    Slots beyond ``count`` hold linear_index == BIG (sorted sentinel).
+    Two slot layouts share this container:
+
+    * dense (single-frame / flat-batch): the first ``count`` slots are
+      valid, everything after holds linear_index == BIG (sorted
+      sentinel) — ``linear_index[:count]`` is safe.
+    * segmented (:func:`ffs_tpu.ops.compact.compact_from_pcw_segmented`):
+      frame b owns slots [b*Kf, (b+1)*Kf) with BIG padding INSIDE each
+      segment; ``count`` is the batch total, so ``[:count]`` slicing is
+      WRONG there — consumers must re-slice per frame (see
+      spotfind._collect_batch) or filter on linear_index < BIG.
     """
 
     linear_index: jnp.ndarray  # (K,) int32, BIG padding
@@ -268,7 +277,9 @@ def spot_table_from_pixels(
     ``peak_key_slots`` (opt-in fast path, bit-identical result): the
     per-frame slot capacity Kf of a SEGMENTED compaction layout (frame b
     owns slots [b*Kf, (b+1)*Kf)), or the total capacity K for flat /
-    single-frame layouts.  Folds the peak tie-break into the bounding-box
+    single-frame layouts (K == the pixel array length — the slot
+    reconstruction branches on that equality, so a flat batch MUST pass
+    the full K, never a smaller divisor).  Folds the peak tie-break into the bounding-box
     segment_max via the exact composite key
     ``intensity * 2^m + (2^m - 1 - frame-local slot)`` (m =
     ceil_log2(peak_key_slots)) — valid because within-frame slot order is
@@ -368,13 +379,18 @@ def spot_table_from_pixels(
     # raster linear index is the exact tie-break order
     # (reference: connected_components.cc:143-157)
     if peak_key_slots is not None:
-        # frame-local slot straight from the key; the frame's segment
-        # base is z * Kf (z == frame index in the segmented layout; 0
-        # for single-frame / flat layouts where the modulus is K)
         peak_local = mcap - (imaxs[:, 2] & mcap)
-        peak_slot = (
-            jnp.where(n_pixels > 0, z_max, 0) * peak_key_slots + peak_local
-        )
+        if peak_key_slots == k:
+            # global-slot modulus (flat / single-frame layouts): the key's
+            # low bits ARE the slot — adding z*K here would index padding
+            peak_slot = peak_local
+        else:
+            # segmented layout: frame b owns slots [b*Kf, (b+1)*Kf), so
+            # the segment base is z * Kf
+            peak_slot = (
+                jnp.where(n_pixels > 0, z_max, 0) * peak_key_slots
+                + peak_local
+            )
         # empty rows take segment_min's identity (i32 max) so the padding
         # values match the two-op path bit-for-bit
         peak_lin = jnp.where(

@@ -364,6 +364,62 @@ def test_spot_table_peak_key_bit_parity(kf):
         ) == (20 + 5 * b, 10, b)
 
 
+def test_spot_table_peak_key_flat_layout_bit_parity():
+    """peak_key_slots=K on a FLAT multi-frame layout (global-rank slots,
+    not per-frame segments): the slot reconstruction must not add z*K —
+    regression for the review finding where every z>=1 spot's peak
+    indexed a BIG padding slot."""
+    rng = np.random.default_rng(9)
+    B, H, W = 3, 48, 96
+    ht = H + 1
+    stack = rng.random((B, H, W)) < 0.08
+    image = rng.integers(1, 200, size=(B, H, W)).astype(np.uint16)
+    stack[:, 8:15, :] = False
+    for b in range(B):
+        stack[b, 10:13, 20 + 5 * b : 23 + 5 * b] = True
+        image[b, 10:13, 20 + 5 * b : 23 + 5 * b] = 65535
+    # FLAT layout: all strong pixels dense at the front in tall raster order
+    talls = []
+    intens = []
+    for b in range(B):
+        ys, xs = np.nonzero(stack[b])
+        talls.append((b * ht + ys) * W + xs)
+        intens.append(image[b, ys, xs])
+    tall = np.concatenate(talls)
+    inten = np.concatenate(intens).astype(np.int32)
+    K = 4096
+    lin = np.full(K, cc.BIG, np.int64)
+    lin[: len(tall)] = tall
+    vals = np.zeros(K, np.int32)
+    vals[: len(tall)] = inten
+    pixels = cc.CompactPixels(
+        jnp.asarray(lin, jnp.int32), jnp.asarray(vals), jnp.int32(len(tall))
+    )
+    root = cc.label_compact_pixels(pixels, width=W)
+    t0 = cc.spot_table_from_pixels(
+        pixels, root, width=W, max_spots=2048, frame_rows=H
+    )
+    t1 = cc.spot_table_from_pixels(
+        pixels, root, width=W, max_spots=2048, frame_rows=H,
+        peak_key_slots=K,
+    )
+    for f in t0._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(t0, f)), np.asarray(getattr(t1, f)), err_msg=f
+        )
+    # the z>=1 planted flat-top spots are the regression surface
+    ns = int(t0.n_spots)
+    planted = [
+        s for s in range(ns)
+        if int(t1.n_pixels[s]) == 9 and float(t1.sum_intensity[s]) == 9 * 65535
+    ]
+    assert len(planted) == B
+    for b, s in enumerate(sorted(planted, key=lambda s: int(t1.peak_z[s]))):
+        assert (
+            int(t1.peak_x[s]), int(t1.peak_y[s]), int(t1.peak_z[s])
+        ) == (20 + 5 * b, 10, b)
+
+
 def test_spot_table_peak_key_rejects_wide_slots():
     pixels = cc.CompactPixels(
         jnp.full(8, cc.BIG, jnp.int32), jnp.zeros(8, jnp.int32), jnp.int32(0)
