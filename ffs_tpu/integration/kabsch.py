@@ -112,7 +112,8 @@ def format_shoebox_fill_histogram(
     total_px = 0
     for bbox in np.asarray(bboxes, dtype=np.int64):
         npix = int((bbox[1] - bbox[0] + 1) * (bbox[3] - bbox[2] + 1))
-        depth = int(bbox[5] - bbox[4] + 1)
+        # z_max is EXCLUSIVE throughout (extent.py ceil/act_f > z)
+        depth = int(bbox[5] - bbox[4])
         if npix <= 0 or depth <= 0:
             continue
         fill = min(npix / slot_px, 1.0)
@@ -168,12 +169,35 @@ class KabschIntegrator:
         self.scan = scan
         self.s1 = np.asarray(s1, dtype=np.float64)
         self.phi = np.asarray(phi, dtype=np.float64)
-        self.bboxes = np.asarray(bboxes, dtype=np.int64)
+        # own copy (np.array, not asarray): the x/y clip below must never
+        # mutate the caller's array
+        self.bboxes = np.array(bboxes, dtype=np.int64)
         self.algorithm = algorithm
         self.max_active = max_active
 
+        # clip x/y to the detector here, not just in the CLI: off-panel
+        # extents (extent.py floors off-panel ray intersections) would
+        # otherwise reach the window DMA as negative/oversized offsets and
+        # gather garbage with no error (review r3)
+        w_img, h_img = int(panel.image_size[0]), int(panel.image_size[1])
+        self.bboxes[:, 0] = np.clip(self.bboxes[:, 0], 0, w_img - 1)
+        self.bboxes[:, 1] = np.clip(self.bboxes[:, 1], 0, w_img - 1)
+        self.bboxes[:, 2] = np.clip(self.bboxes[:, 2], 0, h_img - 1)
+        self.bboxes[:, 3] = np.clip(self.bboxes[:, 3], 0, h_img - 1)
+
         widths = self.bboxes[:, 1] - self.bboxes[:, 0]
         heights = self.bboxes[:, 3] - self.bboxes[:, 2]
+        # the blocked step's pixel window is a fixed 128 lanes starting at
+        # x_min, and each pixel's right corner comes from a roll that wraps
+        # at lane 127 — widths past 127 would silently drop columns, so
+        # fail loudly instead (review r3)
+        wmax = int(widths.max(initial=0)) + 1
+        if wmax > 127:
+            raise ValueError(
+                f"shoebox width {wmax} exceeds the blocked step's 128-lane "
+                "window (pixel lanes span x_min..x_min+127 and the corner "
+                "roll wraps at lane 127); shrink delta_b or the bboxes"
+            )
         self.box_w = int(
             ((max(int(widths.max(initial=1)), 1) + box_pad) + 7) // 8 * 8
         )
@@ -302,6 +326,9 @@ class KabschIntegrator:
         def get_window(arr, yy, xx):
             return jax.lax.dynamic_slice(arr, (yy, xx), (bh, bw))
 
+        # NB: legacy/tools path only.  The f32 round-trip is exact for
+        # u16 frames but loses low bits of i32 values >= 2^24 — the
+        # blocked production step stays in i32 throughout.
         windows = jax.vmap(lambda yy, xx: get_window(image, yy, xx))(
             y0 + bh, x0 + bw
         ).astype(jnp.float32)
@@ -410,7 +437,7 @@ class KabschIntegrator:
         # bf16).  Replaces the segment-sum formulation which cost 7.5 ms at
         # A=512 on v5e (tools/measure_kabsch.py) — data-dependent scatter
         # lowers to sorting; this is pure MXU work.
-        vals = jnp.clip(windows.astype(jnp.int32), 0, None)
+        vals = ivals  # same clipped-intensity grid as the moments above
         in_range = bg & (vals < NUM_BG_BINS)
         coarse = vals >> 4
         fine = vals & 15
@@ -491,6 +518,10 @@ class KabschIntegrator:
             # the program as a constant, writing a ~342 MB XLA cache entry
             # per shape — NumPy is instant and uploads once
             f64 = np.asarray(self.corner_field())  # (3, h, w)
+            # drop the ~450 MB f64 DEVICE buffer now that the split has a
+            # host copy — the blocked path only ever reads the f32 planes;
+            # corner_field() rebuilds on demand (legacy/tools path only)
+            self._field = None
             _, h, w = f64.shape
             # lane padding: x0 + box_w <= w - 128 must hold for the gather
             wp = ((w + self.box_w + 128 + 127) // 128) * 128
@@ -741,12 +772,14 @@ class KabschIntegrator:
             order[i : i + self.max_active]
             for i in range(0, len(order), self.max_active)
         ]
-        chunk_zmin = np.array(
-            [self.bboxes[c, 4].min(initial=0) for c in chunks]
-        )
-        chunk_zmax = np.array(
-            [self.bboxes[c, 5].max(initial=0) for c in chunks]
-        )
+        # NOTE: no initial= here — min(initial=0) folds 0 into the
+        # reduction, pinning every chunk's zmin to 0 so the touching
+        # filter never excludes future chunks (every chunk then runs a
+        # full block step on every frame block and caches its ~200 MB
+        # window buffers from block 0; review r3).  Chunks are never
+        # empty (they partition a non-empty argsort).
+        chunk_zmin = np.array([self.bboxes[c, 4].min() for c in chunks])
+        chunk_zmax = np.array([self.bboxes[c, 5].max() for c in chunks])
         cache: dict[int, dict] = {}
 
         if not hasattr(self, "_block_jit"):
@@ -780,7 +813,7 @@ class KabschIntegrator:
         for b0 in range(0, len(image_numbers), F):
             blk = image_numbers[b0 : b0 + F]
             n_blk = len(blk)
-            z_lo, z_hi = blk[0], blk[-1]
+            z_lo, z_hi = min(blk), max(blk)
             touching = [
                 ci
                 for ci in range(len(chunks))
@@ -794,13 +827,19 @@ class KabschIntegrator:
                 * (F - n_blk)
             )
             frames = jnp.asarray(self.pad_frames(frames_np)).astype(jnp.int32)
-            phi_lows = jnp.asarray(
-                np.deg2rad(
-                    osc_start
-                    + (np.arange(F) + blk[0] - (z0 - 1)) * osc_width
-                )
+            # z/phi from the ACTUAL image numbers — image_numbers is an
+            # arbitrary iterable, so gapped or reordered entries must
+            # classify against their own rotation angles, not blk[0]+i
+            # (review r3).  Pad entries get z past the block (masked by
+            # frame_ok, and never aliasing a real frame's z).
+            blk_pad = np.asarray(
+                list(blk) + [z_hi + 1 + i for i in range(F - n_blk)],
+                dtype=np.float64,
             )
-            z_values = jnp.asarray(np.arange(F) + float(blk[0]))
+            phi_lows = jnp.asarray(
+                np.deg2rad(osc_start + (blk_pad - (z0 - 1)) * osc_width)
+            )
+            z_values = jnp.asarray(blk_pad)
             frame_ok = jnp.asarray(np.arange(F) < n_blk)
 
             for ci in touching:

@@ -16,7 +16,12 @@ thread-strided global reads).
 Contract: ``window_gather(img, y0, x0, bh)`` returns (A, bh, 128) int32
 (f32 for float inputs; input must be >= 32-bit) where ``out[a, r, c] = img[y0[a]+r, x0[a]+c]`` for
 c < 128; callers slice [:, :, :bw].  Requirements: img (Hp, Wp) with Wp a
-multiple of 128 and Hp >= y0+bh; bh a multiple of 8; 0 <= x0 <= Wp-128.
+multiple of 128 and Hp >= y0+bh; bh a multiple of 8; 0 <= x0 < Wp-128
+(STRICT upper bound: x0 == Wp-128 exactly would clamp to shift == 128,
+whose correctness rests on pltpu.roll(t, -128) being a modular no-op —
+validated only in Mosaic interpret mode, never on v5e hardware, per the
+repo rule that interpret-clean is not hardware-clean.  Every production
+canvas pads at least one spare 128-lane block past the maximum x0).
 """
 
 from __future__ import annotations

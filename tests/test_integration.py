@@ -271,3 +271,69 @@ def test_weighted_index_dot_exact_at_bounds():
 
     with pytest.raises(AssertionError):
         _weighted_index_dot(jnp.zeros((2, 513), jnp.int32), 513)
+
+
+def test_integrate_chunk_z_band_scheduling():
+    """Chunks run ONLY on frame blocks overlapping their z band.
+
+    Regression: bboxes[c, 4].min(initial=0) folded 0 into the reduction,
+    pinning every chunk's zmin to 0 — every chunk then ran a (masked,
+    numerically harmless) full block step on every frame block and cached
+    its device buffers from block 0."""
+    import jax
+
+    from ffs_tpu.models.geometry import (
+        Goniometer,
+        MonochromaticBeam,
+        Scan,
+        simple_panel,
+    )
+
+    rng = np.random.default_rng(3)
+    IW, IH, F = 128, 64, 12
+    panel = simple_panel(150.0, (IW / 2, IH / 2), (0.075, 0.075), (IW, IH))
+    beam = MonochromaticBeam(wavelength=0.976)
+    gonio = Goniometer()
+    scan = Scan(image_range=(1, F), oscillation=(0.0, 0.1))
+    A = 8  # two chunks of 4 at max_active=4
+    x = rng.uniform(20, IW - 20, A)
+    y = rng.uniform(20, IH - 20, A)
+    xmm, ymm = panel.px_to_mm(x, y)
+    lab = panel.get_lab_coord(xmm, ymm)
+    s1 = lab / np.linalg.norm(lab, axis=1, keepdims=True) / beam.wavelength
+    phi = np.deg2rad(rng.uniform(0, 0.2, A))
+    zmin = np.array([0] * 4 + [8] * 4)
+    bboxes = np.stack(
+        [
+            np.clip(x - 4, 0, IW - 1), np.clip(x + 4, 0, IW - 1),
+            np.clip(y - 4, 0, IH - 1), np.clip(y + 4, 0, IH - 1),
+            zmin, zmin + 2,
+        ],
+        axis=1,
+    ).astype(np.int64)
+    integ = kb.KabschIntegrator(
+        panel=panel, beam=beam, gonio=gonio, scan=scan,
+        s1=s1, phi=phi, bboxes=bboxes,
+        delta_b=np.deg2rad(0.3), delta_m=np.deg2rad(1.0), max_active=4,
+    )
+    steps = []
+    jitted = jax.jit(integ._block_step_impl, static_argnames=("centre_slices",))
+
+    def counting(*a, **k):
+        steps.append(1)
+        return jitted(*a, **k)
+
+    integ._block_jit = counting
+
+    class _Reader:
+        def get_image(self, n):
+            return np.zeros((IH, IW), np.uint16)
+
+        def get_mask(self):
+            return None
+
+    acc = kb.Accumulators.zeros(A)
+    integ.integrate(_Reader(), range(0, F), acc)
+    # blocks [0-3], [4-7], [8-11]: chunk z [0,2) touches only the first,
+    # chunk z [8,10) only the last -> exactly 2 device steps
+    assert len(steps) == 2

@@ -108,8 +108,9 @@ def test_shoebox_fill_histogram_format():
     from ffs_tpu.integration.kabsch import format_shoebox_fill_histogram
 
     # two reflections: a full 8x8 box 3 images deep, a 2x2 box 1 deep
+    # (z_max EXCLUSIVE, matching extent.py / the act_f frame condition)
     bboxes = np.array(
-        [[0, 7, 0, 7, 0, 2], [10, 11, 10, 11, 0, 0], [0, -1, 0, -1, 0, -1]]
+        [[0, 7, 0, 7, 0, 3], [10, 11, 10, 11, 0, 1], [0, -1, 0, -1, 0, 0]]
     )
     s = format_shoebox_fill_histogram(bboxes, 8, 8, 512)
     assert "Shoebox fill over 4 reflection-image slices" in s
@@ -119,7 +120,7 @@ def test_shoebox_fill_histogram_format():
     # skipped (empty) bbox rows contribute nothing
     assert "(3)" in s  # the 3 full-box slices land in the >=75% bucket
     # all-empty input -> empty string
-    assert format_shoebox_fill_histogram(np.array([[0, -1, 0, -1, 0, -1]]), 8, 8, 1) == ""
+    assert format_shoebox_fill_histogram(np.array([[0, -1, 0, -1, 0, 0]]), 8, 8, 1) == ""
 
 
 def test_glm_vs_tukey_background_cli_option():
