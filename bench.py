@@ -139,7 +139,7 @@ def main() -> int:
             if extended:
                 pcw = dispersion_extended_packed_raw(
                     batch, msk, 65535.0, mbox=mb, strip=jf_strip,
-                    interpret=interp,
+                    interpret=interp, trim=False,
                 )
             else:
                 pcw = dispersion_packed_raw(

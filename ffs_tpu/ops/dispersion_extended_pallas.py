@@ -96,7 +96,7 @@ def _ext_predicate_roll(
     lands in lanes where the zero-padded mask/mbox force the predicates
     false (left pad = _IMG >= every shift used, right pad >= 10 lanes).
     """
-    from .dispersion_pallas import _rollm
+    from .dispersion_pallas import _f32, _rollm
 
     n1 = strip + 2 * _APRON
     n2 = strip + 2 * _RX
@@ -128,7 +128,7 @@ def _ext_predicate_roll(
         )
 
     # ---- stage 1: first pass (grid origin -_APRON) -------------------------
-    m = mboxc[0].astype(jnp.int32).astype(jnp.float32)  # (n1, wp), centre-masked
+    m = _f32(mboxc[0])  # (n1, wp), centre-masked
     wk1[...] = vroll7(imf[...])
     x = hroll7(wk1[...])[0:n1]
     wk2[...] = imf[...] * imf[...]
@@ -181,7 +181,6 @@ def _ext_kernel(
     emit_strong: bool,
     packed: bool = False,
     wp: int = 0,
-    nwl: int = 0,
     has_mbox: bool = False,
     tree_impl: str = "slice",
 ):
@@ -241,19 +240,13 @@ def _ext_kernel(
         sems.at[slot],
     ).wait()
 
+    from .dispersion_pallas import _f32
+
     # imf/mkf rows cover global rows [-_IMG, strip+_IMG); img_v covers
     # [-halo, strip+halo): offset = halo - _IMG
     off = halo - _IMG
-    imf[...] = (
-        img_v[slot, off : off + strip + 2 * _IMG]
-        .astype(jnp.int32)
-        .astype(jnp.float32)
-    )
-    mkf[...] = (
-        mask_strips[0, off : off + strip + 2 * _IMG]
-        .astype(jnp.int32)
-        .astype(jnp.float32)
-    )
+    imf[...] = _f32(img_v[slot, off : off + strip + 2 * _IMG])
+    mkf[...] = _f32(mask_strips[0, off : off + strip + 2 * _IMG])
     imf[...] *= mkf[...]
 
     if tree_impl == "roll":
@@ -286,7 +279,7 @@ def _ext_kernel(
     # tree order is the bit-parity contract with the jnp oracle; every
     # other grid is integer-valued with partial sums < 2^24 (exact under
     # any order).
-    from .dispersion_pallas import _htree7, _vtree7
+    from .dispersion_pallas import _f32, _htree7, _vtree7
 
     # ---- stage 1: first pass on the (-_APRON..strip+_APRON) grid ----------
     # first-pass row j (global -_APRON+j) uses image rows j..j+6 of imf;
@@ -294,11 +287,7 @@ def _ext_kernel(
     n1 = strip + 2 * _APRON
     w1 = width + 2 * _APRON
     if has_mbox:
-        m = (
-            mbox_strips[0, 0:n1, pl.ds(0, w1)]
-            .astype(jnp.int32)
-            .astype(jnp.float32)
-        )
+        m = _f32(mbox_strips[0, 0:n1, pl.ds(0, w1)])
     else:
         wk1[0:n1] = _vtree7(mkf, wk0, disp, n1)
         m = _htree7(wk1, wk0, disp, n1, w1)
@@ -483,6 +472,9 @@ def dispersion_extended_fused(
     """Fused extended dispersion -> (strong u8, rowcum i32); input (H, W) or
     (B, H, W).  ``emit_strong=False`` drops the dense u8 output (compaction
     needs only ``rowcum``) and returns (None, rowcum)."""
+    from .dispersion_pallas import _u32_pre_cast
+
+    image = _u32_pre_cast(image)
     squeeze = image.ndim == 2
     if squeeze:
         image = image[None]
@@ -564,6 +556,7 @@ def dispersion_extended_fused(
         "nsig_s",
         "strip",
         "interpret",
+        "tree_impl",
     ),
 )
 def dispersion_extended_packed(
@@ -576,6 +569,8 @@ def dispersion_extended_packed(
     nsig_s: float = DEFAULT_NSIG_S,
     strip: int = DEFAULT_STRIP,
     interpret: bool = False,
+    mbox: jnp.ndarray | None = None,
+    tree_impl: str = "auto",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused extended dispersion -> (packed words, word-prefix counts).
 
@@ -583,10 +578,13 @@ def dispersion_extended_packed(
     :func:`ffs_tpu.ops.dispersion_pallas.dispersion_packed` (lane-slices of
     one combined [pc | w32] output, see dispersion_extended_packed_raw);
     downstream compaction is compact_from_words_flat / compact_from_pcw_flat.
+    ``mbox``/``tree_impl`` forward to the raw form exactly like the
+    non-extended sibling, so wrapper callers get the roll-tree fast path.
     """
     pcw = dispersion_extended_packed_raw(
-        image, mask, trusted_max, min_count=min_count, nsig_b=nsig_b,
-        nsig_s=nsig_s, strip=strip, interpret=interpret,
+        image, mask, trusted_max, mbox=mbox, min_count=min_count,
+        nsig_b=nsig_b, nsig_s=nsig_s, strip=strip, interpret=interpret,
+        tree_impl=tree_impl,
     )
     nwl = pcw.shape[-1] // 2
     return pcw[..., nwl:], pcw[..., :nwl]
@@ -601,6 +599,7 @@ def dispersion_extended_packed(
         "nsig_s",
         "strip",
         "interpret",
+        "trim",
         "tree_impl",
     ),
 )
@@ -615,6 +614,7 @@ def dispersion_extended_packed_raw(
     nsig_s: float = DEFAULT_NSIG_S,
     strip: int = DEFAULT_STRIP,
     interpret: bool = False,
+    trim: bool = True,
     tree_impl: str = "auto",
 ) -> jnp.ndarray:
     """Combined-row form: (B?, H, 2*nwl) i32 with lanes [pc | w32].
@@ -625,9 +625,20 @@ def dispersion_extended_packed_raw(
     window-sum lowering: "slice" (sub-width slices) or "roll"
     (full-register pltpu.roll, needs mbox, bit-identical output — see
     tools/measure_roll.py); "auto" = roll when mbox is given.
-    """
-    from .dispersion_pallas import _n_word_lanes, _pack_pcw
 
+    ``trim=False`` keeps the strip-padded row count exactly like
+    :func:`ffs_tpu.ops.dispersion_pallas.dispersion_packed_raw` (padded
+    rows are all-zero: the zero-padded mask forces the predicate false) —
+    the batched path gathers from the whole padded array to avoid XLA's
+    slow sliced-view composite-gather lowering.
+    """
+    from .dispersion_pallas import (
+        _n_word_lanes,
+        _pack_pcw,
+        _u32_pre_cast,
+    )
+
+    image = _u32_pre_cast(image)
     squeeze = image.ndim == 2
     if squeeze:
         image = image[None]
@@ -645,6 +656,16 @@ def dispersion_extended_packed_raw(
     )(strip_starts)
 
     has_mbox = mbox is not None
+    if has_mbox and mbox.shape != (hp + 2 * halo, wp + 128):
+        # a mismatched canvas (e.g. mbox built at a different strip) would
+        # be silently CLAMPED by the per-strip dynamic_slice windows below,
+        # shifting box counts in the bottom strips — fail loudly instead
+        raise ValueError(
+            f"mbox shape {tuple(mbox.shape)} does not match this call's "
+            f"canvas {(hp + 2 * halo, wp + 128)}; build it with "
+            f"mask_box_count_extended(mask, strip={strip}) at the same "
+            "image geometry"
+        )
     if tree_impl == "auto":
         tree_impl = "roll" if has_mbox else "slice"
     if tree_impl == "roll":
@@ -673,7 +694,6 @@ def dispersion_extended_packed_raw(
         emit_strong=False,
         packed=True,
         wp=wp,
-        nwl=nwl,
         has_mbox=has_mbox,
         tree_impl=tree_impl,
     )
@@ -730,7 +750,9 @@ def dispersion_extended_packed_raw(
         ),
         interpret=interpret,
     )(*inputs)
-    pcw = _pack_pcw(outs[0], nwl)[:, :h]
+    pcw = _pack_pcw(outs[0], nwl)
+    if trim:
+        pcw = pcw[:, :h]
     if squeeze:
         pcw = pcw[0]
     return pcw

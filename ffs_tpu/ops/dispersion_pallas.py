@@ -41,6 +41,33 @@ DEFAULT_STRIP = 64
 DEFAULT_STRIP_PACKED = 128
 
 
+def _f32(v):
+    """Widen a kernel register to f32 for the window sums.
+
+    Sub-32-bit inputs hop through i32 (Mosaic cannot cast them to f32
+    directly); 32-bit inputs convert directly — an i32 hop on the
+    wrappers' u32-pre-cast f32 input would truncate and re-wrap, and one
+    on raw u32 wraps values >= 2^31 negative, sneaking them past the
+    trusted_max gate and into every neighbour's window sums.
+    """
+    if v.dtype.itemsize < 4:
+        v = v.astype(jnp.int32)
+    if v.dtype != jnp.float32:
+        v = v.astype(jnp.float32)
+    return v
+
+
+def _u32_pre_cast(image: jnp.ndarray) -> jnp.ndarray:
+    """u32 frames convert to f32 at the XLA level before entering a
+    kernel: the in-kernel widening cannot go through i32 for them (wrap),
+    and a direct u32->f32 Mosaic cast is unvalidated on hardware.  The
+    f32 conversion matches the jnp oracle (ops/dispersion.py
+    image.astype(f32)) bit-for-bit, saturated sentinels included."""
+    if image.dtype == jnp.uint32:
+        return image.astype(jnp.float32)
+    return image
+
+
 def _row_halo(radius: int) -> int:
     # Row halo rounded up to the TPU sublane tiling (8) so DMA slices stay
     # aligned; the extra rows are simply ignored by the compute slices.
@@ -146,12 +173,10 @@ def _dispersion_predicate_roll(
     off = halo - r
     imf[...] = jnp.where(
         mask_strips[0, off : off + strip + 2 * r] != 0,
-        img_v[slot, off : off + strip + 2 * r]
-        .astype(jnp.int32)
-        .astype(jnp.float32),
+        _f32(img_v[slot, off : off + strip + 2 * r]),
         0.0,
     )
-    m = mboxc_strips[0].astype(jnp.int32).astype(jnp.float32)
+    m = _f32(mboxc_strips[0])
 
     def vroll(srcref):
         sv = srcref[...]
@@ -225,27 +250,13 @@ def _dispersion_predicate(
         # multiply over the (strip+2r, wp) grid every strip).
         imf[...] = jnp.where(
             mask_strips[0, off : off + strip + 2 * r] != 0,
-            img_v[slot, off : off + strip + 2 * r]
-            .astype(jnp.int32)
-            .astype(jnp.float32),
+            _f32(img_v[slot, off : off + strip + 2 * r]),
             0.0,
         )
-        m = (
-            mbox_strips[0, :, pl.ds(0, width)]
-            .astype(jnp.int32)
-            .astype(jnp.float32)
-        )
+        m = _f32(mbox_strips[0, :, pl.ds(0, width)])
     else:
-        imf[...] = (
-            img_v[slot, off : off + strip + 2 * r]
-            .astype(jnp.int32)
-            .astype(jnp.float32)
-        )
-        mkf[...] = (
-            mask_strips[0, off : off + strip + 2 * r]
-            .astype(jnp.int32)
-            .astype(jnp.float32)
-        )
+        imf[...] = _f32(img_v[slot, off : off + strip + 2 * r])
+        mkf[...] = _f32(mask_strips[0, off : off + strip + 2 * r])
         imf[...] *= mkf[...]
         # m grid (exact integers): tree sums with imsq as the s2 temp —
         # the I^2 grid is not materialised yet
@@ -460,7 +471,6 @@ def _dispersion_packed_kernel(
     radius: int,
     width: int,
     wp: int,
-    nwl: int,
     trusted_max: float,
     min_count: int,
     nsig_b: float,
@@ -673,6 +683,7 @@ def dispersion_packed_raw(
     forces XLA's slow composite-gather path, while the whole padded array
     gathers fast; compact_from_pcw_flat handles the padded pitch natively.
     """
+    image = _u32_pre_cast(image)
     squeeze = image.ndim == 2
     if squeeze:
         image = image[None]
@@ -709,7 +720,6 @@ def dispersion_packed_raw(
         radius=r,
         width=w,
         wp=wp,
-        nwl=nwl,
         trusted_max=float(trusted_max),
         min_count=min_count,
         nsig_b=nsig_b,
@@ -817,6 +827,7 @@ def dispersion_fused(
     :func:`mask_box_count`; when given, the kernel skips the mask grid's
     sliding sums.
     """
+    image = _u32_pre_cast(image)
     squeeze = image.ndim == 2
     if squeeze:
         image = image[None]

@@ -211,6 +211,7 @@ class SpotfindProcessor:
                 self.trusted_max,
                 mbox=self.mbox,
                 interpret=cfg.pallas_interpret,
+                trim=trim,
                 **kwargs,
             )
 

@@ -668,3 +668,53 @@ def test_extended_roll_trees_match_slice_trees(small_frame):
         jnp.asarray(image), jnp.asarray(mask), tm, tree_impl="roll", **kw
     )
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_packed_u32_saturation_matches_oracle():
+    """u32 values >= 2^31 (saturation/gap sentinels) must be rejected by
+    the trusted_max gate, not wrapped negative through the i32 widening
+    (regression: the kernels' .astype(i32) hop wrapped them, letting a
+    saturated pixel pass `src <= trusted_max` and poison every
+    neighbour's window sums; the wrapper now pre-casts u32 -> f32 exactly
+    like the jnp oracle)."""
+    from ffs_tpu.ops.dispersion_extended_pallas import (
+        dispersion_extended_packed_raw,
+    )
+    from ffs_tpu.ops.dispersion_pallas import (
+        _n_word_lanes,
+        dispersion_packed_raw,
+    )
+
+    rng = np.random.default_rng(4)
+    h, w = 64, 256
+    image = rng.integers(0, 100, size=(h, w)).astype(np.uint32)
+    image[10, 50] = 0xFFFFFFFF  # saturated sentinel, UNMASKED
+    image[50, 200] = 2**31  # wraps negative under an i32 hop
+    image[28:35, 98:105] = 5000  # a real spot nearby
+    mask = np.ones((h, w), np.uint8)
+    tm = 65535.0
+
+    for raw_fn, oracle, nwl_w in (
+        (dispersion_packed_raw, jops.dispersion, 2 * 3),
+        (
+            dispersion_extended_packed_raw,
+            jops.dispersion_extended,
+            2 * 10,
+        ),
+    ):
+        pcw = raw_fn(
+            jnp.asarray(image), jnp.asarray(mask), tm, interpret=True
+        )
+        nwl = _n_word_lanes(((w + nwl_w + 127) // 128) * 128)
+        want = np.asarray(
+            oracle(jnp.asarray(image), jnp.asarray(mask), tm, dtype=jnp.float32)
+        )
+        exp_words, exp_pc = _pack_words_np(want, nwl)
+        got_words = np.asarray(pcw[:, nwl:]).astype(np.int64) & 0xFFFFFFFF
+        np.testing.assert_array_equal(got_words, exp_words)
+        np.testing.assert_array_equal(np.asarray(pcw[:, :nwl]), exp_pc)
+        # the sentinels themselves must NOT be strong, and the fixture
+        # must be non-trivial (strong pixels exist for the parity words
+        # to disagree on if the wrap regressed)
+        assert not want[10, 50] and not want[50, 200]
+        assert want.sum() > 0
