@@ -227,7 +227,12 @@ def predict_rotation(
             xmm, ymm = panel.get_ray_intersection(s1_sel)
             x_px, y_px = panel.mm_to_px(xmm, ymm)
             w, hh = panel.image_size
-            on_panel = (x_px >= 0) & (x_px < w) & (y_px >= 0) & (y_px < hh)
+            # on-panel bounds in MM, matching the device path and dx2
+            # (parallax-corrected px can land fractionally outside
+            # [0, size_px) for a ray inside the physical panel)
+            wmm = w * panel.pixel_size[0]
+            hmm = hh * panel.pixel_size[1]
+            on_panel = (xmm >= 0) & (xmm < wmm) & (ymm >= 0) & (ymm < hmm)
             idx = idx[on_panel]
             if not len(idx):
                 continue

@@ -184,3 +184,34 @@ def test_device_block_prediction_matches_host(experiment):
     )
     np.testing.assert_allclose(dev.s1[od], host.s1[oh], rtol=0, atol=1e-12)
     np.testing.assert_array_equal(dev.entering[od], host.entering[oh])
+
+
+def test_host_on_panel_bounds_are_in_mm():
+    """On-panel acceptance is decided in MM (the dx2 contract — reference:
+    predict.cc:106 drops only rays with no mm intersection), not in
+    parallax-corrected px space: a ray inside the physical panel can have
+    px coordinates fractionally outside [0, size_px).  A steep-angle
+    parallax panel with a full-turn scan lands dozens of spots in that
+    boundary band; the host path must KEEP them (it used px bounds and
+    silently dropped them before this regression test)."""
+    panel = simple_panel(
+        40.0, (250.0, 260.0), (0.2, 0.2), (500, 520),
+        mu=0.15, thickness=1.0, parallax=True,
+    )
+    expt = Experiment(
+        beam=MonochromaticBeam(wavelength=2.0),
+        panel=panel,
+        goniometer=Goniometer(),
+        scan=Scan(image_range=(1, 120), oscillation=(0.0, 3.0)),
+        crystal=Crystal([30.0, 0, 0], [0, 40.0, 0], [0, 0, 50.0]),
+    )
+    pred = predict_rotation(expt, dmin=2.2, use_device=False)
+    w, h = panel.image_size
+    wmm = w * panel.pixel_size[0]
+    hmm = h * panel.pixel_size[1]
+    xmm, ymm = pred.xyzcal_mm[:, 0], pred.xyzcal_mm[:, 1]
+    assert ((xmm >= 0) & (xmm < wmm) & (ymm >= 0) & (ymm < hmm)).all()
+    x_px, y_px = panel.mm_to_px(xmm, ymm)
+    out_px = (x_px < 0) | (x_px >= w) | (y_px < 0) | (y_px >= h)
+    # the band is genuinely occupied — px bounds would have dropped these
+    assert int(out_px.sum()) > 10
