@@ -497,16 +497,47 @@ class KabschIntegrator:
         }
         # corner-field windows: one multi-plane DMA per reflection over the
         # 6 hi/lo planes; rows start at y0 (corner grid needs bh+1 rows ->
-        # gather bh+8), lanes at x0 (corner lanes x0..x0+bw < x0+128)
-        dev["fieldw"] = window_gather_planes(
+        # gather bh+8), lanes at x0 (corner lanes x0..x0+bw < x0+128).
+        # The in-plane Kabsch term e12 is chunk geometry (frame-invariant),
+        # so it is computed HERE, once per chunk, instead of inside every
+        # (chunk, frame-block) step — the old form re-ran the delta + two
+        # (A, 3, bh+8, 128) einsums 4-6 times per chunk and kept the 6-plane
+        # field windows (6x the memory of e12) alive in the chunk cache.
+        fieldw = window_gather_planes(
             self.corner_field_f32(),
             dev["y0"].astype(jnp.int32),
             dev["x0"].astype(jnp.int32),
             bh=self.box_h + 8,
             interpret=self._interpret,
         )
+        if not hasattr(self, "_e12_jit"):
+            import jax
+
+            self._e12_jit = jax.jit(self._e12_from_fieldw)
+        dev["e12"] = self._e12_jit(fieldw, dev["s1"], dev["e1"], dev["e2"])
         dev["maskw"] = self._mask_windows(dev["y0"], dev["x0"])
         return dev
+
+    def _e12_from_fieldw(self, fieldw, s1_c, e1, e2):
+        """(A, bh+1, 128) f32 in-plane Kabsch term from the hi/lo corner
+        field windows.  delta = (hi - s1hi) + (lo - s1lo) is accurate to
+        ~2^-24 RELATIVE to delta (the hi subtraction is exactly rounded to
+        ulp(delta); the lo difference restores the truncated f64 bits), so
+        the f32 projections carry f64-grade classification boundaries
+        without any f64 grid math."""
+        jnp = self._jnp
+        s1_hi = s1_c.astype(jnp.float32)
+        s1_lo = (s1_c - s1_hi.astype(jnp.float64)).astype(jnp.float32)
+        delta = (fieldw[:, 0:3] - s1_hi[:, :, None, None]) + (
+            fieldw[:, 3:6] - s1_lo[:, :, None, None]
+        )  # (A, 3, bh+8, 128) f32
+        s1_len = jnp.linalg.norm(s1_c, axis=-1)
+        e1n = (e1 / s1_len[:, None]).astype(jnp.float32)
+        e2n = (e2 / s1_len[:, None]).astype(jnp.float32)
+        eps1 = jnp.einsum("akhw,ak->ahw", delta, e1n)
+        eps2 = jnp.einsum("akhw,ak->ahw", delta, e2n)
+        e12 = (eps1 * eps1 + eps2 * eps2) / np.float32(self._delta_b**2)
+        return e12[:, : self.box_h + 1, :]  # corner rows 0..bh
 
     def corner_field_f32(self):
         """(6, Hc, Wc) f32 hi/lo split of :meth:`corner_field`, padded so
@@ -571,15 +602,12 @@ class KabschIntegrator:
     def _block_step_impl(
         self,
         frames,  # (F, Hp, Wp) i32 padded resident frames
-        fieldw,  # (A, 6, bh+8, 128) f32 chunk corner-field windows
+        e12,  # (A, bh+1, 128) f32 chunk in-plane Kabsch term (_chunk_setup)
         maskw,  # (A, bh, 128) i32 or None
         x0,
         y0,
         bbox,
-        s1_c,
         phi_c,
-        e1,
-        e2,
         zeta,
         active,
         phi_lows,  # (F,) phi at each frame's start (radians)
@@ -623,24 +651,9 @@ class KabschIntegrator:
         # block step, tools/measure_int_variants.py nocounts probe)
         in_bbox_count = jnp.sum(in_bbox, axis=(1, 2)).astype(jnp.int32)
 
-        # chunk geometry: e12 over the (bh+1, bw+1<=128) corner grid from
-        # the hi/lo field windows.  delta = (hi - s1hi) + (lo - s1lo) is
-        # accurate to ~2^-24 RELATIVE to delta (the hi subtraction is
-        # exactly rounded to ulp(delta); the lo difference restores the
-        # truncated f64 bits), so the f32 projections carry f64-grade
-        # classification boundaries without any f64 grid math.
-        s1_hi = s1_c.astype(jnp.float32)
-        s1_lo = (s1_c - s1_hi.astype(jnp.float64)).astype(jnp.float32)
-        delta = (fieldw[:, 0:3] - s1_hi[:, :, None, None]) + (
-            fieldw[:, 3:6] - s1_lo[:, :, None, None]
-        )  # (A, 3, bh+8, 128) f32
-        s1_len = jnp.linalg.norm(s1_c, axis=-1)
-        e1n = (e1 / s1_len[:, None]).astype(jnp.float32)
-        e2n = (e2 / s1_len[:, None]).astype(jnp.float32)
-        eps1 = jnp.einsum("akhw,ak->ahw", delta, e1n)
-        eps2 = jnp.einsum("akhw,ak->ahw", delta, e2n)
-        e12 = (eps1 * eps1 + eps2 * eps2) / np.float32(self._delta_b**2)
-        e12 = e12[:, : bh + 1, :]  # corner rows 0..bh
+        # e12 (the chunk's in-plane Kabsch term over the (bh+1, 128) corner
+        # grid) arrives precomputed from _chunk_setup — frame-invariant
+        # chunk geometry, computed once per chunk instead of per block step.
 
         def corner_fg(phi_eval):
             if self.algorithm == "dials":
@@ -696,11 +709,19 @@ class KabschIntegrator:
             ) * fg_sum + _weighted_index_dot(rowsum, bh)
             sum_iz = fg_sum * (z_values[f] + 0.5)
 
-            in_range = bg & (ivals < NUM_BG_BINS)
+            # histogram operands sliced to the static box_w lanes: every
+            # bbox pixel lives in lanes 0..widths[a] <= box_w - 8 (box_w
+            # pads the max width by 8), and bg is masked by in_bbox, so
+            # lanes >= box_w contribute nothing — slicing them off shrinks
+            # the dominant one-hot materialisation + MXU contraction by
+            # lanes/box_w (4x at 21-px boxes) bit-exactly
+            hl = min(bw, lanes)
+            iv_h = ivals[:, :, :hl]
+            in_range = bg[:, :, :hl] & (iv_h < NUM_BG_BINS)
             co = (
-                in_range[..., None] & ((ivals >> 4)[..., None] == k16)
-            ).reshape(A, bh * lanes, 16)
-            fi = ((ivals & 15)[..., None] == k16).reshape(A, bh * lanes, 16)
+                in_range[..., None] & ((iv_h >> 4)[..., None] == k16)
+            ).reshape(A, bh * hl, 16)
+            fi = ((iv_h & 15)[..., None] == k16).reshape(A, bh * hl, 16)
             hist = (
                 jnp.einsum(
                     "apc,apf->acf",
@@ -848,15 +869,12 @@ class KabschIntegrator:
                 dev = cache[ci]
                 out = self._block_jit(
                     frames,
-                    dev["fieldw"],
+                    dev["e12"],
                     dev["maskw"],
                     dev["x0"],
                     dev["y0"],
                     dev["bbox"],
-                    dev["s1"],
                     dev["phi"],
-                    dev["e1"],
-                    dev["e2"],
                     dev["zeta"],
                     dev["active"],
                     phi_lows,

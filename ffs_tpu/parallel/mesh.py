@@ -424,8 +424,8 @@ def sharded_kabsch_block_step(
 
     The Kabsch classification is embarrassingly parallel over reflections
     (reference analogue: one CUDA block per shoebox, kabsch.cu:455-675;
-    SURVEY.md P4/P8), so the chunk's per-reflection arrays — corner-field
-    windows, mask windows, origins, bboxes, beam vectors — shard over the
+    SURVEY.md P4/P8), so the chunk's per-reflection arrays — precomputed
+    e12 geometry, mask windows, origins, bboxes — shard over the
     mesh's ``data`` axis while the resident frame block is replicated.
     Each chip runs the full jitted step (multi-plane DMA window gathers +
     classification + exact-integer accumulation) on its reflection shard;
@@ -443,12 +443,11 @@ def sharded_kabsch_block_step(
 
     refl = P(axis)  # (A,) leading-dim arrays
     specs = {
-        "fieldw": P(axis, None, None, None),
+        "e12": P(axis, None, None),
         "maskw": P(axis, None, None),
         "x0": refl, "y0": refl,
         "bbox": P(axis, None),
-        "s1": P(axis, None), "phi": refl,
-        "e1": P(axis, None), "e2": P(axis, None),
+        "phi": refl,
         "zeta": refl, "active": refl,
     }
     keys = [k for k in specs if dev.get(k) is not None]
@@ -476,10 +475,9 @@ def sharded_kabsch_block_step(
         d_osc_l, plows, zvals, fok = rest[len(keys) :]
         return integ._block_step_impl(
             local_frames,
-            local_dev["fieldw"], local_dev["maskw"],
+            local_dev["e12"], local_dev["maskw"],
             local_dev["x0"], local_dev["y0"], local_dev["bbox"],
-            local_dev["s1"], local_dev["phi"],
-            local_dev["e1"], local_dev["e2"], local_dev["zeta"],
+            local_dev["phi"], local_dev["zeta"],
             local_dev["active"], plows, d_osc_l, zvals, fok,
             centre_slices=centre_slices,
         )

@@ -215,8 +215,8 @@ def test_sharded_kabsch_block_step_bit_identical(mesh, rng):
     want = jax.jit(
         integ._block_step_impl, static_argnames=("centre_slices",)
     )(
-        frames, dev["fieldw"], dev["maskw"], dev["x0"], dev["y0"],
-        dev["bbox"], dev["s1"], dev["phi"], dev["e1"], dev["e2"],
+        frames, dev["e12"], dev["maskw"], dev["x0"], dev["y0"],
+        dev["bbox"], dev["phi"],
         dev["zeta"], dev["active"], phi_lows, d_osc, z_values, frame_ok,
         centre_slices=True,
     )

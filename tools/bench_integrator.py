@@ -80,8 +80,8 @@ def main() -> int:
 
     block = jax.jit(integ._block_step_impl, static_argnames=("centre_slices",))
     args = (
-        dev["fieldw"], dev["maskw"], dev["x0"], dev["y0"], dev["bbox"],
-        dev["s1"], dev["phi"], dev["e1"], dev["e2"], dev["zeta"],
+        dev["e12"], dev["maskw"], dev["x0"], dev["y0"], dev["bbox"],
+        dev["phi"], dev["zeta"],
         dev["active"], phi_lows, float(np.deg2rad(0.1)), z_values, frame_ok,
     )
 
