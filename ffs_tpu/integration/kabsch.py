@@ -204,6 +204,12 @@ class KabschIntegrator:
         self.box_h = int(
             ((max(int(heights.max(initial=1)), 1) + box_pad) + 7) // 8 * 8
         )
+        # exact static extents of the occupied window region (rows
+        # 0..heights[a], lanes 0..widths[a]): the histogram one-hot
+        # contraction slices to these — everything outside is masked by
+        # in_bbox, so the slice is bit-exact
+        self._hist_rows = min(int(heights.max(initial=0)) + 1, self.box_h)
+        self._hist_lanes = min(int(widths.max(initial=0)) + 1, 128)
 
         # static model parameters captured in the jit closure
         self._s0 = jnp.asarray(beam.s0)
@@ -664,7 +670,20 @@ class KabschIntegrator:
 
         k16 = jnp.arange(16, dtype=jnp.int32)
 
-        outs = []
+        # Outputs are FRAME-SUMMED on device: the host accumulators only
+        # ever add the per-frame outputs together (integrate() collect_one),
+        # and every quantity is an exact integer or exact half-integer in
+        # f64 (< 2^53), so summation order cannot change a single bit —
+        # returning the sums quarters the device->host transfer and lets
+        # the background histogram run as ONE MXU contraction over the
+        # whole frame block instead of F separate passes.
+        fg_sum_t = jnp.zeros(A, dtype=jnp.float64)
+        fg_count_t = jnp.zeros(A, dtype=jnp.int32)
+        dot_x_t = jnp.zeros(A, dtype=jnp.float64)
+        dot_y_t = jnp.zeros(A, dtype=jnp.float64)
+        sum_iz_t = jnp.zeros(A, dtype=jnp.float64)
+        valid_count_t = jnp.zeros(A, dtype=jnp.int32)
+        bg_slices = []
         for f in range(F):
             phi_low = phi_lows[f]
             phi_high = phi_lows[f] + d_osc
@@ -700,60 +719,62 @@ class KabschIntegrator:
             colsum = jnp.sum(mi, axis=1)
             rowsum = jnp.sum(mi, axis=2)
             fg_sum = jnp.sum(colsum, axis=1).astype(jnp.float64)
-            fg_count = jnp.sum(fg, axis=(1, 2)).astype(jnp.int32)
-            sum_ix = (
-                x0.astype(jnp.float64) + 0.5
-            ) * fg_sum + _weighted_index_dot(colsum, lanes)
-            sum_iy = (
-                y0.astype(jnp.float64) + 0.5
-            ) * fg_sum + _weighted_index_dot(rowsum, bh)
-            sum_iz = fg_sum * (z_values[f] + 0.5)
+            fg_sum_t = fg_sum_t + fg_sum
+            fg_count_t = fg_count_t + jnp.sum(fg, axis=(1, 2)).astype(
+                jnp.int32
+            )
+            # the split-i32 weighted dots stay per frame (their < 2^26
+            # operand bound is per-frame); their exact f64 results sum
+            dot_x_t = dot_x_t + _weighted_index_dot(colsum, lanes)
+            dot_y_t = dot_y_t + _weighted_index_dot(rowsum, bh)
+            sum_iz_t = sum_iz_t + fg_sum * (z_values[f] + 0.5)
+            valid_count_t = valid_count_t + jnp.where(act_f, in_bbox_count, 0)
+            bg_slices.append(bg[:, : self._hist_rows, : self._hist_lanes])
 
-            # histogram operands sliced to the static box_w lanes: every
-            # bbox pixel lives in lanes 0..widths[a] <= box_w - 8 (box_w
-            # pads the max width by 8), and bg is masked by in_bbox, so
-            # lanes >= box_w contribute nothing — slicing them off shrinks
-            # the dominant one-hot materialisation + MXU contraction by
-            # lanes/box_w (4x at 21-px boxes) bit-exactly
-            hl = min(bw, lanes)
-            iv_h = ivals[:, :, :hl]
-            in_range = bg[:, :, :hl] & (iv_h < NUM_BG_BINS)
-            co = (
-                in_range[..., None] & ((iv_h >> 4)[..., None] == k16)
-            ).reshape(A, bh * hl, 16)
-            fi = ((iv_h & 15)[..., None] == k16).reshape(A, bh * hl, 16)
-            hist = (
-                jnp.einsum(
-                    "apc,apf->acf",
-                    co.astype(jnp.bfloat16),
-                    fi.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32,
-                )
-                .reshape(A, NUM_BG_BINS)
-                .astype(jnp.int32)
+        sum_ix = (x0.astype(jnp.float64) + 0.5) * fg_sum_t + dot_x_t
+        sum_iy = (y0.astype(jnp.float64) + 0.5) * fg_sum_t + dot_y_t
+
+        # Background histogram: one two-level one-hot MXU contraction over
+        # the whole frame block, with operands sliced to the exact occupied
+        # window extents (rows 0..heights[a] <= _hist_rows-1, lanes
+        # 0..widths[a] <= _hist_lanes-1; everything outside is masked by
+        # in_bbox, so the slice is bit-exact).  Counts stay < 2^24, so the
+        # f32 MXU accumulation of the 0/1 bf16 products remains exact.
+        hr, hl = self._hist_rows, self._hist_lanes
+        bg_s = jnp.stack(bg_slices, axis=1)  # (A, F, hr, hl)
+        iv_s = jnp.maximum(windows[:, :, :hr, :hl], 0)
+        in_range = bg_s & (iv_s < NUM_BG_BINS)
+        p_dim = F * hr * hl
+        co = (
+            in_range[..., None] & ((iv_s >> 4)[..., None] == k16)
+        ).reshape(A, p_dim, 16)
+        fi = ((iv_s & 15)[..., None] == k16).reshape(A, p_dim, 16)
+        hist = (
+            jnp.einsum(
+                "apc,apf->acf",
+                co.astype(jnp.bfloat16),
+                fi.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
             )
-            # derived counts (bit-exact, no extra full-grid reductions):
-            # every valid pixel is fg or bg, and every in-range bg pixel
-            # lands in exactly one histogram bin, so
-            #   bg_count = valid_count - fg_count
-            #   overflow = bg_count - sum_bins(hist)
-            valid_count = jnp.where(act_f, in_bbox_count, 0)
-            bg_count = valid_count - fg_count
-            overflow = bg_count - jnp.sum(hist, axis=1)
-            outs.append(
-                (
-                    fg_sum,
-                    fg_count,
-                    sum_ix,
-                    sum_iy,
-                    sum_iz,
-                    hist,
-                    overflow,
-                    bg_count,
-                )
-            )
-        return tuple(
-            jnp.stack([o[k] for o in outs]) for k in range(8)
+            .reshape(A, NUM_BG_BINS)
+            .astype(jnp.int32)
+        )
+        # derived counts (bit-exact, no extra full-grid reductions):
+        # every valid pixel is fg or bg, and every in-range bg pixel
+        # lands in exactly one histogram bin, so
+        #   bg_count = valid_count - fg_count
+        #   overflow = bg_count - sum_bins(hist)
+        bg_count = valid_count_t - fg_count_t
+        overflow = bg_count - jnp.sum(hist, axis=1)
+        return (
+            fg_sum_t,
+            fg_count_t,
+            sum_ix,
+            sum_iy,
+            sum_iz_t,
+            hist,
+            overflow,
+            bg_count,
         )
 
     # --- host driver ---------------------------------------------------------
@@ -820,16 +841,15 @@ class KabschIntegrator:
 
         def collect_one():
             chunk, a, out = inflight.popleft()
-            arrs = [np.asarray(v) for v in out]
-            for f in range(arrs[0].shape[0]):
-                acc.fg_sum[chunk] += arrs[0][f][:a]
-                acc.fg_count[chunk] += arrs[1][f][:a]
-                acc.sum_ix[chunk] += arrs[2][f][:a]
-                acc.sum_iy[chunk] += arrs[3][f][:a]
-                acc.sum_iz[chunk] += arrs[4][f][:a]
-                acc.bg_hist[chunk] += arrs[5][f][:a]
-                acc.bg_overflow[chunk] += arrs[6][f][:a]
-                acc.bg_count[chunk] += arrs[7][f][:a]
+            arrs = [np.asarray(v) for v in out]  # frame-summed on device
+            acc.fg_sum[chunk] += arrs[0][:a]
+            acc.fg_count[chunk] += arrs[1][:a]
+            acc.sum_ix[chunk] += arrs[2][:a]
+            acc.sum_iy[chunk] += arrs[3][:a]
+            acc.sum_iz[chunk] += arrs[4][:a]
+            acc.bg_hist[chunk] += arrs[5][:a]
+            acc.bg_overflow[chunk] += arrs[6][:a]
+            acc.bg_count[chunk] += arrs[7][:a]
 
         for b0 in range(0, len(image_numbers), F):
             blk = image_numbers[b0 : b0 + F]

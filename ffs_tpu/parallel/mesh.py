@@ -433,8 +433,8 @@ def sharded_kabsch_block_step(
     the sharded outputs directly, exactly as in single-chip integrate().
 
     ``integ`` is a KabschIntegrator; ``dev`` is its _chunk_setup dict.
-    Returns the same 8-tuple as _block_step_impl, each output sharded on
-    its reflection axis (axis 1; (F, A, ...)).
+    Returns the same 8-tuple as _block_step_impl (frame-summed, (A, ...)
+    shapes), each output sharded on its reflection axis.
     """
     n = mesh.shape[axis]
     A = dev["x0"].shape[0]
@@ -457,8 +457,8 @@ def sharded_kabsch_block_step(
         + (P(), P(None), P(None), P(None))  # d_osc, phi_lows, z_values, frame_ok
     )
     out_specs = (
-        P(None, axis), P(None, axis), P(None, axis), P(None, axis),
-        P(None, axis), P(None, axis, None), P(None, axis), P(None, axis),
+        P(axis), P(axis), P(axis), P(axis),
+        P(axis), P(axis, None), P(axis), P(axis),
     )
 
     @functools.partial(

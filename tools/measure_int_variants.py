@@ -301,13 +301,23 @@ def main() -> int:
     base = lambda *a: production(
         a[0], dev["e12"], *a[2:6], a[7], a[10], *a[11:]
     )
+    def framesum(fn):
+        """Adapt a historical per-frame-output variant to the production
+        step's frame-summed outputs (exact: every output is an exact
+        integer / half-integer, so the sum order cannot change a bit)."""
+
+        def wrapped(*a):
+            return tuple(o.sum(axis=0) for o in fn(*a))
+
+        return wrapped
+
     variants = {
-        "i8hist": jax.jit(make_step(integ, jnp, hist_mode="i8")),
-        "tfold": jax.jit(make_step(integ, jnp, fold_t=True)),
+        "i8hist": jax.jit(framesum(make_step(integ, jnp, hist_mode="i8"))),
+        "tfold": jax.jit(framesum(make_step(integ, jnp, fold_t=True))),
         "i8hist+tfold": jax.jit(
-            make_step(integ, jnp, hist_mode="i8", fold_t=True)
+            framesum(make_step(integ, jnp, hist_mode="i8", fold_t=True))
         ),
-        "fold8": jax.jit(make_step(integ, jnp, hist_mode="fold8")),
+        "fold8": jax.jit(framesum(make_step(integ, jnp, hist_mode="fold8"))),
     }
     only = os.environ.get("FFS_BENCH_INT_ONLY")
     if only:
