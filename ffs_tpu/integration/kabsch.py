@@ -690,14 +690,30 @@ class KabschIntegrator:
             if self.algorithm == "dials":
                 corner_in = corner_fg(phi_low)
             else:
-                corner_in = corner_fg(phi_low) | corner_fg(phi_high)
+                # the three phi-slice tests fold into ONE grid compare
+                # against the per-reflection scalar max threshold:
+                # (e12<=t1)|(e12<=t2)|((e12<=t_c)&centre) == e12 <= max(
+                # t1, t2, centre ? t_c : -inf), exactly (monotone compare;
+                # t_c = 1.0 since eps3(phi_c) = 0) — 3 full-grid compares
+                # become 1
+                def t_of(phi_eval):
+                    eps3 = zeta * (phi_eval - phi_c)
+                    return (
+                        1.0 - eps3 * eps3 / (self._delta_m**2)
+                    ).astype(jnp.float32)
+
+                t = jnp.maximum(t_of(phi_low), t_of(phi_high))
                 if centre_slices:
                     centre_ok = (phi_c >= jnp.minimum(phi_low, phi_high)) & (
                         phi_c <= jnp.maximum(phi_low, phi_high)
                     )
-                    corner_in = corner_in | (
-                        corner_fg(phi_c) & centre_ok[:, None, None]
+                    t = jnp.maximum(
+                        t,
+                        jnp.where(
+                            centre_ok, jnp.float32(1.0), -jnp.inf
+                        ).astype(jnp.float32),
                     )
+                corner_in = e12 <= t[:, None, None]
             fg4 = (
                 corner_in[:, :-1, :]
                 | corner_in[:, 1:, :]
