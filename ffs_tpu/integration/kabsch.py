@@ -628,12 +628,7 @@ class KabschIntegrator:
         frame_ok,  # (F,) bool: frame present (tail padding)
         centre_slices: bool,
     ):
-        import jax
-
         jnp = self._jnp
-        A = x0.shape[0]
-        bh, bw = self.box_h, self.box_w
-        F = frames.shape[0]
 
         from ..ops.window_gather import window_gather_planes
 
@@ -641,9 +636,26 @@ class KabschIntegrator:
             frames,
             y0.astype(jnp.int32),
             x0.astype(jnp.int32),
-            bh=bh,
+            bh=self.box_h,
             interpret=self._interpret,
         )  # (A, F, bh, 128) i32
+        return self._finish_block_step(
+            windows, e12, maskw, x0, y0, bbox, phi_c, zeta, active,
+            phi_lows, d_osc, z_values, frame_ok,
+            centre_slices=centre_slices,
+        )
+
+    def _finish_block_step(
+        self, windows, e12, maskw, x0, y0, bbox, phi_c, zeta, active,
+        phi_lows, d_osc, z_values, frame_ok, centre_slices,
+    ):
+        """Everything after the window gather — split out so probe
+        harnesses (tools/measure_int_variants.py) can drive the exact
+        production math with substitute windows."""
+        jnp = self._jnp
+        A = x0.shape[0]
+        bh = self.box_h
+        F = windows.shape[1]
 
         lanes = 128
         px = x0[:, None] + jnp.arange(lanes)[None, :]  # (A, 128)

@@ -167,6 +167,139 @@ def window_gather_planes(
     return out[:a]
 
 
+def _gather_planes_pl_kernel(
+    y0_ref,
+    xblk_ref,
+    shift_ref,
+    img_hbm,  # (Hp, Wp//128, P, 128) ANY — plane-LAST layout
+    out_ref,  # (R, P, bh, 128) block
+    tiles,  # scratch (2, R, bh, 2, P, 128)
+    sems,  # DMA sems (2, R)
+    *,
+    p: int,
+    bh: int,
+    out_dtype,
+):
+    # Plane-last variant of _gather_planes_kernel: with planes as the
+    # second-minor dim, each window ROW's (2-block, P, 128) slice is one
+    # CONTIGUOUS run of 2*P*128 elements, so the per-window DMA is bh
+    # descriptors of 2*P*512 bytes instead of P*bh descriptors of 1 KB.
+    # MEASURED NEUTRAL on v5e (tools/measure_window_gather.py: 1.557 ms
+    # pf vs 1.563 pl_pre at A=2048/F=4/bh=24) — the gather is neither
+    # descriptor- nor bytes-bound (a single-block probe moving HALF the
+    # bytes was no faster); it sits at an issue/latency floor.  Kept as
+    # the measured record + harness target; production stays plane-first.
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    zero = jnp.asarray(0, jnp.int32)
+
+    def start_dmas(slot, prog):
+        for r in range(_R):
+            a = prog * _R + r
+            ri = jnp.asarray(r, jnp.int32)
+            pltpu.make_async_copy(
+                img_hbm.at[
+                    pl.ds(y0_ref[a], bh),
+                    pl.ds(xblk_ref[a], 2),
+                    pl.ds(zero, p),
+                    pl.ds(zero, 128),
+                ],
+                tiles.at[slot, ri],
+                sems.at[slot, ri],
+            ).start()
+
+    slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
+    next_slot = jax.lax.rem(i + 1, jnp.asarray(2, i.dtype))
+
+    @pl.when(i == 0)
+    def _():
+        start_dmas(slot, i)
+
+    @pl.when(i + 1 < n)
+    def _():
+        start_dmas(next_slot, i + 1)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bh, 128), 1)
+    one = jnp.asarray(1, jnp.int32)
+    for r in range(_R):
+        a = i * _R + r
+        ri = jnp.asarray(r, jnp.int32)
+        pltpu.make_async_copy(
+            img_hbm.at[
+                pl.ds(y0_ref[a], bh),
+                pl.ds(xblk_ref[a], 2),
+                pl.ds(zero, p),
+                pl.ds(zero, 128),
+            ],
+            tiles.at[slot, ri],
+            sems.at[slot, ri],
+        ).wait()
+        sh = shift_ref[a]
+        sel = lane < 128 - sh
+        for q in range(p):
+            qi = jnp.asarray(q, jnp.int32)
+            t0 = tiles[slot, ri, :, zero, qi, :]
+            t1 = tiles[slot, ri, :, one, qi, :]
+            r0 = pltpu.roll(t0, -sh, 1)
+            r1 = pltpu.roll(t1, -sh, 1)
+            out_ref[r, q] = jnp.where(sel, r0, r1).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bh", "interpret"))
+def window_gather_planes_pl(
+    img: jnp.ndarray,
+    y0: jnp.ndarray,
+    x0: jnp.ndarray,
+    *,
+    bh: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Plane-last :func:`window_gather_planes`: ``img`` is (Hp, Wp//128,
+    P, 128) — e.g. ``frames.reshape(F, Hp, Wp//128, 128).transpose(1, 2,
+    0, 3)`` — and the result is identical: (A, P, bh, 128) windows with
+    ``out[a, q, r, c] = img[y0[a]+r, (x0[a]+c)//128, q, (x0[a]+c)%128]``.
+    One transpose per resident frame block buys contiguous window rows
+    (see the kernel note)."""
+    hp, wb, p, _ = img.shape
+    wp = wb * 128
+    assert bh % 8 == 0
+    assert wp >= 256, f"plane width {wp} < 256 lanes; pad the plane"
+    assert img.dtype.itemsize >= 4
+    a = y0.shape[0]
+    ap = ((a + _R - 1) // _R) * _R
+    y0p = jnp.pad(y0.astype(jnp.int32), (0, ap - a))
+    x0p = jnp.pad(x0.astype(jnp.int32), (0, ap - a))
+    xblk = jnp.minimum(x0p >> 7, wb - 2)
+    shift = x0p - (xblk << 7)
+    out_dtype = (
+        jnp.float32
+        if jnp.issubdtype(img.dtype, jnp.floating)
+        else jnp.int32
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _gather_planes_pl_kernel, p=p, bh=bh, out_dtype=out_dtype
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(ap // _R,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (_R, p, bh, 128),
+                lambda i, *_: (i,) + (jnp.asarray(0, jnp.int32),) * 3,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, _R, bh, 2, p, 128), img.dtype),
+                pltpu.SemaphoreType.DMA((2, _R)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((ap, p, bh, 128), out_dtype),
+        interpret=interpret,
+    )(y0p, xblk, shift, img)
+    return out[:a]
+
+
 def _gather_kernel(
     y0_ref,  # scalar-prefetch (A,)
     xblk_ref,  # scalar-prefetch (A,) 128-lane block index

@@ -220,6 +220,39 @@ def make_step(integ, jnp, *, hist_mode="bf16", fold_t=False):
     return step
 
 
+def make_prod_step(integ, jnp, *, dummy_windows=False):
+    """A copy of the PRODUCTION frame-summed step (e12 from the chunk
+    cache, folded threshold, derived counts) with one probe knob:
+
+    dummy_windows: replace the Pallas window gather with a free broadcast
+    of a frame slice — outputs are WRONG, but every downstream stage keeps
+    its exact shape/dtype, so base - nowin is the gather's marginal cost
+    (including the (A, F, bh, 128) HBM round trip).
+    """
+    bh = integ.box_h
+
+    def step(
+        frames, e12, maskw, x0, y0, bbox, phi_c, zeta, active,
+        phi_lows, d_osc, z_values, frame_ok,
+    ):
+        if dummy_windows:
+            windows = jnp.broadcast_to(
+                frames[None, :, :bh, :128], (A, F, bh, 128)
+            ).astype(jnp.int32)
+        else:
+            from ffs_tpu.ops.window_gather import window_gather_planes
+
+            windows = window_gather_planes(
+                frames, y0.astype(jnp.int32), x0.astype(jnp.int32), bh=bh
+            )
+        return integ._finish_block_step(
+            windows, e12, maskw, x0, y0, bbox, phi_c, zeta, active,
+            phi_lows, d_osc, z_values, frame_ok, centre_slices=True,
+        )
+
+    return step
+
+
 def main() -> int:
     import jax
 
@@ -323,7 +356,19 @@ def main() -> int:
     if only:
         variants = {k: v for k, v in variants.items() if k in only.split(",")}
 
+    prod_args = (
+        frames, dev["e12"], dev["maskw"], dev["x0"], dev["y0"],
+        dev["bbox"], dev["phi"], dev["zeta"], dev["active"], phi_lows,
+        jnp.float64(np.deg2rad(0.1)), z_values, frame_ok,
+    )
+    prod_copy = jax.jit(make_prod_step(integ, jnp))
+    nowin = jax.jit(make_prod_step(integ, jnp, dummy_windows=True))
+
     ref = [np.asarray(o) for o in base(*args)]
+    got = [np.asarray(o) for o in prod_copy(*prod_args)]
+    for k, (r, g) in enumerate(zip(ref, got)):
+        assert (r == g).all(), f"prod_copy output {k} mismatch"
+    print("prod_copy: all 8 outputs bit-identical", flush=True)
     for name, fn in variants.items():
         got = [np.asarray(o) for o in fn(*args)]
         for k, (r, g) in enumerate(zip(ref, got)):
@@ -334,7 +379,7 @@ def main() -> int:
         print("not on TPU; skipping timing")
         return 0
 
-    def timeit(name, step_fn):
+    def timeit(name, step_fn, targs=args):
         @jax.jit
         def chained(fr, *rest):
             def body(i, acc):
@@ -353,9 +398,9 @@ def main() -> int:
 
             return jax.lax.fori_loop(0, REPS, body, jnp.float64(0.0))
 
-        jax.block_until_ready(chained(*args))
+        jax.block_until_ready(chained(*targs))
         t0 = time.perf_counter()
-        jax.block_until_ready(chained(*args))
+        jax.block_until_ready(chained(*targs))
         dt = (time.perf_counter() - t0) / REPS
         rate = A * F / dt
         print(
@@ -378,6 +423,8 @@ def main() -> int:
         return fn
 
     timeit("base", lambda *a: base(*a))
+    timeit("prod_copy", lambda *a: prod_copy(*a), targs=prod_args)
+    timeit("nowin", lambda *a: nowin(*a), targs=prod_args)
     timeit("nohist", zero_wrap(lambda *a: base(*a), (5, 6)))
     timeit("nomoments", zero_wrap(lambda *a: base(*a), (2, 3, 4)))
     timeit("nocounts", zero_wrap(lambda *a: base(*a), (6, 7)))
