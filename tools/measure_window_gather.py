@@ -35,13 +35,17 @@ H, W = 2164, 2068
 REPS = int(os.environ.get("FFS_BENCH_REPS", "32"))
 
 
-def make_probe_gather(jnp_mod, *, single_only: bool, r: int = 8):
+def make_probe_gather(jnp_mod, *, single_only: bool, r: int = 8,
+                      slots: int = 2):
     """Tool-local copy of the plane-first kernel with probe knobs.
 
     single_only: ALWAYS issue one 128-lane-block DMA per window (timing
     upper bound for the conditional-second-block design; tail lanes are
     garbage, results wrong past 128-shift lanes).
     r: windows per grid program.
+    slots: DMA pipeline depth — program i starts program i+slots-1's
+    DMAs, so up to (slots-1)*r window DMAs are in flight while one
+    program's worth is consumed (production kernel: slots=2).
     """
     import functools
 
@@ -57,6 +61,7 @@ def make_probe_gather(jnp_mod, *, single_only: bool, r: int = 8):
         n = pl.num_programs(0)
         zero = jnp.asarray(0, jnp.int32)
         nblk = 1 if single_only else 2
+        look = slots - 1
 
         def start_dmas(slot, prog):
             for rr in range(r):
@@ -73,16 +78,18 @@ def make_probe_gather(jnp_mod, *, single_only: bool, r: int = 8):
                     sems.at[slot, ri],
                 ).start()
 
-        slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
-        next_slot = jax.lax.rem(i + 1, jnp.asarray(2, i.dtype))
+        slot = jax.lax.rem(i, jnp.asarray(slots, i.dtype))
 
         @pl.when(i == 0)
         def _():
-            start_dmas(slot, i)
+            for k in range(look):
+                start_dmas(jnp.asarray(k, jnp.int32), k)
 
-        @pl.when(i + 1 < n)
+        @pl.when(i + look < n)
         def _():
-            start_dmas(next_slot, i + 1)
+            start_dmas(
+                jax.lax.rem(i + look, jnp.asarray(slots, i.dtype)), i + look
+            )
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (bh, 128), 1)
         for rr in range(r):
@@ -132,8 +139,8 @@ def make_probe_gather(jnp_mod, *, single_only: bool, r: int = 8):
                     lambda i, *_: (i,) + (jnp.asarray(0, jnp.int32),) * 3,
                 ),
                 scratch_shapes=[
-                    pltpu.VMEM((2, r, p, bh, nblk, 128), img.dtype),
-                    pltpu.SemaphoreType.DMA((2, r)),
+                    pltpu.VMEM((slots, r, p, bh, nblk, 128), img.dtype),
+                    pltpu.SemaphoreType.DMA((slots, r)),
                 ],
             ),
             out_shape=jax.ShapeDtypeStruct((ap, p, bh, 128), jnp.int32),
@@ -236,6 +243,19 @@ def main() -> int:
         g = make_probe_gather(jnp, single_only=False, r=rr)
         timeit(
             f"probe_r{rr}",
+            lambda fr, g=g: g(fr, y0, x0, bh=BH).sum().astype(jnp.float64),
+            frames,
+        )
+    # DMA pipeline depth: if the gather is latency-chain-bound (one
+    # program of lookahead = ~8-16 DMAs in flight), deeper lookahead
+    # should recover bandwidth; if the DMA engines are already saturated
+    # it will be neutral.
+    for ss, rr in ((4, 8), (8, 8), (4, 16), (16, 4)):
+        g = make_probe_gather(jnp, single_only=False, r=rr, slots=ss)
+        got3 = np.asarray(g(frames, y0, x0, bh=BH))
+        assert (ref == got3).all(), f"slots={ss} r={rr} mismatch"
+        timeit(
+            f"probe_s{ss}_r{rr}",
             lambda fr, g=g: g(fr, y0, x0, bh=BH).sum().astype(jnp.float64),
             frames,
         )
