@@ -58,3 +58,36 @@ def test_window_gather_planes(rng):
         [img[:, y0[k] : y0[k] + 32, x0[k] : x0[k] + 128] for k in range(a)]
     )
     np.testing.assert_array_equal(out, want)
+
+
+def test_window_gather_planes_plane_last_matches(rng):
+    """The plane-last layout variant (measured neutral on v5e; kept as
+    the probe-harness record) must stay bit-identical to plane-first."""
+    import jax
+
+    from ffs_tpu.ops.window_gather import (
+        window_gather_planes,
+        window_gather_planes_pl,
+    )
+
+    f, h, w = 3, 256, 384
+    img = rng.integers(0, 60000, (f, h, w)).astype(np.int32)
+    a = 11
+    y0 = rng.integers(0, h - 32, a)
+    x0 = rng.integers(0, w - 128, a)
+    to_pl = jax.jit(
+        lambda fr: fr.reshape(f, h, w // 128, 128).transpose(1, 2, 0, 3)
+    )
+    want = np.asarray(
+        window_gather_planes(
+            jnp.asarray(img), jnp.asarray(y0), jnp.asarray(x0), bh=32,
+            interpret=True,
+        )
+    )
+    got = np.asarray(
+        window_gather_planes_pl(
+            to_pl(jnp.asarray(img)), jnp.asarray(y0), jnp.asarray(x0),
+            bh=32, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
