@@ -166,6 +166,11 @@ class KabschIntegrator:
         # fg grids by 25%, bit-exact)
         box_pad: int = 1,
         max_active: int = 512,  # reflections per device step (padded chunk)
+        # pack 4 reflections' 32-lane windows into each 128-lane vreg row
+        # of the per-frame VPU grids when the boxes fit (see
+        # _finish_block_step_packed); False forces the classic full-lane
+        # path (parity tests)
+        lane_pack: bool = True,
     ):
         import jax
         import jax.numpy as jnp
@@ -216,6 +221,13 @@ class KabschIntegrator:
         # in_bbox, so the slice is bit-exact
         self._hist_rows = min(int(heights.max(initial=0)) + 1, self.box_h)
         self._hist_lanes = min(int(widths.max(initial=0)) + 1, 128)
+        # lane packing is exact only while every valid pixel lane l (l <=
+        # widths.max) has both its corners l and l+1 inside the 32-lane
+        # group: widths.max <= 30, i.e. _hist_lanes <= 31
+        self._lane_group = (
+            4 if lane_pack and self._hist_lanes <= 31 and max_active % 4 == 0
+            else 1
+        )
 
         # static model parameters captured in the jit closure
         self._s0 = jnp.asarray(beam.s0)
@@ -652,6 +664,12 @@ class KabschIntegrator:
         """Everything after the window gather — split out so probe
         harnesses (tools/measure_int_variants.py) can drive the exact
         production math with substitute windows."""
+        if self._lane_group == 4:
+            return self._finish_block_step_packed(
+                windows, e12, maskw, x0, y0, bbox, phi_c, zeta, active,
+                phi_lows, d_osc, z_values, frame_ok,
+                centre_slices=centre_slices,
+            )
         jnp = self._jnp
         A = x0.shape[0]
         bh = self.box_h
@@ -798,6 +816,197 @@ class KabschIntegrator:
         # lands in exactly one histogram bin, so
         #   bg_count = valid_count - fg_count
         #   overflow = bg_count - sum_bins(hist)
+        bg_count = valid_count_t - fg_count_t
+        overflow = bg_count - jnp.sum(hist, axis=1)
+        return (
+            fg_sum_t,
+            fg_count_t,
+            sum_ix,
+            sum_iy,
+            sum_iz_t,
+            hist,
+            overflow,
+            bg_count,
+        )
+
+    def _finish_block_step_packed(
+        self, windows, e12, maskw, x0, y0, bbox, phi_c, zeta, active,
+        phi_lows, d_osc, z_values, frame_ok, centre_slices,
+    ):
+        """Lane-packed :meth:`_finish_block_step`: FOUR reflections share
+        each 128-lane vreg row (32 lanes apiece), so every per-frame VPU
+        pass (corner compare, fg/bg masking, masked-intensity sums) runs
+        on (A/4, bh, 128) grids instead of (A, bh, 128) — the window is
+        128 lanes only because the DMA needs 128-lane granularity, while
+        valid pixels occupy lanes 0.._hist_lanes-1 (<= 31), so ~5x of the
+        full-lane grid is masked padding.
+
+        Bit-exact by construction (guarded by _lane_group, set only when
+        _hist_lanes <= 31):
+        - every cross-group leak (the corner roll at packed lane 31 mod 32
+          reading the next group) lands on pixel lanes > widths[a], which
+          in_bbox masks to zero exactly as the full-lane path masks lanes
+          32..127;
+        - all reduced quantities are integer sums (order-free) or the
+          exact split-i32 weighted dots of _weighted_index_dot;
+        - the background histogram runs on the UNPACKED (A, F, hr, hl)
+          slice with identical operands (packing would inflate its MXU
+          contraction 45%: K grows from hl to 32 lanes per reflection).
+        """
+        jnp = self._jnp
+        A = x0.shape[0]
+        bh = self.box_h
+        F = windows.shape[1]
+        G, GL = 4, 32
+        AP = A // G
+        i32 = jnp.int32
+
+        # relayouts into packed lane space
+        wpk = (
+            windows[..., :GL]
+            .reshape(AP, G, F, bh, GL)
+            .transpose(0, 2, 3, 1, 4)
+            .reshape(AP, F, bh, G * GL)
+        )
+        e12p = (
+            e12[..., :GL]
+            .reshape(AP, G, bh + 1, GL)
+            .transpose(0, 2, 1, 3)
+            .reshape(AP, bh + 1, G * GL)
+        )
+
+        def lanes_of(s):
+            # per-reflection scalar -> per-packed-lane value
+            return jnp.broadcast_to(
+                s.reshape(AP, G, 1), (AP, G, GL)
+            ).reshape(AP, G * GL)
+
+        def group_sum(v):
+            # (AP, 128) per-lane i32 -> (A,) per-reflection sums
+            return v.reshape(AP, G, GL).sum(axis=-1).reshape(A)
+
+        loc = jnp.arange(G * GL, dtype=i32) % GL
+        pxp = lanes_of(x0.astype(i32)) + loc[None, :]
+        rows = jnp.arange(bh, dtype=i32)
+        pyp = lanes_of(y0.astype(i32))[:, None, :] + rows[None, :, None]
+        in_bbox = (
+            (pxp[:, None, :] >= lanes_of(bbox[:, 0].astype(i32))[:, None, :])
+            & (pxp[:, None, :] <= lanes_of(bbox[:, 1].astype(i32))[:, None, :])
+            & (pyp >= lanes_of(bbox[:, 2].astype(i32))[:, None, :])
+            & (pyp <= lanes_of(bbox[:, 3].astype(i32))[:, None, :])
+        )
+        if maskw is not None:
+            mwp = (
+                maskw[..., :GL]
+                .reshape(AP, G, bh, GL)
+                .transpose(0, 2, 1, 3)
+                .reshape(AP, bh, G * GL)
+            )
+            in_bbox = in_bbox & (mwp != 0)
+        in_bbox_count = group_sum(jnp.sum(in_bbox, axis=1)).astype(i32)
+
+        k16 = jnp.arange(16, dtype=i32)
+
+        fg_sum_t = jnp.zeros(A, dtype=jnp.float64)
+        fg_count_t = jnp.zeros(A, dtype=i32)
+        dot_x_t = jnp.zeros(A, dtype=jnp.float64)
+        dot_y_t = jnp.zeros(A, dtype=jnp.float64)
+        sum_iz_t = jnp.zeros(A, dtype=jnp.float64)
+        valid_count_t = jnp.zeros(A, dtype=i32)
+        bg_slices = []
+        for f in range(F):
+            phi_low = phi_lows[f]
+            phi_high = phi_lows[f] + d_osc
+            if self.algorithm == "dials":
+                corner_in = e12p <= 1.0
+            else:
+                # scalar-max-threshold fold, identical to the full-lane path
+                def t_of(phi_eval):
+                    eps3 = zeta * (phi_eval - phi_c)
+                    return (
+                        1.0 - eps3 * eps3 / (self._delta_m**2)
+                    ).astype(jnp.float32)
+
+                t = jnp.maximum(t_of(phi_low), t_of(phi_high))
+                if centre_slices:
+                    centre_ok = (phi_c >= jnp.minimum(phi_low, phi_high)) & (
+                        phi_c <= jnp.maximum(phi_low, phi_high)
+                    )
+                    t = jnp.maximum(
+                        t,
+                        jnp.where(
+                            centre_ok, jnp.float32(1.0), -jnp.inf
+                        ).astype(jnp.float32),
+                    )
+                corner_in = e12p <= lanes_of(t)[:, None, :]
+            fg4 = corner_in[:, :-1, :] | corner_in[:, 1:, :]
+            # the lane roll crosses a group boundary only at packed lane
+            # 31 (mod 32) — a pixel lane > widths[a], masked by in_bbox
+            fg = fg4 | jnp.roll(fg4, -1, axis=2)
+            act_f = (
+                active
+                & frame_ok[f]
+                & (bbox[:, 4] <= z_values[f])
+                & (bbox[:, 5] > z_values[f])
+            )
+            valid_px = in_bbox & lanes_of(act_f)[:, None, :]
+            fg = fg & valid_px
+            bg = (~fg) & valid_px
+
+            ivals = jnp.maximum(wpk[:, f], 0)
+            mi = jnp.where(fg, ivals, 0)
+            colsum = jnp.sum(mi, axis=1)  # (AP, 128)
+            col32 = colsum.reshape(A, GL)  # per-reflection 32-lane sums
+            rowsum = (
+                mi.reshape(AP, bh, G, GL)
+                .sum(axis=-1)
+                .transpose(0, 2, 1)
+                .reshape(A, bh)
+            )
+            fg_sum = jnp.sum(col32, axis=1).astype(jnp.float64)
+            fg_sum_t = fg_sum_t + fg_sum
+            fg_count_t = fg_count_t + group_sum(jnp.sum(fg, axis=1)).astype(
+                i32
+            )
+            dot_x_t = dot_x_t + _weighted_index_dot(col32, GL)
+            dot_y_t = dot_y_t + _weighted_index_dot(rowsum, bh)
+            sum_iz_t = sum_iz_t + fg_sum * (z_values[f] + 0.5)
+            valid_count_t = valid_count_t + jnp.where(act_f, in_bbox_count, 0)
+            bg_slices.append(bg[:, : self._hist_rows, :])
+
+        sum_ix = (x0.astype(jnp.float64) + 0.5) * fg_sum_t + dot_x_t
+        sum_iy = (y0.astype(jnp.float64) + 0.5) * fg_sum_t + dot_y_t
+
+        # histogram on the UNPACKED slice — operands identical to the
+        # full-lane path (hl <= 31 < GL, so each group's first hl lanes
+        # are exactly the reflection's histogram window)
+        hr, hl = self._hist_rows, self._hist_lanes
+
+        def unpack(v):
+            return (
+                v.reshape(AP, F, hr, G, GL)
+                .transpose(0, 3, 1, 2, 4)
+                .reshape(A, F, hr, GL)[..., :hl]
+            )
+
+        bg_s = unpack(jnp.stack(bg_slices, axis=1))  # (A, F, hr, hl)
+        iv_s = jnp.maximum(unpack(wpk[:, :, :hr, :]), 0)
+        in_range = bg_s & (iv_s < NUM_BG_BINS)
+        p_dim = F * hr * hl
+        co = (
+            in_range[..., None] & ((iv_s >> 4)[..., None] == k16)
+        ).reshape(A, p_dim, 16)
+        fi = ((iv_s & 15)[..., None] == k16).reshape(A, p_dim, 16)
+        hist = (
+            jnp.einsum(
+                "apc,apf->acf",
+                co.astype(jnp.bfloat16),
+                fi.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            .reshape(A, NUM_BG_BINS)
+            .astype(i32)
+        )
         bg_count = valid_count_t - fg_count_t
         overflow = bg_count - jnp.sum(hist, axis=1)
         return (

@@ -249,6 +249,58 @@ def test_integration_bit_stable_between_runs(integration_experiment):
     np.testing.assert_array_equal(accs[0].fg_count, accs[1].fg_count)
 
 
+def test_lane_packed_step_bit_identical(integration_experiment):
+    """The lane-packed classification path (4 reflections per 128-lane
+    vreg row, kabsch._finish_block_step_packed) must produce BITWISE
+    identical accumulators to the full-lane path on a real end-to-end
+    integrate() run."""
+    expt = integration_experiment
+    pred = predict_rotation(expt, dmin=4.0, use_device=False)
+    x, y, z = pred.xyzcal_px.T
+    keep = (x > 20) & (x < 220) & (y > 20) & (y < 240) & (z > 1.5) & (z < 10.5)
+    s1 = pred.s1[keep]
+    phi = pred.xyzcal_mm[keep][:, 2]
+
+    import types
+
+    P = types.SimpleNamespace(
+        hkl=pred.hkl[keep], s1=s1,
+        xyzcal_px=pred.xyzcal_px[keep], xyzcal_mm=pred.xyzcal_mm[keep],
+    )
+    reader = _SyntheticReader(expt, P)
+    sigma_b, sigma_m = np.deg2rad(0.08), np.deg2rad(0.4)
+    bboxes = extent_mod.compute_kabsch_bounding_boxes(
+        expt.beam.s0, expt.goniometer.rotation_axis, s1, phi,
+        sigma_b, sigma_m, expt.panel, expt.scan,
+    )
+    w, h = expt.panel.image_size
+    for j, lim in ((0, w - 1), (1, w - 1), (2, h - 1), (3, h - 1)):
+        bboxes[:, j] = np.clip(bboxes[:, j], 0, lim)
+
+    accs = {}
+    groups = {}
+    for lane_pack in (True, False):
+        integ = kb.KabschIntegrator(
+            panel=expt.panel, beam=expt.beam, gonio=expt.goniometer,
+            scan=expt.scan, s1=s1, phi=phi, bboxes=bboxes,
+            delta_b=3 * sigma_b * 2, delta_m=3 * sigma_m, max_active=256,
+            lane_pack=lane_pack,
+        )
+        groups[lane_pack] = integ._lane_group
+        acc = kb.Accumulators.zeros(len(s1))
+        integ.integrate(reader, range(0, 12), acc)
+        accs[lane_pack] = acc
+    # the packed path must actually engage for this geometry
+    assert groups[True] == 4 and groups[False] == 1
+    for f in (
+        "fg_sum", "fg_count", "sum_ix", "sum_iy", "sum_iz",
+        "bg_hist", "bg_overflow", "bg_count",
+    ):
+        np.testing.assert_array_equal(
+            getattr(accs[True], f), getattr(accs[False], f), err_msg=f
+        )
+
+
 def test_weighted_index_dot_exact_at_bounds():
     """The 13-bit-split i32 moment dot must equal the exact integer dot
     (as f64) everywhere in its stated domain: vals < 2**26, n <= 512 —
