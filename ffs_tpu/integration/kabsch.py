@@ -540,6 +540,17 @@ class KabschIntegrator:
             self._e12_jit = jax.jit(self._e12_from_fieldw)
         dev["e12"] = self._e12_jit(fieldw, dev["s1"], dev["e1"], dev["e2"])
         dev["maskw"] = self._mask_windows(dev["y0"], dev["x0"])
+        if self._lane_group == 4:
+            # chunk-invariant grids move to the packed lane layout HERE,
+            # once per chunk (the step would otherwise relayout ~26 MB of
+            # e12 every block step); also shrinks the chunk cache 4x
+            if not hasattr(self, "_pack_rows_jit"):
+                import jax
+
+                self._pack_rows_jit = jax.jit(self._pack_rows)
+            dev["e12"] = self._pack_rows_jit(dev["e12"])
+            if dev["maskw"] is not None:
+                dev["maskw"] = self._pack_rows_jit(dev["maskw"])
         return dev
 
     def _e12_from_fieldw(self, fieldw, s1_c, e1, e2):
@@ -641,6 +652,13 @@ class KabschIntegrator:
         centre_slices: bool,
     ):
         jnp = self._jnp
+
+        # NOTE: gathering windows ALREADY packed (window_gather_planes_
+        # packed) measured SLOWER than this full-lane gather + XLA
+        # relayout (3.81 vs 3.54 ms/step on v5e) — the in-kernel 4-way
+        # roll/select combine costs more VPU than the 4x-smaller HBM
+        # output saves; the _finish_block_step packed wrapper's XLA
+        # relayout stays the production route.
 
         from ..ops.window_gather import window_gather_planes
 
@@ -853,27 +871,57 @@ class KabschIntegrator:
           slice with identical operands (packing would inflate its MXU
           contraction 45%: K grows from hl to 32 lanes per reflection).
         """
-        jnp = self._jnp
         A = x0.shape[0]
         bh = self.box_h
         F = windows.shape[1]
         G, GL = 4, 32
         AP = A // G
-        i32 = jnp.int32
 
-        # relayouts into packed lane space
+        # relayouts into packed lane space (probe/back-compat entry: the
+        # production _block_step_impl gathers windows ALREADY packed via
+        # window_gather_planes_packed and packs e12/maskw once per chunk
+        # in _chunk_setup, then calls _finish_packed_core directly)
         wpk = (
             windows[..., :GL]
             .reshape(AP, G, F, bh, GL)
             .transpose(0, 2, 3, 1, 4)
             .reshape(AP, F, bh, G * GL)
         )
-        e12p = (
-            e12[..., :GL]
-            .reshape(AP, G, bh + 1, GL)
-            .transpose(0, 2, 1, 3)
-            .reshape(AP, bh + 1, G * GL)
+        if e12.shape[0] == A:
+            e12 = self._pack_rows(e12)
+        if maskw is not None and maskw.shape[0] == A:
+            maskw = self._pack_rows(maskw)
+        return self._finish_packed_core(
+            wpk, e12, maskw, x0, y0, bbox, phi_c, zeta, active,
+            phi_lows, d_osc, z_values, frame_ok,
+            centre_slices=centre_slices,
         )
+
+    def _pack_rows(self, v):
+        """(A, rows, 128) -> (A//4, rows, 128) packed lane layout: row i
+        lanes 32g..32g+31 = reflection 4i+g's lanes 0..31."""
+        G, GL = 4, 32
+        ap = v.shape[0] // G
+        return (
+            v[..., :GL]
+            .reshape(ap, G, v.shape[1], GL)
+            .transpose(0, 2, 1, 3)
+            .reshape(ap, v.shape[1], G * GL)
+        )
+
+    def _finish_packed_core(
+        self, wpk, e12p, mwp, x0, y0, bbox, phi_c, zeta, active,
+        phi_lows, d_osc, z_values, frame_ok, centre_slices,
+    ):
+        """Packed-layout step body: ``wpk`` (A/4, F, bh, 128) windows,
+        ``e12p``/``mwp`` (A/4, rows, 128), per-reflection vectors (A,)."""
+        jnp = self._jnp
+        A = x0.shape[0]
+        bh = self.box_h
+        F = wpk.shape[1]
+        G, GL = 4, 32
+        AP = A // G
+        i32 = jnp.int32
 
         def lanes_of(s):
             # per-reflection scalar -> per-packed-lane value
@@ -895,13 +943,7 @@ class KabschIntegrator:
             & (pyp >= lanes_of(bbox[:, 2].astype(i32))[:, None, :])
             & (pyp <= lanes_of(bbox[:, 3].astype(i32))[:, None, :])
         )
-        if maskw is not None:
-            mwp = (
-                maskw[..., :GL]
-                .reshape(AP, G, bh, GL)
-                .transpose(0, 2, 1, 3)
-                .reshape(AP, bh, G * GL)
-            )
+        if mwp is not None:
             in_bbox = in_bbox & (mwp != 0)
         in_bbox_count = group_sum(jnp.sum(in_bbox, axis=1)).astype(i32)
 

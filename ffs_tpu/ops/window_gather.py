@@ -167,6 +167,163 @@ def window_gather_planes(
     return out[:a]
 
 
+def _gather_planes_packed_kernel(
+    y0_ref,
+    xblk_ref,
+    shift_ref,
+    img_hbm,  # (P, Hp, Wp//128, 128) ANY
+    out_ref,  # (R//4, P, bh, 128) block — 4 windows per row, 32 lanes each
+    tiles,  # scratch (2, R, P, bh, 2, 128)
+    sems,  # DMA sems (2, R)
+    *,
+    p: int,
+    bh: int,
+    out_dtype,
+):
+    # Lane-packed variant of _gather_planes_kernel: window 4i+g lands on
+    # lanes 32g..32g+31 of output row i (only lanes 0..31 of each window
+    # are kept — the integrator's packed classification path masks
+    # everything past the bbox width <= 31).  Output HBM writes shrink 4x
+    # and the XLA-side relayout pass disappears.
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    zero = jnp.asarray(0, jnp.int32)
+
+    def start_dmas(slot, prog):
+        for r in range(_R):
+            a = prog * _R + r
+            ri = jnp.asarray(r, jnp.int32)
+            pltpu.make_async_copy(
+                img_hbm.at[
+                    pl.ds(zero, img_hbm.shape[0]),
+                    pl.ds(y0_ref[a], bh),
+                    pl.ds(xblk_ref[a], 2),
+                    pl.ds(zero, 128),
+                ],
+                tiles.at[slot, ri],
+                sems.at[slot, ri],
+            ).start()
+
+    slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
+    next_slot = jax.lax.rem(i + 1, jnp.asarray(2, i.dtype))
+
+    @pl.when(i == 0)
+    def _():
+        start_dmas(slot, i)
+
+    @pl.when(i + 1 < n)
+    def _():
+        start_dmas(next_slot, i + 1)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bh, 128), 1)
+    one = jnp.asarray(1, jnp.int32)
+    for quad in range(_R // 4):
+        for g in range(4):
+            r = quad * 4 + g
+            pltpu.make_async_copy(
+                img_hbm.at[
+                    pl.ds(zero, img_hbm.shape[0]),
+                    pl.ds(y0_ref[i * _R + r], bh),
+                    pl.ds(xblk_ref[i * _R + r], 2),
+                    pl.ds(zero, 128),
+                ],
+                tiles.at[slot, jnp.asarray(r, jnp.int32)],
+                sems.at[slot, jnp.asarray(r, jnp.int32)],
+            ).wait()
+        for q in range(p):
+            qi = jnp.asarray(q, jnp.int32)
+            packed = None
+            for g in range(4):
+                a = i * _R + quad * 4 + g
+                ri = jnp.asarray(quad * 4 + g, jnp.int32)
+                sh = shift_ref[a]
+                sel = lane < 128 - sh
+                t0 = tiles[slot, ri, qi, :, zero, :]
+                t1 = tiles[slot, ri, qi, :, one, :]
+                w = jnp.where(
+                    sel, pltpu.roll(t0, -sh, 1), pltpu.roll(t1, -sh, 1)
+                )
+                # static roll puts window lanes 0..31 onto 32g..32g+31
+                # (i32 constant: a bare Python int lowers as i64 under
+                # jax_enable_x64, which tpu.dynamic_rotate rejects)
+                pv = (
+                    pltpu.roll(w, jnp.asarray(32 * g, jnp.int32), 1)
+                    if g
+                    else w
+                )
+                if packed is None:
+                    packed = pv
+                else:
+                    packed = jnp.where(lane < 32 * g, packed, pv)
+            out_ref[quad, q] = packed.astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bh", "interpret"))
+def window_gather_planes_packed(
+    img: jnp.ndarray,
+    y0: jnp.ndarray,
+    x0: jnp.ndarray,
+    *,
+    bh: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Lane-packed :func:`window_gather_planes`: returns (A//4, P, bh,
+    128) where output row i's lanes 32g..32g+31 hold window (4i+g)'s
+    lanes 0..31 — i.e. exactly
+
+        window_gather_planes(img, y0, x0, bh)[..., :32]
+            .reshape(A//4, 4, P, bh, 32).transpose(0, 2, 3, 1, 4)
+            .reshape(A//4, P, bh, 128)
+
+    produced directly by the kernel (4x smaller HBM output, no XLA
+    relayout).  Requires ``len(y0) % 4 == 0``.
+
+    MEASURED SLOWER than the plain kernel + XLA relayout on v5e (3.81 vs
+    3.54 ms/step in the integrator at A=2048/F=4/bh=24,
+    tools/measure_int_variants.py): the in-kernel 4-way roll/select
+    combine costs more VPU time than the smaller output saves.  Kept as
+    the measured record; production packs at the XLA level
+    (kabsch._finish_block_step_packed)."""
+    p, hp, wp = img.shape
+    assert wp % 128 == 0 and bh % 8 == 0
+    assert wp >= 256, f"plane width {wp} < 256 lanes; pad the plane"
+    assert img.dtype.itemsize >= 4
+    a = y0.shape[0]
+    assert a % 4 == 0, "packed gather needs a multiple of 4 windows"
+    ap = ((a + _R - 1) // _R) * _R
+    y0p = jnp.pad(y0.astype(jnp.int32), (0, ap - a))
+    x0p = jnp.pad(x0.astype(jnp.int32), (0, ap - a))
+    xblk = jnp.minimum(x0p >> 7, wp // 128 - 2)
+    shift = x0p - (xblk << 7)
+    out_dtype = (
+        jnp.float32
+        if jnp.issubdtype(img.dtype, jnp.floating)
+        else jnp.int32
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _gather_planes_packed_kernel, p=p, bh=bh, out_dtype=out_dtype
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(ap // _R,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (_R // 4, p, bh, 128),
+                lambda i, *_: (i,) + (jnp.asarray(0, jnp.int32),) * 3,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, _R, p, bh, 2, 128), img.dtype),
+                pltpu.SemaphoreType.DMA((2, _R)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((ap // 4, p, bh, 128), out_dtype),
+        interpret=interpret,
+    )(y0p, xblk, shift, img.reshape(p, hp, wp // 128, 128))
+    return out[: a // 4]
+
+
 def _gather_planes_pl_kernel(
     y0_ref,
     xblk_ref,

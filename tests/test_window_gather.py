@@ -60,6 +60,40 @@ def test_window_gather_planes(rng):
     np.testing.assert_array_equal(out, want)
 
 
+def test_window_gather_planes_packed_matches(rng):
+    """The lane-packed gather kernel must equal the XLA relayout of the
+    plain kernel's output (the integrator's packed classification input)."""
+    from ffs_tpu.ops.window_gather import (
+        window_gather_planes,
+        window_gather_planes_packed,
+    )
+
+    f, h, w = 4, 256, 384
+    img = rng.integers(0, 60000, (f, h, w)).astype(np.int32)
+    a = 12  # multiple of 4, not of the DMA batch -> padding path
+    y0 = rng.integers(0, h - 32, a)
+    x0 = rng.integers(0, w - 128, a)
+    full = np.asarray(
+        window_gather_planes(
+            jnp.asarray(img), jnp.asarray(y0), jnp.asarray(x0), bh=32,
+            interpret=True,
+        )
+    )
+    want = (
+        full[..., :32]
+        .reshape(a // 4, 4, f, 32, 32)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(a // 4, f, 32, 128)
+    )
+    got = np.asarray(
+        window_gather_planes_packed(
+            jnp.asarray(img), jnp.asarray(y0), jnp.asarray(x0), bh=32,
+            interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 def test_window_gather_planes_plane_last_matches(rng):
     """The plane-last layout variant (measured neutral on v5e; kept as
     the probe-harness record) must stay bit-identical to plane-first."""
