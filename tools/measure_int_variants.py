@@ -39,7 +39,7 @@ os.environ.setdefault(
 import numpy as np
 
 A = int(os.environ.get("FFS_BENCH_INT_REFL", "2048"))
-F = 4
+F = int(os.environ.get("FFS_BENCH_INT_F", "4"))  # frames per block
 REPS = int(os.environ.get("FFS_BENCH_INT_REPS", "16"))
 H, W = 2164, 2068
 NUM_BG_BINS = 256
