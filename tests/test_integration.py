@@ -301,6 +301,75 @@ def test_lane_packed_step_bit_identical(integration_experiment):
         )
 
 
+def test_lane_packed_step_variants_bit_identical(integration_experiment):
+    """Packed vs classic parity on the corners the end-to-end test does
+    not reach: the 'dials' algorithm, a detector mask with dead pixels,
+    inactive (padded) reflections, and a partially-valid frame block."""
+    import jax
+    import jax.numpy as jnp
+
+    expt = integration_experiment
+    pred = predict_rotation(expt, dmin=4.0, use_device=False)
+    x, y, z = pred.xyzcal_px.T
+    keep = (x > 20) & (x < 220) & (y > 20) & (y < 240) & (z > 1.5) & (z < 10.5)
+    s1 = pred.s1[keep]
+    phi = pred.xyzcal_mm[keep][:, 2]
+    sigma_b, sigma_m = np.deg2rad(0.08), np.deg2rad(0.4)
+    bboxes = extent_mod.compute_kabsch_bounding_boxes(
+        expt.beam.s0, expt.goniometer.rotation_axis, s1, phi,
+        sigma_b, sigma_m, expt.panel, expt.scan,
+    )
+    w, h = expt.panel.image_size
+    for j, lim in ((0, w - 1), (1, w - 1), (2, h - 1), (3, h - 1)):
+        bboxes[:, j] = np.clip(bboxes[:, j], 0, lim)
+
+    rng = np.random.default_rng(11)
+    det_mask = np.ones((h, w), dtype=np.uint8)
+    det_mask[rng.integers(0, h, 400), rng.integers(0, w, 400)] = 0
+
+    F = 4
+    frames_np = rng.poisson(5.0, size=(F, h, w)).astype(np.uint16)
+    phi_lows = jnp.asarray(np.deg2rad(np.arange(F) * 0.1))
+    d_osc = jnp.float64(np.deg2rad(0.1))
+    z_values = jnp.asarray(np.arange(2.0, 2.0 + F))
+    frame_ok = jnp.asarray([True, True, True, False])
+
+    cs = extent_mod.coordinate_systems(
+        expt.beam.s0, expt.goniometer.rotation_axis, s1
+    )
+
+    for algorithm in ("ellipsoid", "dials"):
+        outs = {}
+        for lane_pack in (True, False):
+            integ = kb.KabschIntegrator(
+                panel=expt.panel, beam=expt.beam, gonio=expt.goniometer,
+                scan=expt.scan, s1=s1, phi=phi, bboxes=bboxes,
+                delta_b=3 * sigma_b * 2, delta_m=3 * sigma_m,
+                algorithm=algorithm, max_active=64, lane_pack=lane_pack,
+            )
+            assert integ._lane_group == (4 if lane_pack else 1)
+            integ.set_mask(det_mask)
+            # a short chunk -> padded/inactive tail reflections
+            chunk = np.arange(min(len(s1), 49))
+            dev = integ._chunk_setup(chunk, cs.e1, cs.e2, cs.zeta)
+            frames = jnp.asarray(integ.pad_frames(frames_np)).astype(
+                jnp.int32
+            )
+            step = jax.jit(
+                integ._block_step_impl, static_argnames=("centre_slices",)
+            )
+            outs[lane_pack] = step(
+                frames, dev["e12"], dev["maskw"], dev["x0"], dev["y0"],
+                dev["bbox"], dev["phi"], dev["zeta"], dev["active"],
+                phi_lows, d_osc, z_values, frame_ok, centre_slices=True,
+            )
+        for k, (a, b) in enumerate(zip(outs[True], outs[False])):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"{algorithm} output {k}",
+            )
+
+
 def test_weighted_index_dot_exact_at_bounds():
     """The 13-bit-split i32 moment dot must equal the exact integer dot
     (as f64) everywhere in its stated domain: vals < 2**26, n <= 512 —
