@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.crystal import Crystal
+from .lm import lmder
 from .predict import predict_scan_static
 
 
@@ -242,13 +243,30 @@ def refine_candidate(
     hkl: np.ndarray,
     entering: np.ndarray,
     xyzobs_mm: np.ndarray,
-    max_iter: int = 10,
+    maxfev: int = 10,
     ftol: float = 1e-6,
     xtol: float = 1e-6,
+    fix_in_spindle_plane: bool = True,
+    fix_wavelength: bool = True,
 ):
     """LM refinement; returns (crystal', s0', d_matrix', rmsds (3,)).
 
-    Parameter layout and iteration limits match refine_candidate.cc:62-96.
+    Parameter layout matches refine_candidate.cc:62-96; the optimizer is
+    the MINPACK-semantics trust-region LM (indexing/lm.py), with the
+    reference's own settings ftol=xtol=1e-6 and a maxfev=10
+    function-evaluation budget (refine_candidate.cc:78-86 — Eigen's
+    ``parameters.maxfev`` counts residual evaluations, not outer
+    iterations).
+
+    The beam's in-spindle-plane rotation (mu1) and wavelength (nu) are
+    FROZEN by default, exactly as the reference defaults them
+    (beam_parameterisation.cc:37-39 ``_fix_in_spindle_plane=true``,
+    ``_fix_wavelength=true``; the gradients calculator zeroes their
+    Jacobian columns, gradients_calculator.cc:99-112).  Freezing nu is
+    load-bearing, not just parity: a free |s0| is exactly degenerate
+    with the reciprocal-cell scale (s0 -> s*s0, UB -> s*UB keeps every
+    (x, y, phi) prediction identical), so refining it lets the minimiser
+    wander along a flat manifold trading wavelength against cell size.
     """
     setup = make_setup(crystal, beam, panel, gonio)
     d1_0, d2_0, dn_0, offset, dist0, sh1_0, sh2_0 = setup.det_init
@@ -258,61 +276,64 @@ def refine_candidate(
     x0[12:15] = [dist0, sh1_0, sh2_0]
 
     fn = _residual_fn(setup, hkl, entering, xyzobs_mm)
-    fn_jit = jax.jit(fn)
-    jac_jit = jax.jit(jax.jacfwd(fn))
+    free = np.ones(18, dtype=bool)
+    if fix_in_spindle_plane:
+        free[0] = False
+    if fix_wavelength:
+        free[2] = False
 
-    x = jnp.asarray(x0)
-    r = fn_jit(x)
-    cost = float(r @ r)
-    lam = 1e-3
-    for _ in range(max_iter):
-        J = jac_jit(x)
-        JtJ = J.T @ J
-        g = J.T @ r
-        step_accepted = False
-        for _ in range(8):
-            try:
-                dx = jnp.linalg.solve(
-                    JtJ + lam * jnp.diag(jnp.maximum(jnp.diag(JtJ), 1e-12)), -g
-                )
-            except Exception:
-                break
-            x_new = x + dx
-            r_new = fn_jit(x_new)
-            cost_new = float(r_new @ r_new)
-            if cost_new < cost:
-                rel = (cost - cost_new) / max(cost, 1e-300)
-                xrel = float(jnp.linalg.norm(dx)) / max(float(jnp.linalg.norm(x)), 1e-300)
-                x, r, cost = x_new, r_new, cost_new
-                lam = max(lam / 3.0, 1e-12)
-                step_accepted = True
-                if rel < ftol or xrel < xtol:
-                    break
-                break
-            lam *= 10.0
-        if not step_accepted:
-            break
+    # Refinement is a tiny f64 host workload (hundreds of residuals, 18
+    # parameters) exactly as in the reference, where it is Eigen on the
+    # CPU: TPU backends cannot lower f64 LU at all (the residual inverts
+    # 3x3 matrices), and a remote device would pay its dispatch latency
+    # ~20x per candidate — pin everything here to the host CPU backend,
+    # which JAX keeps registered alongside any accelerator.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        x0_j = jnp.asarray(x0)
+        free_j = jnp.asarray(free)
 
-    x = np.asarray(x)
+        def fn_masked(x):
+            # frozen parameters: residuals are independent of them, so
+            # their Jacobian columns are exactly zero (= the reference's
+            # masking)
+            return fn(jnp.where(free_j, x, x0_j))
+
+        fn_jit = jax.jit(fn_masked)
+        jac_jit = jax.jit(jax.jacfwd(fn_masked))
+
+        res = lmder(
+            lambda v: np.asarray(fn_jit(jnp.asarray(v))),
+            lambda v: np.asarray(jac_jit(jnp.asarray(v))),
+            x0,
+            ftol=ftol,
+            xtol=xtol,
+            maxfev=maxfev,
+        )
+    # zero-column directions never move (min-norm lmpar steps), but pin
+    # the frozen slots to the initial state explicitly regardless
+    x, r = np.where(free, res.x, x0), res.fvec
     n = len(hkl)
     rr = np.asarray(r).reshape(3, n)
     rmsds = np.sqrt((rr**2).mean(axis=1))
 
-    # rebuild the refined models
-    s0 = np.asarray(
-        compose_beam(
-            jnp.asarray(x[0:3]), jnp.asarray(setup.s0_dir),
-            jnp.asarray(setup.beam_dir1), jnp.asarray(setup.beam_dir2),
+    # rebuild the refined models (CPU: b_matrix_from_metric inverts a
+    # 3x3 in f64, which TPU backends cannot lower)
+    with jax.default_device(cpu):
+        s0 = np.asarray(
+            compose_beam(
+                jnp.asarray(x[0:3]), jnp.asarray(setup.s0_dir),
+                jnp.asarray(setup.beam_dir1), jnp.asarray(setup.beam_dir2),
+            )
         )
-    )
-    u = np.asarray(compose_orientation(jnp.asarray(x[3:6]), jnp.asarray(setup.u0)))
-    b = np.asarray(b_matrix_from_metric(jnp.asarray(x[6:12] / 1e5)))
+        u = np.asarray(compose_orientation(jnp.asarray(x[3:6]), jnp.asarray(setup.u0)))
+        b = np.asarray(b_matrix_from_metric(jnp.asarray(x[6:12] / 1e5)))
+        fast, slow, origin = (
+            np.asarray(v)
+            for v in compose_detector(
+                jnp.asarray(x[12:18]),
+                (jnp.asarray(d1_0), jnp.asarray(d2_0), jnp.asarray(dn_0), jnp.asarray(offset)),
+            )
+        )
     a_matrix = u @ b
-    fast, slow, origin = (
-        np.asarray(v)
-        for v in compose_detector(
-            jnp.asarray(x[12:18]),
-            (jnp.asarray(d1_0), jnp.asarray(d2_0), jnp.asarray(dn_0), jnp.asarray(offset)),
-        )
-    )
     return Crystal.from_a_matrix(a_matrix), s0, (fast, slow, origin), rmsds

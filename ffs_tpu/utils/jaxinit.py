@@ -15,7 +15,14 @@ def setup(x64: bool = True) -> None:
     import jax
 
     if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        plats = os.environ["JAX_PLATFORMS"]
+        # keep the host CPU backend registered (lowest priority): small
+        # f64 host workloads (candidate refinement's 3x3 inversions, the
+        # model rebuilds) pin themselves to jax.devices("cpu"), which a
+        # bare accelerator-only platform list would hide
+        if "cpu" not in [p.strip() for p in plats.split(",") if p.strip()]:
+            plats = f"{plats},cpu"
+        jax.config.update("jax_platforms", plats)
     if x64:
         jax.config.update("jax_enable_x64", True)
     try:
