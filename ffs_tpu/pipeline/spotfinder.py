@@ -110,6 +110,16 @@ def _build_parser(version: str) -> argparse.ArgumentParser:
         " mirroring the reference's CUDA-event per-image report; disables"
         " the dispatch-ahead pipeline so stages time individually",
     )
+    p.add_argument(
+        "--jax-profile",
+        metavar="DIR",
+        default=None,
+        help="Capture a jax.profiler device trace of the collection loop"
+        " into DIR (TensorBoard / Perfetto format) — the TPU analogue of"
+        " the reference's Nsight line-info kernel profiling"
+        " (spotfinder/CMakeLists.txt:39-40).  Composable with --batch;"
+        " unlike --profile it keeps the dispatch-ahead pipeline intact.",
+    )
     return p
 
 
@@ -539,6 +549,14 @@ def run(argv=None, default_pixel_depth: int = 16) -> int:
             if not block and not decode_q:
                 break
 
+    if args.jax_profile:
+        # device-level trace of the whole collection region (intake,
+        # dispatch-ahead pipeline, batch flushes); viewable in
+        # TensorBoard's profile plugin or Perfetto
+        import jax
+
+        jax.profiler.start_trace(args.jax_profile)
+
     last_image_received = time.monotonic()
     for image_num in range(num_images):
         if stop_requested:
@@ -573,6 +591,12 @@ def run(argv=None, default_pixel_depth: int = 16) -> int:
         _flush_batch()  # partial tail batch (zero-padded to B)
     while inflight:
         _emit_next()
+
+    if args.jax_profile:
+        import jax
+
+        jax.profiler.stop_trace()
+        print(f"JAX device trace written to {args.jax_profile}")
 
     # ----- epilogues (reference: spotfinder.cc:1099-1305) -------------------
     if rotation:

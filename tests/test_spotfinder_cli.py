@@ -209,3 +209,18 @@ def test_profile_mode_prints_stage_timings(rotation_nexus, tmp_path):
     assert "upload:" in log and "ms" in log
     # per-image breakdown appears for every image
     assert log.count("upload:") == 2
+
+
+def test_jax_profile_writes_device_trace(rotation_nexus, tmp_path):
+    """--jax-profile captures a jax.profiler trace of the collection loop
+    (the TPU analogue of the reference's Nsight kernel profiling)."""
+    path, _, _ = rotation_nexus
+    trace_dir = tmp_path / "trace"
+    proc, _ = _run_cli(
+        [str(path), "--images", "2", "--jax-profile", str(trace_dir)],
+        tmp_path,
+    )
+    assert proc.returncode == 0, proc.stdout.decode() + proc.stderr.decode()
+    assert "JAX device trace written" in proc.stdout.decode()
+    plane_files = list(trace_dir.rglob("*.xplane.pb"))
+    assert plane_files, f"no xplane.pb under {trace_dir}"
