@@ -81,23 +81,34 @@ def _lmpar(R, perm, diag, qtb, delta, par):
         parl = fp / (delta * float(y @ y))
     # upper bound from the scaled gradient
     grad = R.T @ qtb
-    paru = np.linalg.norm(grad / np.where(s > 0, s, 1.0)) / delta
+    gnorm = float(np.linalg.norm(grad / np.where(s > 0, s, 1.0)))
+    paru = gnorm / delta
     if paru == 0.0:
         paru = np.finfo(np.float64).tiny / min(delta, 0.1)
 
+    # lmpar.f: clamp the incoming par to [parl, paru]; a zero start
+    # (routine here — frozen parameters zero Jacobian columns, so
+    # parl == 0) is seeded from the scaled gradient over the
+    # Gauss-Newton step norm, NOT an arbitrary fraction of paru
     par = min(max(par, parl), paru)
     if par == 0.0:
-        par = max(np.finfo(np.float64).tiny, 1e-3 * paru)
+        par = gnorm / dxnorm
 
-    for _ in range(10):
+    for itn in range(1, 11):
+        if par == 0.0:  # lmpar.f loop-top guard (p001 = 0.001)
+            par = max(np.finfo(np.float64).tiny, 1e-3 * paru)
         z = damped_step(par)
         u = s * z
         dxnorm = np.linalg.norm(u)
         fp_old = fp
         fp = dxnorm - delta
+        # accept par: small residual, the exceptional parl == 0 case,
+        # or iteration 10 — checked BEFORE the Newton update so the
+        # returned (par, step) pair is always consistent (lmpar.f:220)
         if (
             abs(fp) <= 0.1 * delta
             or (parl == 0.0 and fp <= fp_old and fp_old < 0.0)
+            or itn == 10
         ):
             break
         # Newton correction on the reciprocal-scaled phi (More eq. 5.6):

@@ -1152,6 +1152,28 @@ class KabschIntegrator:
                 + [np.zeros(self.panel.image_size[::-1], np.uint16)]
                 * (F - n_blk)
             )
+            if frames_np.dtype.itemsize > 2:
+                # The device step's exact-integer accumulation contracts
+                # (i32 fg_sum total: n_bbox_px * val < 2^31; the 13-bit
+                # split _weighted_index_dot: val < 2^26) hold for any
+                # 16-bit data but not arbitrary 32-bit values — and the
+                # .astype(int32) below would wrap u32 >= 2^31 negative.
+                # Fail loudly instead of silently corrupting intensities
+                # (convention: the 128-lane width and i32 sort-key
+                # guards).
+                vmax = int(frames_np.max())
+                limit = min(
+                    2**26 - 1,
+                    (2**31 - 1) // (self._hist_rows * self._hist_lanes),
+                )
+                if vmax > limit:
+                    raise ValueError(
+                        f"frame block {blk[0]}..{blk[-1]} has pixel value"
+                        f" {vmax} > {limit}, beyond the integrator's"
+                        " exact-i32 accumulation bound for"
+                        f" {self._hist_rows}x{self._hist_lanes} shoeboxes;"
+                        " mask or clip saturated pixels upstream"
+                    )
             frames = jnp.asarray(self.pad_frames(frames_np)).astype(jnp.int32)
             # z/phi from the ACTUAL image numbers — image_numbers is an
             # arbitrary iterable, so gapped or reordered entries must

@@ -546,57 +546,57 @@ def run(argv=None, default_pixel_depth: int = 16) -> int:
         ):
             num, fut = decode_q.popleft()
             _dispatch_image(num, fut.result())
-            if not block and not decode_q:
-                break
 
     if args.jax_profile:
         # device-level trace of the whole collection region (intake,
         # dispatch-ahead pipeline, batch flushes); viewable in
         # TensorBoard's profile plugin or Perfetto
-        import jax
-
         jax.profiler.start_trace(args.jax_profile)
 
-    last_image_received = time.monotonic()
-    for image_num in range(num_images):
-        if stop_requested:
-            print("Stopping image intake on interrupt")
-            break
-        offset_num = image_num + args.start_index
-        wait_start = time.monotonic()
-        while not reader.is_image_available(offset_num):
+    try:
+        last_image_received = time.monotonic()
+        for image_num in range(num_images):
             if stop_requested:
+                print("Stopping image intake on interrupt")
                 break
-            if time.monotonic() - last_image_received > args.timeout:
-                print(f"Timeout waiting for image {offset_num}")
-                break
-            time.sleep(0.1)
-        else:
-            last_image_received = time.monotonic()
-            time_waiting += time.monotonic() - wait_start
-            if executor is not None:
-                decode_q.append(
-                    (offset_num, executor.submit(reader.get_image, offset_num))
-                )
-                _drain_decoded(block=False)
+            offset_num = image_num + args.start_index
+            wait_start = time.monotonic()
+            while not reader.is_image_available(offset_num):
+                if stop_requested:
+                    break
+                if time.monotonic() - last_image_received > args.timeout:
+                    print(f"Timeout waiting for image {offset_num}")
+                    break
+                time.sleep(0.1)
             else:
-                _dispatch_image(offset_num, reader.get_image(offset_num))
-            continue
-        break  # timeout
+                last_image_received = time.monotonic()
+                time_waiting += time.monotonic() - wait_start
+                if executor is not None:
+                    decode_q.append(
+                        (
+                            offset_num,
+                            executor.submit(reader.get_image, offset_num),
+                        )
+                    )
+                    _drain_decoded(block=False)
+                else:
+                    _dispatch_image(offset_num, reader.get_image(offset_num))
+                continue
+            break  # timeout
 
-    if executor is not None:
-        _drain_decoded(block=True)
-        executor.shutdown(wait=True)
-    if use_batch:
-        _flush_batch()  # partial tail batch (zero-padded to B)
-    while inflight:
-        _emit_next()
-
-    if args.jax_profile:
-        import jax
-
-        jax.profiler.stop_trace()
-        print(f"JAX device trace written to {args.jax_profile}")
+        if executor is not None:
+            _drain_decoded(block=True)
+            executor.shutdown(wait=True)
+        if use_batch:
+            _flush_batch()  # partial tail batch (zero-padded to B)
+        while inflight:
+            _emit_next()
+    finally:
+        # stop even when the collection loop raises (decode failure,
+        # device error): the partial trace is most wanted in a crash
+        if args.jax_profile:
+            jax.profiler.stop_trace()
+            print(f"JAX device trace written to {args.jax_profile}")
 
     # ----- epilogues (reference: spotfinder.cc:1099-1305) -------------------
     if rotation:

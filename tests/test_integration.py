@@ -394,6 +394,57 @@ def test_weighted_index_dot_exact_at_bounds():
         _weighted_index_dot(jnp.zeros((2, 513), jnp.int32), 513)
 
 
+def test_integrate_rejects_out_of_bound_32bit_values():
+    """32-bit frames with pixel values past the exact-i32 accumulation
+    bound must fail loudly: the device step's integer sums (and the
+    .astype(int32) upload) would silently corrupt intensities."""
+    from ffs_tpu.models.geometry import (
+        Goniometer,
+        MonochromaticBeam,
+        Scan,
+        simple_panel,
+    )
+
+    IW, IH, F = 128, 64, 4
+    panel = simple_panel(150.0, (IW / 2, IH / 2), (0.075, 0.075), (IW, IH))
+    beam = MonochromaticBeam(wavelength=0.976)
+    scan = Scan(image_range=(1, F), oscillation=(0.0, 0.1))
+    x = np.array([40.0, 80.0])
+    y = np.array([30.0, 40.0])
+    xmm, ymm = panel.px_to_mm(x, y)
+    lab = panel.get_lab_coord(xmm, ymm)
+    s1 = lab / np.linalg.norm(lab, axis=1, keepdims=True) / beam.wavelength
+    phi = np.deg2rad(np.array([0.05, 0.15]))
+    bboxes = np.stack(
+        [x - 4, x + 4, y - 4, y + 4, [0, 0], [2, 2]], axis=1
+    ).astype(np.int64)
+    integ = kb.KabschIntegrator(
+        panel=panel, beam=beam, gonio=Goniometer(), scan=scan,
+        s1=s1, phi=phi, bboxes=bboxes,
+        delta_b=np.deg2rad(0.3), delta_m=np.deg2rad(1.0), max_active=2,
+    )
+
+    class _HotReader:
+        def __init__(self, hot):
+            self.hot = hot
+
+        def get_image(self, n):
+            img = np.zeros((IH, IW), np.uint32)
+            img[5, 5] = self.hot
+            return img
+
+        def get_mask(self):
+            return None
+
+    acc = kb.Accumulators.zeros(2)
+    with pytest.raises(ValueError, match="exact-i32"):
+        integ.integrate(_HotReader(2**27), range(0, F), acc)
+
+    # in-bound 32-bit data (and any 16-bit data) integrates fine
+    acc = kb.Accumulators.zeros(2)
+    integ.integrate(_HotReader(60000), range(0, F), acc)
+
+
 def test_integrate_chunk_z_band_scheduling():
     """Chunks run ONLY on frame blocks overlapping their z band.
 

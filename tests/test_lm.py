@@ -92,6 +92,41 @@ def test_matches_minpack_truncated_budget():
     np.testing.assert_allclose(res.x, x_sp, rtol=1e-6, atol=1e-9)
 
 
+def test_matches_minpack_rank_deficient_frozen_column():
+    """Frozen parameters (refine_candidate zeroes their Jacobian columns,
+    e.g. beam |s0| and in-plane rotation) make R rank-deficient, so
+    lmpar's parl == 0 and the zero-par seeding path runs.  MINPACK seeds
+    par = gnorm/dxnorm there (lmpar.f), not an arbitrary fraction of
+    paru — pin the iterates against the real MINPACK under both the
+    production truncated budget and full convergence."""
+    fn3, jac3, x0_3 = _exp_fit_problem()
+
+    def fn(x):
+        return fn3(x[:3])
+
+    def jac(x):
+        J3 = jac3(x[:3])
+        return np.concatenate([J3, np.zeros((J3.shape[0], 1))], axis=1)
+
+    x0 = np.concatenate([x0_3, [0.37]])
+
+    res = lmder(fn, jac, x0, ftol=1e-6, xtol=1e-6, maxfev=10)
+    x_sp, _, info, _, _ = leastsq(
+        fn, x0, Dfun=jac, ftol=1e-6, xtol=1e-6, maxfev=10, full_output=True
+    )
+    assert res.nfev == info["nfev"]
+    np.testing.assert_allclose(res.x, x_sp, rtol=1e-6, atol=1e-9)
+    assert res.x[3] == 0.37  # the frozen parameter never moves
+
+    res_full = lmder(fn, jac, x0, ftol=1e-10, xtol=1e-10, maxfev=400)
+    x_sp_full, _, info_full, _, ier = leastsq(
+        fn, x0, Dfun=jac, ftol=1e-10, xtol=1e-10, maxfev=400,
+        full_output=True,
+    )
+    assert ier in (1, 2, 3, 4)
+    np.testing.assert_allclose(res_full.x, x_sp_full, rtol=1e-7, atol=1e-10)
+
+
 def test_trust_region_and_scaling_semantics():
     """Deterministic, and the first step honours delta = factor*||D x0||."""
     fn, jac, x0 = _exp_fit_problem()
