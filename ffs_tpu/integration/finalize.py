@@ -126,7 +126,15 @@ def finalize(
     c = np.abs(zeta) / (np.sqrt(2.0) * sigma_m)
     partiality = 0.5 * (erf(c * (phib - phi_deg)) - erf(c * (phia - phi_deg)))
 
-    lp = lorentz_polarization(beam.s0, gonio.rotation_axis, s1)
+    lp = lorentz_polarization(
+        beam.s0,
+        gonio.rotation_axis,
+        s1,
+        polarization_normal=getattr(
+            beam, "polarization_normal", (0.0, 1.0, 0.0)
+        ),
+        polarization_fraction=getattr(beam, "polarization_fraction", 0.999),
+    )
 
     rlp = hkl @ crystal.a_matrix.T
     with np.errstate(divide="ignore"):
@@ -141,6 +149,9 @@ def finalize(
         partiality=partiality,
         lp=lp,
         d=d,
-        valid=measured & (variance >= 0),
+        # reference success_final: fg_count > 0 AND a valid background
+        # estimate (integrator.cc:1245-1248) — a rejected background means
+        # the intensity was never background-subtracted
+        valid=measured & bg_valid & (variance >= 0),
         n_background_failures=n_bg_failures,
     )

@@ -71,8 +71,12 @@ class Experiment:
                     "wavelength": float(self.beam.wavelength),
                     "divergence": 0.0,
                     "sigma_divergence": 0.0,
-                    "polarization_normal": [0.0, 1.0, 0.0],
-                    "polarization_fraction": 0.999,
+                    "polarization_normal": [
+                        float(v) for v in self.beam.polarization_normal
+                    ],
+                    "polarization_fraction": float(
+                        self.beam.polarization_fraction
+                    ),
                 }
             ],
             "detector": [{"panels": [self.panel.to_json()]}],

@@ -22,6 +22,12 @@ class MonochromaticBeam:
     direction: np.ndarray = field(
         default_factory=lambda: np.array([0.0, 0.0, 1.0])
     )  # unit vector, sample -> source convention as in DIALS expt JSON
+    # read by the integrator's LP correction (reference:
+    # integrator.cc:1228-1229 via dx2 Beam); DIALS defaults
+    polarization_normal: np.ndarray = field(
+        default_factory=lambda: np.array([0.0, 1.0, 0.0])
+    )
+    polarization_fraction: float = 0.999
 
     @property
     def s0(self) -> np.ndarray:
@@ -34,6 +40,10 @@ class MonochromaticBeam:
         return cls(
             wavelength=float(obj["wavelength"]),
             direction=np.asarray(obj.get("direction", [0.0, 0.0, 1.0]), dtype=float),
+            polarization_normal=np.asarray(
+                obj.get("polarization_normal", [0.0, 1.0, 0.0]), dtype=float
+            ),
+            polarization_fraction=float(obj.get("polarization_fraction", 0.999)),
         )
 
 

@@ -32,6 +32,33 @@ from ..constants import KERNEL_RADIUS
 from ..ops import dispersion as dops
 
 
+def _halo_exchange(x, n_rows: int, axis: str, n: int, pad_value=0):
+    """Gather ``n_rows`` boundary rows from the up/down neighbour shards
+    over ICI and concatenate them as a halo (shared by the dense and the
+    packed SP pipelines; must run inside shard_map on a size-``n`` axis).
+
+    Edge shards have no neighbour: ppermute already yields zeros for
+    absent sources — matching the single-chip zero-padded window sums —
+    so only a non-zero ``pad_value`` needs the explicit edge fill."""
+    top = jax.lax.slice_in_dim(x, 0, n_rows, axis=0)
+    bottom = jax.lax.slice_in_dim(x, x.shape[0] - n_rows, x.shape[0], axis=0)
+    from_above = jax.lax.ppermute(
+        bottom, axis, [(i, i + 1) for i in range(n - 1)]
+    )
+    from_below = jax.lax.ppermute(
+        top, axis, [(i + 1, i) for i in range(n - 1)]
+    )
+    if pad_value != 0:
+        idx = jax.lax.axis_index(axis)
+        from_above = jnp.where(
+            idx == 0, jnp.full_like(from_above, pad_value), from_above
+        )
+        from_below = jnp.where(
+            idx == n - 1, jnp.full_like(from_below, pad_value), from_below
+        )
+    return jnp.concatenate([from_above, x, from_below], axis=0)
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
@@ -108,26 +135,6 @@ def halo_sharded_dispersion(
     image = jax.device_put(image, NamedSharding(mesh, P(axis, None)))
     mask = jax.device_put(mask, NamedSharding(mesh, P(axis, None)))
 
-    def _exchange(x, pad_value):
-        """Gather `radius` rows from the up/down neighbour shards."""
-        idx = jax.lax.axis_index(axis)
-        # rows my lower neighbour needs (my top rows) travel "down" etc.
-        top = jax.lax.slice_in_dim(x, 0, radius, axis=0)
-        bottom = jax.lax.slice_in_dim(x, x.shape[0] - radius, x.shape[0], axis=0)
-        from_above = jax.lax.ppermute(
-            bottom, axis, [(i, i + 1) for i in range(n - 1)]
-        )
-        from_below = jax.lax.ppermute(top, axis, [(i + 1, i) for i in range(n - 1)])
-        # shards at the detector edge have no neighbour: pad (ppermute
-        # already yields zeros there; this keeps the intent explicit)
-        from_above = jnp.where(
-            (idx == 0), jnp.full_like(from_above, pad_value), from_above
-        )
-        from_below = jnp.where(
-            (idx == n - 1), jnp.full_like(from_below, pad_value), from_below
-        )
-        return jnp.concatenate([from_above, x, from_below], axis=0)
-
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
@@ -135,10 +142,10 @@ def halo_sharded_dispersion(
         out_specs=P(axis, None),
     )
     def step(img_shard, mask_shard):
-        img_p = _exchange(img_shard, 0)
+        img_p = _halo_exchange(img_shard, radius, axis, n)
         # halo mask rows outside the detector are invalid -> masked out,
         # matching the single-chip zero-padded window sums
-        mask_p = _exchange(mask_shard, 0)
+        mask_p = _halo_exchange(mask_shard, radius, axis, n)
         strong = dops.dispersion(img_p, mask_p, trusted_max, dtype=dtype)
         return jax.lax.slice_in_dim(
             strong, radius, radius + img_shard.shape[0], axis=0
@@ -277,21 +284,6 @@ def sharded_packed_sp_pipeline(
     frame = jax.device_put(frame, NamedSharding(mesh, P(axis, None)))
     mask = jax.device_put(mask, NamedSharding(mesh, P(axis, None)))
 
-    def _exchange(x, n_rows):
-        top = jax.lax.slice_in_dim(x, 0, n_rows, axis=0)
-        bottom = jax.lax.slice_in_dim(
-            x, x.shape[0] - n_rows, x.shape[0], axis=0
-        )
-        from_above = jax.lax.ppermute(
-            bottom, axis, [(i, i + 1) for i in range(n - 1)]
-        )
-        from_below = jax.lax.ppermute(
-            top, axis, [(i + 1, i) for i in range(n - 1)]
-        )
-        # edge shards have no neighbour: ppermute already yields zeros,
-        # matching the single-chip zero-padded window sums
-        return jnp.concatenate([from_above, x, from_below], axis=0)
-
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
@@ -303,8 +295,8 @@ def sharded_packed_sp_pipeline(
         idx = jax.lax.axis_index(axis)
 
         # --- per-chip packed hot path on the haloed strip ----------------
-        img_p = _exchange(img_shard, r)
-        mask_p = _exchange(mask_shard, r)
+        img_p = _halo_exchange(img_shard, r, axis, n)
+        mask_p = _halo_exchange(mask_shard, r, axis, n)
         pcw = dispersion_packed_raw(
             img_p, mask_p, trusted_max, trim=True, interpret=interpret
         )
@@ -403,6 +395,14 @@ def sharded_packed_sp_pipeline(
         raise RuntimeError(
             f"a row shard holds {int(chip_counts.max())} strong pixels, "
             f"exceeding max_pixels_per_chip={max_pixels_per_chip}; raise it"
+        )
+    if int(jax.device_get(table.n_spots)) > max_spots:
+        # same fail-loudly contract as the DP pipeline and the
+        # single-chip collect paths: ids past max_spots land in the
+        # dropped overflow segment, silently truncating the table
+        raise RuntimeError(
+            f"frame produced {int(jax.device_get(table.n_spots))} spots, "
+            f"exceeding max_spots={max_spots}; raise it"
         )
     return table, total
 

@@ -112,3 +112,12 @@ def zocalo_service_class():
             )
 
     return XRCResultCompare
+
+
+def __getattr__(name: str):
+    # lazy module attribute backing the `workflows.services` entry point
+    # (pyproject: XRCResultCompare = "ffs_tpu.service.compare:
+    # XRCResultCompare", mirroring the reference's registration)
+    if name == "XRCResultCompare":
+        return zocalo_service_class()
+    raise AttributeError(name)

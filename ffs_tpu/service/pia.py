@@ -229,9 +229,15 @@ class PiaService:
         else:
             data_path = parameters.filename
 
-        # stale-message rejection (reference: service.py:403-410)
+        # stale-message rejection (reference: service.py:403-410).
+        # Divergence: the reference subtracts a naive now() from the
+        # parsed startTime, which raises TypeError when the producer
+        # sends an ISO-8601 timestamp with a timezone ('...Z') — every
+        # redelivery then crashes before the ack, wedging the queue.
+        # Compare in the message's own timezone when it has one.
         if parameters.startTime and Path(base_path).is_dir():
-            age = (datetime.now() - parameters.startTime).total_seconds()
+            now = datetime.now(parameters.startTime.tzinfo)
+            age = (now - parameters.startTime).total_seconds()
             if age > 60 and not data_path.is_dir():
                 self.log.warning(
                     f"Not processing message as too old ({age:.0f} s); "
@@ -347,14 +353,30 @@ def zocalo_service_class():
     return TPUPerImageAnalysis
 
 
+def __getattr__(name: str):
+    # lazy module attribute backing the `workflows.services` entry point
+    # (pyproject: TPUPerImageAnalysis = "ffs_tpu.service.pia:
+    # TPUPerImageAnalysis", mirroring the reference's GPUPerImageAnalysis
+    # registration): entry_point.load() resolves the attribute, building
+    # the CommonService subclass only when workflows is importable
+    if name == "TPUPerImageAnalysis":
+        return zocalo_service_class()
+    raise AttributeError(name)
+
+
 def main() -> None:
-    """Console helper: run the service against zocalo if installed."""
-    try:
-        zocalo_service_class()
-    except ImportError:
+    """Console helper: launch the service under zocalo's runner
+    (equivalent to `zocalo.service -s TPUPerImageAnalysis`, the
+    production path; the entry-point registration makes the service
+    discoverable there)."""
+    runner = shutil.which("zocalo.service")
+    if runner is None:
         print(
             "workflows/zocalo not installed; use PiaService directly or "
             "install the beamline transport stack.",
             file=sys.stderr,
         )
         sys.exit(1)
+    os.execv(
+        runner, [runner, "-s", "TPUPerImageAnalysis", *sys.argv[1:]]
+    )

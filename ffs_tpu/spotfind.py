@@ -148,6 +148,12 @@ class SpotfindProcessor:
         use_pallas = cfg.pallas_enabled()
         self.host_cc = cfg.host_cc_enabled()
         self.host_compact = cfg.host_compact_enabled()
+        if cfg.compact_backend == "host" and not use_pallas:
+            raise ValueError(
+                "compact_backend='host' expands the Pallas packed strong "
+                "words on the host; it requires the packed kernel path "
+                "(f32 precision on TPU, or use_pallas=True)"
+            )
         if cfg.compact_backend == "host" and use_pallas and not self.host_cc:
             raise ValueError(
                 "compact_backend='host' produces host arrays; it cannot feed "
@@ -540,6 +546,15 @@ class SpotfindProcessor:
                 f"frame {image_number}: {n} strong pixels exceed the "
                 f"configured capacity {len(pixels.linear_index)}; raise "
                 "SpotfindConfig.max_strong_pixels"
+            )
+        if int(table.n_spots) > self.config.max_spots:
+            # same fail-loudly contract as collect_batch: spot ids past
+            # max_spots fall in the dropped overflow segment, so the
+            # table would be silently wrong
+            raise RuntimeError(
+                f"frame {image_number}: {int(table.n_spots)} spots exceed "
+                f"max_spots={self.config.max_spots}; raise "
+                "SpotfindConfig.max_spots"
             )
         frame_pixels = cc3d.FramePixels(
             linear_index=np.asarray(pixels.linear_index[:n]),

@@ -218,3 +218,18 @@ def test_contradictory_config_rejected():
             65535.0,
             _cfg("device", compact_backend="host"),
         )
+
+
+def test_host_compaction_requires_packed_path():
+    """Explicit compact_backend='host' without the Pallas packed kernel
+    (e.g. f64 precision) is a contradiction, not a silent fallback to
+    device compaction."""
+    from ffs_tpu.spotfind import SpotfindConfig, SpotfindProcessor
+
+    stack, mask = synthetic_rotation_stack(nimg=1)
+    h, w = stack.shape[1:]
+    cfg = SpotfindConfig(
+        precision="f64", compact_backend="host", cc_backend="host"
+    )
+    with pytest.raises(ValueError, match="packed kernel path"):
+        SpotfindProcessor(w, h, mask, 65535.0, cfg)

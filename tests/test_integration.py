@@ -394,6 +394,69 @@ def test_weighted_index_dot_exact_at_bounds():
         _weighted_index_dot(jnp.zeros((2, 513), jnp.int32), 513)
 
 
+def test_finalize_invalidates_background_failures_and_reads_polarization():
+    """Reference success_final requires a valid background estimate
+    (integrator.cc:1245-1248), and the LP correction reads the beam's
+    polarization normal/fraction (integrator.cc:1228-1229) rather than
+    hardcoded defaults."""
+    from types import SimpleNamespace
+
+    from ffs_tpu.models.geometry import (
+        Goniometer,
+        MonochromaticBeam,
+        Scan,
+    )
+
+    n = 3
+    acc = SimpleNamespace(
+        fg_sum=np.array([100.0, 80.0, 0.0]),
+        fg_count=np.array([10, 8, 0]),
+        bg_count=np.array([30, 25, 0]),
+        sum_ix=np.array([500.0, 400.0, 0.0]),
+        sum_iy=np.array([500.0, 400.0, 0.0]),
+        sum_iz=np.array([50.0, 40.0, 0.0]),
+    )
+    s1 = np.tile([0.1, 0.2, 1.0], (n, 1))
+    s1 /= np.linalg.norm(s1, axis=1, keepdims=True) * 0.976
+    common = dict(
+        acc=acc,
+        bg_mean=np.array([2.0, 3.0, 0.0]),
+        bg_wsum=np.array([60.0, 75.0, 0.0]),
+        bboxes=np.array([[0, 9, 0, 9, 0, 2]] * n),
+        s1=s1,
+        phi=np.deg2rad([0.05, 0.1, 0.15]),
+        hkl=np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]]),
+        zeta=np.array([0.9, 0.9, 0.9]),
+        scan=Scan(image_range=(1, 3), oscillation=(0.0, 0.1)),
+        gonio=Goniometer(),
+        crystal=SimpleNamespace(a_matrix=np.eye(3) / 60.0),
+        sigma_m=np.deg2rad(0.2),
+    )
+
+    beam = MonochromaticBeam(wavelength=0.976)
+    res = fin.finalize(
+        beam=beam, bg_valid=np.array([True, False, True]), **common
+    )
+    # reflection 1: measured but its background estimate was rejected ->
+    # unsubtracted intensity must NOT carry the integrated flag
+    assert res.valid.tolist() == [True, False, False]
+    assert res.n_background_failures == 1
+
+    # a non-default polarization fraction must change every lp value
+    beam2 = MonochromaticBeam(wavelength=0.976, polarization_fraction=0.5)
+    res2 = fin.finalize(
+        beam=beam2, bg_valid=np.array([True, False, True]), **common
+    )
+    assert not np.allclose(res.lp, res2.lp)
+    # and round-trips through the expt JSON beam block
+    b3 = MonochromaticBeam.from_json(
+        {"wavelength": 0.976, "polarization_fraction": 0.5,
+         "polarization_normal": [0.0, 0.0, 1.0]}
+    )
+    assert b3.polarization_fraction == 0.5
+    assert b3.polarization_normal.tolist() == [0.0, 0.0, 1.0]
+
+
 def test_integrate_rejects_out_of_bound_32bit_values():
     """32-bit frames with pixel values past the exact-i32 accumulation
     bound must fail loudly: the device step's integer sums (and the

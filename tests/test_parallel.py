@@ -158,6 +158,33 @@ def test_sharded_packed_sp_table_bit_identical(mesh, rng):
     assert (n_px >= 17 * 2).any(), "three-shard spot not merged"
 
 
+def test_sharded_packed_sp_spot_overflow_fails_loudly(mesh, rng):
+    """A frame with more components than max_spots must raise, not
+    silently truncate the replicated table (ids past max_spots land in
+    the dropped overflow segment)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from ffs_tpu.parallel import sharded_packed_sp_pipeline
+
+    h, w = 128, 192
+    image = rng.poisson(4.0, size=(h, w)).astype(np.uint16)
+    image[14:19, 30:34] = 700
+    image[60:68, 90:94] = 900
+    image[110:114, 150:153] = 650
+    mask = np.ones((h, w), np.uint8)
+    with pytest.raises(RuntimeError, match="exceeding max_spots"):
+        sharded_packed_sp_pipeline(
+            mesh,
+            jnp.asarray(image),
+            jnp.asarray(mask),
+            65535.0,
+            max_pixels_per_chip=1024,
+            max_spots=2,
+            interpret=True,
+        )
+
+
 def test_sharded_kabsch_block_step_bit_identical(mesh, rng):
     """Reflection-parallel (DP) integrator block step == single-chip,
     bitwise, on every one of the 8 outputs."""

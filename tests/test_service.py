@@ -164,6 +164,54 @@ def test_pia_service_rejects_bad_request(spotfinder_env):
     assert rw.transport.nacked
 
 
+def test_pia_stale_message_with_timezone_aware_start_time(tmp_path):
+    """ISO-8601 startTime with a timezone ('...Z') must flow through the
+    stale-message age check.  Divergence from the reference (service.py:
+    403-404), which subtracts naive now() from the aware datetime and
+    crashes with TypeError before the ack — wedging the queue on every
+    redelivery."""
+    service = PiaService(threads=1, with_indexer=False)
+    params = {
+        "dcid": 9, "dcgid": 3, "filename": "missing.nxs",
+        "message_index": 0, "number_of_frames": 1, "start_frame_index": 0,
+        "xBeam": 1.0, "yBeam": 1.0, "detector_distance": 100.0,
+        "startTime": "2020-01-01T00:00:00Z",  # aware, ancient
+    }
+    rw = FakeRecipeWrapper(params)
+    # base_path is a real dir and the data file is absent -> the stale
+    # rejection path runs: acked, nothing sent, NO TypeError
+    service.handle(rw, {}, {"m": 1}, base_path=str(tmp_path))
+    assert rw.transport.acked and not rw.sent
+
+
+def test_zocalo_entry_point_attributes_are_lazy():
+    """The `workflows.services` entry points resolve module attributes
+    (pia:TPUPerImageAnalysis, compare:XRCResultCompare) that build the
+    CommonService subclass on access — without workflows installed the
+    access raises ImportError (NOT AttributeError: the hook exists)."""
+    from ffs_tpu.service import compare as compare_mod
+    from ffs_tpu.service import pia as pia_mod
+
+    try:
+        import workflows  # noqa: F401
+
+        have_workflows = True
+    except ImportError:
+        have_workflows = False
+
+    for mod, attr in (
+        (pia_mod, "TPUPerImageAnalysis"),
+        (compare_mod, "XRCResultCompare"),
+    ):
+        if have_workflows:
+            assert getattr(mod, attr).__name__ == attr
+        else:
+            with pytest.raises(ImportError):
+                getattr(mod, attr)
+        with pytest.raises(AttributeError):
+            mod.NoSuchService
+
+
 def test_pia_service_requeues_out_of_order(spotfinder_env):
     service = PiaService(threads=1, with_indexer=False)
     params = {

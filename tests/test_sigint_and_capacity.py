@@ -92,6 +92,25 @@ def test_capacity_overflow_hard_fails(cc_backend):
         proc.process_frame(0, image)
 
 
+def test_spot_table_overflow_hard_fails_device_cc():
+    """The per-frame device-CC path must fail loudly when the component
+    count exceeds max_spots (ids past max_spots fall in the dropped
+    overflow segment), matching collect_batch's contract."""
+    from ffs_tpu.spotfind import SpotfindConfig, SpotfindProcessor
+
+    image, mask = _overflow_frame()  # ~1200 isolated single-pixel spots
+    cfg = SpotfindConfig(
+        precision="f32",
+        cc_backend="device",
+        max_strong_pixels=4096,
+        max_spots=256,
+        min_spot_size=1,
+    )
+    proc = SpotfindProcessor(image.shape[1], image.shape[0], mask, 65535.0, cfg)
+    with pytest.raises(RuntimeError, match="exceed max_spots"):
+        proc.process_frame(0, image)
+
+
 def test_capacity_tier_escalation_still_works():
     """Counts between tiers pick the next tier automatically (no failure)."""
     from ffs_tpu.spotfind import SpotfindConfig, SpotfindProcessor
