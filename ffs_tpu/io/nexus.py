@@ -31,9 +31,13 @@ def _read_scalar(f, path, default=None):
 
 @dataclass
 class _DataBlock:
-    dataset: object  # h5py.Dataset
     frames: int
     offset: int  # first global frame index
+    dset_name: str = ""
+    file_name: str | None = None  # None: dataset lives in the master file
+    src_start: int = 0  # source-side first row of the VDS mapping
+    dataset: object = None  # h5py.Dataset, opened lazily for source files
+    filters: tuple | None = None  # cached filter-pipeline ids
 
 
 class NexusReader:
@@ -51,25 +55,48 @@ class NexusReader:
 
         data = f["/entry/data/data"] if "/entry/data/data" in f else None
         self._blocks: list[_DataBlock] = []
+        self._src_files: list = []
         if data is not None and data.is_virtual:
-            # walk the VDS into the per-file source datasets (h5read.c:280-377)
-            offset = 0
+            # Walk the VDS map of /entry/data/data (h5read.c:280-377).
+            # Frame offsets/counts come from the VIRTUAL-space mapping
+            # extents — not from source dataset shapes or iteration order
+            # (a mapping may cover only part of its source, and
+            # virtual_sources() order is not guaranteed; h5read takes its
+            # per-file counts from the layout too, h5read.c:348-358).
+            # Source files open LAZILY: during a live SWMR collection the
+            # master appears before the data files do ("Failing to open a
+            # data file isn't necessarily an error - it could not exist
+            # yet" — h5read.c:301-318), so a missing file must read as
+            # frame-not-yet-available, not a constructor crash.
             for vs in data.virtual_sources():
+                (v0, *_), (v1, *_) = vs.vspace.get_select_bounds()
+                try:
+                    (s0, *_), _ = vs.src_space.get_select_bounds()
+                except Exception:
+                    s0 = 0
                 src_path = vs.file_name
                 if src_path in (".", path):
-                    src = f[vs.dset_name]
-                else:
-                    if not os.path.isabs(src_path):
-                        src_path = os.path.join(os.path.dirname(path), src_path)
-                    src = h5py.File(src_path, "r")[vs.dset_name]
-                n = src.shape[0]
-                self._blocks.append(_DataBlock(src, n, offset))
-                offset += n
-            self._num_images = offset
+                    src_path = None  # dataset lives in the master file
+                elif not os.path.isabs(src_path):
+                    src_path = os.path.join(os.path.dirname(path), src_path)
+                self._blocks.append(
+                    _DataBlock(
+                        frames=int(v1) - int(v0) + 1,
+                        offset=int(v0),
+                        dset_name=vs.dset_name,
+                        file_name=src_path,
+                        src_start=int(s0),
+                    )
+                )
+            self._blocks.sort(key=lambda b: b.offset)
+            # the virtual dataset's own extent is the planned frame count
+            self._num_images = int(data.shape[0])
             self._shape = data.shape[1:]
             self._dtype = data.dtype
         elif data is not None:
-            self._blocks = [_DataBlock(data, data.shape[0], 0)]
+            self._blocks = [
+                _DataBlock(frames=data.shape[0], offset=0, dataset=data)
+            ]
             self._num_images = data.shape[0]
             self._shape = data.shape[1:]
             self._dtype = data.dtype
@@ -82,7 +109,9 @@ class NexusReader:
                     src = grp[key]
                 except KeyError:
                     continue  # broken external link (file not yet written)
-                self._blocks.append(_DataBlock(src, src.shape[0], offset))
+                self._blocks.append(
+                    _DataBlock(frames=src.shape[0], offset=offset, dataset=src)
+                )
                 offset += src.shape[0]
             if not self._blocks:
                 raise IOError(f"No image data found in {path}")
@@ -164,24 +193,50 @@ class NexusReader:
     def _block_for(self, index: int):
         for b in self._blocks:
             if b.offset <= index < b.offset + b.frames:
-                return b, index - b.offset
+                return b, index - b.offset + b.src_start
         raise IndexError(index)
+
+    def _dataset_for(self, b: _DataBlock):
+        """Open the block's source dataset on first use (live-collection
+        safe: raises OSError while the data file is still unwritten —
+        is_image_available turns that into 'not yet')."""
+        if b.dataset is None:
+            import h5py
+
+            if b.file_name is None:
+                b.dataset = self._f[b.dset_name]
+            else:
+                try:
+                    fh = h5py.File(b.file_name, "r", swmr=True)
+                except (OSError, ValueError):
+                    fh = h5py.File(b.file_name, "r")
+                self._src_files.append(fh)
+                b.dataset = fh[b.dset_name]
+        return b.dataset
 
     def is_image_available(self, index: int) -> bool:
         if index >= self._num_images:
             return False
         try:
             b, local = self._block_for(index)
-            b.dataset.id.refresh()
-            return b.dataset.shape[0] > local
+            ds = self._dataset_for(b)
+            ds.id.refresh()
+            return ds.shape[0] > local
         except Exception:
             return False
 
     def get_image(self, index: int) -> np.ndarray:
         """Read + decode one frame, bypassing HDF5 filter plugins."""
         b, local = self._block_for(index)
-        ds = b.dataset
-        filters = [f_id for f_id, *_ in self._chunk_filters(ds)]
+        ds = self._dataset_for(b)
+        if b.filters is None:
+            # the filter pipeline is a per-dataset constant: walk it once,
+            # not per frame (a 3600-frame read otherwise repeats 3600
+            # create-plist/filter-enumeration HDF5 round-trips)
+            b.filters = tuple(
+                f_id for f_id, *_ in self._chunk_filters(ds)
+            )
+        filters = b.filters
         if FILTER_BSHUF in filters or FILTER_LZ4 in filters:
             _, chunk = ds.id.read_direct_chunk((local, 0, 0))
             h, w = self.image_shape
@@ -199,7 +254,7 @@ class NexusReader:
 
     def get_raw_chunk(self, index: int) -> bytes:
         b, local = self._block_for(index)
-        return b.dataset.id.read_direct_chunk((local, 0, 0))[1]
+        return self._dataset_for(b).id.read_direct_chunk((local, 0, 0))[1]
 
     @staticmethod
     def _chunk_filters(ds):
@@ -211,4 +266,10 @@ class NexusReader:
         return out
 
     def close(self):
+        for fh in self._src_files:
+            try:
+                fh.close()
+            except Exception:
+                pass
+        self._src_files.clear()
         self._f.close()

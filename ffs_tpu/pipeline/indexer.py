@@ -128,11 +128,13 @@ def run(argv=None) -> int:
         )
 
     # Candidate scoring runs on a small thread pool (the reference threads
-    # this loop too, indexer.cc candidate pool / SURVEY P6): host-side
-    # model prep overlaps the per-candidate device refinement dispatches;
-    # results keep generator order for deterministic scoring output.
-    if len(crystals) > 1:
-        with ThreadPoolExecutor(max_workers=min(4, len(crystals))) as ex:
+    # this loop too, sized from --nthreads, indexer.cc:215-220,299-304 /
+    # SURVEY P6): host-side model prep overlaps the per-candidate device
+    # refinement dispatches; results keep generator order for
+    # deterministic scoring output.
+    nthreads = args.nthreads if args.nthreads else min(4, len(crystals))
+    if len(crystals) > 1 and nthreads > 1:
+        with ThreadPoolExecutor(max_workers=nthreads) as ex:
             scores = list(ex.map(_score, crystals))
     else:
         scores = [_score(c) for c in crystals]

@@ -18,6 +18,65 @@ import time
 import numpy as np
 
 
+class _StreamingReader:
+    """Availability-waiting, prefetching facade over a frame reader.
+
+    Honors the CLI's ``--timeout`` (SWMR wait for frames a live
+    collection hasn't written yet — the spotfinder's intake semantics)
+    and ``--threads`` (a decode pool prefetching upcoming frames so host
+    HDF5/decompression overlaps the device steps; reference: the
+    integrator's reader threads streaming images through the kernel,
+    integrator.cc:820-991)."""
+
+    def __init__(self, reader, image_numbers, timeout=30.0, threads=0):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._r = reader
+        self._timeout = float(timeout)
+        self._order = list(image_numbers)
+        self._pos = {n: i for i, n in enumerate(self._order)}
+        self._threads = int(threads)
+        self._ex = (
+            ThreadPoolExecutor(self._threads) if self._threads > 0 else None
+        )
+        self._futs: dict = {}
+
+    def get_mask(self):
+        return self._r.get_mask()
+
+    def get_number_of_images(self):
+        return self._r.get_number_of_images()
+
+    def _fetch(self, n):
+        avail = getattr(self._r, "is_image_available", None)
+        if avail is not None:
+            deadline = time.monotonic() + self._timeout
+            while not avail(n):
+                if time.monotonic() >= deadline:
+                    raise TimeoutError(
+                        f"timed out after {self._timeout:g} s waiting for "
+                        f"image {n}"
+                    )
+                time.sleep(0.1)
+        return self._r.get_image(n)
+
+    def get_image(self, n):
+        if self._ex is None:
+            return self._fetch(n)
+        i = self._pos.get(n)
+        ahead = [n] if i is None else self._order[i : i + 1 + self._threads]
+        for m in ahead:
+            if m not in self._futs:
+                self._futs[m] = self._ex.submit(self._fetch, m)
+        return self._futs.pop(n).result()
+
+    def close(self):
+        if self._ex is not None:
+            self._ex.shutdown(wait=False, cancel_futures=True)
+        if hasattr(self._r, "close"):
+            self._r.close()
+
+
 def run(argv=None) -> int:
     from ..utils.jaxinit import setup
 
@@ -113,7 +172,24 @@ def run(argv=None) -> int:
             else np.zeros(sel.sum(), np.int64)
         )
     else:
-        pred = predict_rotation(expt)
+        # scan-varying model states (A/s0/setting at scan points) from the
+        # expt JSON, exactly like the reference's extract_scan_varying_data
+        # -> predict_rotation handoff (integrator.cc:474-492); a DIALS
+        # scan-varying-refined experiment predicted with only the static
+        # matrices would drift shoeboxes across the scan
+        import json as _json
+
+        from ..prediction.rotation import parse_scan_varying
+
+        with open(args.experiment) as f:
+            elist = _json.load(f)
+        n_images = expt.scan.image_range[1] - expt.scan.image_range[0] + 1
+        sv = parse_scan_varying(elist, n_images)
+        if sv:
+            print("Monochromatic scan-varying prediction")
+        else:
+            print("Monochromatic static prediction")
+        pred = predict_rotation(expt, sv)
         s1 = pred.s1
         xyzcal_mm = pred.xyzcal_mm
         phi = pred.xyzcal_mm[:, 2]
@@ -167,6 +243,11 @@ def run(argv=None) -> int:
     delta_b = extent_mod.DEFAULT_N_SIGMA * sigma_b * extent_mod.DEFAULT_SIGMA_B_MULTIPLIER
     delta_m = extent_mod.DEFAULT_N_SIGMA * sigma_m
 
+    # min_zeta-skipped reflections get an empty sentinel bbox (shared by
+    # the integrator and the fill-histogram diagnostic below)
+    masked_bboxes = np.where(
+        integrate_sel[:, None], bboxes, np.array([[0, -1, 0, -1, 0, -1]])
+    )
     integ = kabsch_mod.KabschIntegrator(
         panel=expt.panel,
         beam=expt.beam,
@@ -174,9 +255,7 @@ def run(argv=None) -> int:
         scan=expt.scan,
         s1=s1,
         phi=phi,
-        bboxes=np.where(
-            integrate_sel[:, None], bboxes, np.array([[0, -1, 0, -1, 0, -1]])
-        ),
+        bboxes=masked_bboxes,
         delta_b=delta_b,
         delta_m=delta_m,
         algorithm=args.algorithm,
@@ -192,9 +271,7 @@ def run(argv=None) -> int:
         "trace",
     ):
         hist = kabsch_mod.format_shoebox_fill_histogram(
-            np.where(
-                integrate_sel[:, None], bboxes, np.array([[0, -1, 0, -1, 0, -1]])
-            ),
+            masked_bboxes,
             integ.box_w,
             integ.box_h,
             integ.max_active,
@@ -206,7 +283,14 @@ def run(argv=None) -> int:
     acc = kabsch_mod.Accumulators.zeros(n)
     z0, z1 = expt.scan.image_range
     n_images = min(z1 - z0 + 1, reader.get_number_of_images())
-    integ.integrate(reader, range(z0 - 1, z0 - 1 + n_images), acc)
+    image_numbers = range(z0 - 1, z0 - 1 + n_images)
+    stream = _StreamingReader(
+        reader, image_numbers, timeout=args.timeout, threads=args.threads
+    )
+    try:
+        integ.integrate(stream, image_numbers, acc)
+    finally:
+        stream.close()
     mark("kabsch")
 
     fin_mod.check_overflow(acc.bg_count, acc.bg_overflow)

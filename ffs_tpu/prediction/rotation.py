@@ -163,8 +163,7 @@ def predict_rotation(
             experiment, sv, hkl, dmin, d_osc, osc0, z0, n_images
         )
 
-    xp = np
-    rays_jit = lambda hkl, a1, a2, s0_1, s0_2, phi_beg: _rays_for_image(
+    rays_host = lambda hkl, a1, a2, s0_1, s0_2, phi_beg: _rays_for_image(
         np, hkl, a1, a2, s0_1, s0_2, dmin, phi_beg, d_osc
     )
 
@@ -179,7 +178,8 @@ def predict_rotation(
         [], [], [], [], [], [],
     )
 
-    # pad hkl to chunked static shapes so the jit compiles once
+    # chunk the hkl grid to bound the per-call working set (the device
+    # path jits over these same static chunk shapes)
     n_pad = ((len(hkl) + chunk - 1) // chunk) * chunk
     hkl_p = np.zeros((n_pad, 3), dtype=np.int64)
     hkl_p[: len(hkl)] = hkl
@@ -210,12 +210,12 @@ def predict_rotation(
             hc = hkl_p[c0 : c0 + chunk]
             ok, s1, angle, entering = (
                 np.asarray(v)
-                for v in rays_jit(
-                    xp.asarray(hc, dtype=np.float64),
-                    xp.asarray(A1_full),
-                    xp.asarray(A2_full),
-                    xp.asarray(s0_1, dtype=np.float64),
-                    xp.asarray(s0_2, dtype=np.float64),
+                for v in rays_host(
+                    np.asarray(hc, dtype=np.float64),
+                    np.asarray(A1_full),
+                    np.asarray(A2_full),
+                    np.asarray(s0_1, dtype=np.float64),
+                    np.asarray(s0_2, dtype=np.float64),
                     phi_beg,
                 )
             )

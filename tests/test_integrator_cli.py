@@ -150,3 +150,47 @@ def test_bg_device_dispatch_matches_host():
         md, wd, vd = estimate_background_device(bins, ovf, model)
         np.testing.assert_array_equal(np.asarray(vd), vh)
         np.testing.assert_allclose(np.asarray(md), mh, rtol=1e-12, atol=1e-12)
+
+
+def test_streaming_reader_waits_prefetches_and_times_out():
+    """The CLI's --timeout/--threads facade: waits for frames a live
+    collection hasn't written yet, prefetches ahead on the decode pool,
+    and raises TimeoutError past the budget (reference: the integrator's
+    reader threads, integrator.cc:820-991)."""
+    import time
+
+    from ffs_tpu.pipeline.integrator import _StreamingReader
+
+    class _LateReader:
+        def __init__(self):
+            self.t0 = time.monotonic()
+            self.fetched = []
+
+        def is_image_available(self, n):
+            # frame 1 "appears" 0.3 s into the run
+            return n != 1 or time.monotonic() >= self.t0 + 0.3
+
+        def get_image(self, n):
+            self.fetched.append(n)
+            return np.full((4, 4), n, np.uint16)
+
+        def get_mask(self):
+            return None
+
+        def get_number_of_images(self):
+            return 3
+
+    r = _LateReader()
+    s = _StreamingReader(r, range(3), timeout=5.0, threads=2)
+    for n in range(3):
+        assert s.get_image(n)[0, 0] == n
+    s.close()
+    assert sorted(r.fetched) == [0, 1, 2]
+
+    class _NeverReader(_LateReader):
+        def is_image_available(self, n):
+            return False
+
+    s2 = _StreamingReader(_NeverReader(), range(1), timeout=0.3, threads=0)
+    with pytest.raises(TimeoutError, match="waiting for image 0"):
+        s2.get_image(0)
