@@ -218,7 +218,9 @@ class Crystal:
             "real_space_a": [float(v) for v in self.real_space_a],
             "real_space_b": [float(v) for v in self.real_space_b],
             "real_space_c": [float(v) for v in self.real_space_c],
-            "space_group_hall_symbol": "P 1",
+            "space_group_hall_symbol": (
+                "P 1" if self.space_group == "P1" else self.space_group
+            ),
         }
 
     @classmethod

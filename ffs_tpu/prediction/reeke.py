@@ -236,11 +236,13 @@ def reeke_indices(
     s0_2: np.ndarray,
     dmin: float,
     use_monochromatic: bool = True,
+    group_ops=None,
 ) -> np.ndarray:
     """All candidate Miller indices for one image's rotation interval.
 
-    No systematic-absence filtering (P1) — the reference applies gemmi
-    GroupOps on top of the same enumeration.
+    ``group_ops`` (models/symmetry.GroupOps) drops systematically-absent
+    indices like the reference's gemmi filter inside the generator loop
+    (index_generators.hpp:83); None keeps the full P1 enumeration.
     """
     A1 = np.asarray(A1, float)
     A2 = np.asarray(A2, float)
@@ -265,4 +267,7 @@ def reeke_indices(
                     out.append((h, k, l))
     if not out:
         return np.zeros((0, 3), dtype=np.int64)
-    return np.asarray(out, dtype=np.int64)
+    hkl = np.asarray(out, dtype=np.int64)
+    if group_ops is not None:
+        hkl = hkl[~group_ops.is_systematically_absent(hkl)]
+    return hkl

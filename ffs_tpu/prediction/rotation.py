@@ -42,9 +42,16 @@ class ScanVaryingData:
         )
 
 
-def hkl_grid(a_matrix: np.ndarray, dmin: float) -> np.ndarray:
+def hkl_grid(
+    a_matrix: np.ndarray, dmin: float, group_ops=None
+) -> np.ndarray:
     """All hkl with |h| <= |a|/dmin etc. (excluding 000), conservative
-    per-axis loop bounds from the direct cell lengths."""
+    per-axis loop bounds from the direct cell lengths.
+
+    ``group_ops`` (models/symmetry.GroupOps) drops systematically-absent
+    indices — the reference builds its generators with the crystal's
+    space-group operations and filters inside the enumeration
+    (predict.cc:156-157, index_generators.hpp:83,462)."""
     direct = np.linalg.inv(a_matrix)  # rows = real-space vectors
     lengths = np.linalg.norm(direct, axis=1)
     hmax = np.ceil(lengths / dmin).astype(int)
@@ -52,7 +59,10 @@ def hkl_grid(a_matrix: np.ndarray, dmin: float) -> np.ndarray:
     ks = np.arange(-hmax[1], hmax[1] + 1)
     ls = np.arange(-hmax[2], hmax[2] + 1)
     grid = np.stack(np.meshgrid(hs, ks, ls, indexing="ij"), axis=-1).reshape(-1, 3)
-    return grid[~(grid == 0).all(axis=1)]
+    grid = grid[~(grid == 0).all(axis=1)]
+    if group_ops is not None:
+        grid = grid[~group_ops.is_systematically_absent(grid)]
+    return grid
 
 
 def _rays_for_image(xp, hkl, a1, a2, s0_1, s0_2, dmin, phi_beg, d_osc):
@@ -156,7 +166,11 @@ def predict_rotation(
     A = crystal.a_matrix
     s0 = beam.s0
 
-    hkl = hkl_grid(A, dmin)
+    from ..models.symmetry import group_ops_from_symbol
+
+    hkl = hkl_grid(
+        A, dmin, group_ops=group_ops_from_symbol(crystal.space_group)
+    )
 
     if use_device:
         return _predict_rotation_device(

@@ -215,3 +215,52 @@ def test_host_on_panel_bounds_are_in_mm():
     out_px = (x_px < 0) | (x_px >= w) | (y_px < 0) | (y_px >= h)
     # the band is genuinely occupied — px bounds would have dropped these
     assert int(out_px.sum()) > 10
+
+
+def test_systematic_absences_filtered_in_prediction(experiment):
+    """A C2 crystal must predict no h+k-odd reflections, and the kept set
+    must be exactly the P1 prediction minus the absent rows (reference:
+    the generators filter via the crystal's space-group operations,
+    predict.cc:156-157, index_generators.hpp:83)."""
+    from dataclasses import replace
+
+    pred_p1 = predict_rotation(experiment, dmin=4.0, use_device=False)
+    assert ((pred_p1.hkl.sum(axis=1) % 2) != 0).any()  # P1 keeps them
+
+    expt_c2 = replace(
+        experiment,
+        crystal=Crystal(
+            experiment.crystal.real_space_a,
+            experiment.crystal.real_space_b,
+            experiment.crystal.real_space_c,
+            space_group="C 2y",
+        ),
+    )
+    pred_c2 = predict_rotation(expt_c2, dmin=4.0, use_device=False)
+    assert len(pred_c2.hkl) > 0
+    assert ((pred_c2.hkl[:, 0] + pred_c2.hkl[:, 1]) % 2 == 0).all()
+
+    # exactly the allowed subset of the P1 prediction, same positions
+    allowed = (pred_p1.hkl[:, 0] + pred_p1.hkl[:, 1]) % 2 == 0
+    np.testing.assert_array_equal(pred_c2.hkl, pred_p1.hkl[allowed])
+    np.testing.assert_allclose(
+        pred_c2.xyzcal_px, pred_p1.xyzcal_px[allowed], rtol=0, atol=1e-12
+    )
+
+
+def test_reeke_group_ops_filter(experiment):
+    from ffs_tpu.models.symmetry import GroupOps
+    from ffs_tpu.prediction.reeke import reeke_indices
+
+    A = experiment.crystal.a_matrix
+    s0 = experiment.beam.s0
+    # one 0.5-degree image interval about the spindle
+    t = np.deg2rad(0.5)
+    c, s = np.cos(t), np.sin(t)
+    R = np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+    all_hkl = reeke_indices(A, R @ A, s0, s0, dmin=4.0)
+    ops = GroupOps.from_hall("C 2y")
+    kept = reeke_indices(A, R @ A, s0, s0, dmin=4.0, group_ops=ops)
+    want = all_hkl[~ops.is_systematically_absent(all_hkl)]
+    np.testing.assert_array_equal(kept, want)
+    assert len(kept) < len(all_hkl)
