@@ -274,11 +274,18 @@ int ffs_bshuf_lz4_decompress(const uint8_t* src, long long src_len,
         scratch_size = block_bytes;
     }
 
+    if (block_elem % 8) return -81;  // upstream bitshuffle's block rule
+
+    // Upstream framing (bitshuffle bshuf_blocked_wrap_fun): only the first
+    // n_elem - n_elem % 8 elements are bitshuffled into length-prefixed LZ4
+    // blocks; the final n_elem % 8 elements are appended RAW after all
+    // blocks (not folded into the last block).
+    const long long n_shuf = n_elem - (n_elem % 8);
     const uint8_t* ip = src;
     const uint8_t* const iend = src + src_len;
     long long done = 0;
-    while (done < n_elem) {
-        const long long this_elem = (n_elem - done < block_elem) ? (n_elem - done) : block_elem;
+    while (done < n_shuf) {
+        const long long this_elem = (n_shuf - done < block_elem) ? (n_shuf - done) : block_elem;
         const long long this_bytes = this_elem * elem_size;
         if (ip + 4 > iend) return -10;
         const uint32_t comp_len = read_be32(ip);
@@ -291,6 +298,11 @@ int ffs_bshuf_lz4_decompress(const uint8_t* src, long long src_len,
         ffs_bitshuffle_decode(scratch, dst + done * elem_size, this_elem, elem_size);
         done += this_elem;
     }
+    const long long tail_bytes = (n_elem % 8) * elem_size;
+    if (tail_bytes) {
+        if (ip + tail_bytes > iend) return -13;
+        memcpy(dst + n_shuf * elem_size, ip, static_cast<size_t>(tail_bytes));
+    }
     return 0;
 }
 
@@ -301,10 +313,12 @@ long long ffs_bshuf_lz4_compress(const uint8_t* src, long long n_elem,
     if (block_elem <= 0) block_elem = bshuf_default_block_size(elem_size);
     const long long block_bytes = block_elem * elem_size;
     uint8_t* scratch = new uint8_t[block_bytes];
+    if (block_elem % 8) { delete[] scratch; return -81; }
+    const long long n_shuf = n_elem - (n_elem % 8);  // raw tail per upstream
     uint8_t* op = dst;
     long long done = 0;
-    while (done < n_elem) {
-        const long long this_elem = (n_elem - done < block_elem) ? (n_elem - done) : block_elem;
+    while (done < n_shuf) {
+        const long long this_elem = (n_shuf - done < block_elem) ? (n_shuf - done) : block_elem;
         const long long this_bytes = this_elem * elem_size;
         ffs_bitshuffle_encode(src + done * elem_size, scratch, this_elem, elem_size);
         if (op + 4 - dst > dst_capacity) { delete[] scratch; return -1; }
@@ -317,6 +331,12 @@ long long ffs_bshuf_lz4_compress(const uint8_t* src, long long n_elem,
         op[3] = static_cast<uint8_t>(comp & 0xFF);
         op += 4 + comp;
         done += this_elem;
+    }
+    const long long tail_bytes = (n_elem % 8) * elem_size;
+    if (tail_bytes) {
+        if ((op - dst) + tail_bytes > dst_capacity) { delete[] scratch; return -1; }
+        memcpy(op, src + n_shuf * elem_size, static_cast<size_t>(tail_bytes));
+        op += tail_bytes;
     }
     delete[] scratch;
     return static_cast<long long>(op - dst);

@@ -36,12 +36,16 @@ class CBFRead:
         self._num_images = num_images
         self._first_index = first_index
 
+        # one read of the first file serves the header scan AND the
+        # first-frame decode for the mask (the header keys live in the
+        # pre-binary text section; re-reading a multi-MB file twice is
+        # pure waste)
         first_file = expand_template(template, first_index)
         with open(first_file, "rb") as f:
-            head = f.read()
+            data = f.read()
         dims = {}
         for key in ("X-Binary-Size-Fastest-Dimension", "X-Binary-Size-Second-Dimension"):
-            m = re.search((key + r":?\s+(\d+)").encode(), head)
+            m = re.search((key + r":?\s+(\d+)").encode(), data)
             if not m:
                 raise IOError(f"CBF header missing {key} in {first_file}")
             dims[key] = int(m.group(1))
@@ -50,7 +54,13 @@ class CBFRead:
             dims["X-Binary-Size-Fastest-Dimension"],
         )
         # mask = negative pixels of frame 0 (cbfread.cc:62-83); stored 1=valid
-        img0 = self.get_image(0)
+        start = data.find(BINARY_MARKER)
+        if start < 0:
+            raise IOError(f"No binary section in {first_file}")
+        h, w = self._shape
+        img0 = compression.byte_offset_decompress(
+            data[start + len(BINARY_MARKER) :], h * w
+        ).reshape(h, w)
         self._mask = (img0.view(np.int32) >= 0).astype(np.uint8)
 
     @property

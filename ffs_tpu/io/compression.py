@@ -158,13 +158,19 @@ def bshuf_lz4_decompress(
             raise ValueError(f"native bshuf-lz4 decode failed: {rc}")
         return out
 
-    # NumPy fallback
+    # NumPy fallback.  Upstream framing (bitshuffle
+    # bshuf_blocked_wrap_fun): only the first n_elem - n_elem % 8 elements
+    # are bitshuffled into length-prefixed LZ4 blocks; the final
+    # n_elem % 8 elements are appended RAW after all blocks.
     if block_elem <= 0:
         block_elem = _default_block_elems(elem_size)
+    if block_elem % 8:
+        raise ValueError(f"block size {block_elem} elements not a multiple of 8")
+    n_shuf = n_elem - (n_elem % 8)
     done = 0
     i = 0
-    while done < n_elem:
-        this_elem = min(block_elem, n_elem - done)
+    while done < n_shuf:
+        this_elem = min(block_elem, n_shuf - done)
         this_bytes = this_elem * elem_size
         (comp_len,) = struct.unpack_from(">I", payload, i)
         i += 4
@@ -174,6 +180,12 @@ def bshuf_lz4_decompress(
             np.frombuffer(bytes(raw), np.uint8), this_elem, elem_size
         )
         done += this_elem
+    tail_bytes = (n_elem % 8) * elem_size
+    if tail_bytes:
+        tail = payload[i : i + tail_bytes]
+        if len(tail) != tail_bytes:
+            raise ValueError("truncated raw tail in bshuf-lz4 chunk")
+        out[n_shuf * elem_size :] = np.frombuffer(tail, np.uint8)
     return out
 
 
@@ -202,14 +214,17 @@ def bshuf_lz4_compress(
         payload = bytes(out[:written])
     else:
         parts = []
+        n_shuf = n_elem - (n_elem % 8)  # raw tail per upstream framing
         done = 0
-        while done < n_elem:
-            this_elem = min(block_elem, n_elem - done)
+        while done < n_shuf:
+            this_elem = min(block_elem, n_shuf - done)
             block = flat[done * elem_size : (done + this_elem) * elem_size]
             shuf = bitshuffle_encode_np(block, elem_size)
             comp = _lz4_compress_block_np(bytes(shuf))
             parts.append(struct.pack(">I", len(comp)) + comp)
             done += this_elem
+        if n_elem % 8:
+            parts.append(bytes(flat[n_shuf * elem_size :]))
         payload = b"".join(parts)
 
     if with_header:

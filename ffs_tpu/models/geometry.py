@@ -93,13 +93,6 @@ class Scan:
             start, width = 0.0, 0.0
         return cls(image_range=(int(rng[0]), int(rng[1])), oscillation=(start, width))
 
-    def angle_from_image_index(self, z: float, deg: bool = True) -> float:
-        """phi at fractional image index z (0-based within the loaded block,
-        as the reference's z-centroids are; image_range[0] maps to z offset)."""
-        start, width = self.oscillation
-        phi = start + (z - self.image_range[0]) * width
-        return phi if deg else np.deg2rad(phi)
-
 
 @dataclass
 class Panel:
@@ -112,6 +105,7 @@ class Panel:
     mu: float = 0.0  # linear attenuation coefficient (mm^-1)
     thickness: float = 0.0  # sensor thickness (mm)
     parallax: bool = False
+    material: str = ""  # sensor material ("Si", "CdTe", ...)
 
     @classmethod
     def from_json(cls, obj: dict) -> "Panel":
@@ -126,6 +120,7 @@ class Panel:
             mu=float(obj.get("mu", 0.0)),
             thickness=float(obj.get("thickness", 0.0)),
             parallax=strategy == "ParallaxCorrectedPxMmStrategy",
+            material=str(obj.get("material", "")),
         )
 
     def to_json(self) -> dict:
@@ -138,9 +133,15 @@ class Panel:
             "raw_image_offset": [0, 0],
             "image_size": list(self.image_size),
             "pixel_size": list(self.pixel_size),
-            "trusted_range": list(self.trusted_range),
+            # an unbounded trusted max serialises as the float64 max:
+            # the raw inf would emit the non-RFC "Infinity" token, which
+            # strict parsers (nlohmann::json, JSON.parse) reject
+            "trusted_range": [
+                v if np.isfinite(v) else np.finfo(np.float64).max
+                for v in map(float, self.trusted_range)
+            ],
             "thickness": self.thickness,
-            "material": "Si" if self.mu else "",
+            "material": self.material or ("Si" if self.mu else ""),
             "mu": self.mu,
             "identifier": "",
             "mask": [],
@@ -233,6 +234,7 @@ def simple_panel(
     mu: float = 0.0,
     thickness: float = 0.0,
     parallax: bool = False,
+    material: str = "",
 ) -> Panel:
     """Perpendicular-detector panel, as the reference builds in the
     spotfinder epilogue (reference: spotfinder/spotfinder.cc:1157-1162):
@@ -252,4 +254,5 @@ def simple_panel(
         mu=mu,
         thickness=thickness,
         parallax=parallax,
+        material=material,
     )

@@ -107,8 +107,17 @@ class ReflectionTable:
                     i.decode() if isinstance(i, bytes) else str(i)
                     for i in np.atleast_1d(idents)
                 ]
-            if not table.experiment_ids:
+            if not table.experiment_ids and not table.identifiers:
                 table.experiment_ids, table.identifiers = [0], [str(uuid.uuid4())]
+            elif not table.experiment_ids:
+                # one attr present without the other: synthesize the
+                # missing one so the pair always zips (consumers map
+                # experiment_ids -> identifiers, e.g. ssx_index)
+                table.experiment_ids = list(range(len(table.identifiers)))
+            elif not table.identifiers:
+                table.identifiers = [
+                    str(uuid.uuid4()) for _ in table.experiment_ids
+                ]
             for name in g:
                 table._columns[name] = g[name][()]
         return table

@@ -205,6 +205,7 @@ class PiaService:
                 mu=mu,
                 thickness=det.thickness,
                 parallax=True,
+                material=det.material.name,
             )
             self.indexer.wavelength = parameters.wavelength
             self.output_for_index = True

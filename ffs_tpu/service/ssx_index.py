@@ -127,6 +127,7 @@ def run(args=None) -> None:
         mu=panel_dict.get("mu", 0.0),
         thickness=panel_dict.get("thickness", 0.0),
         parallax=panel_dict.get("mu", 0.0) > 0,
+        material=panel_dict.get("material", ""),
     )
 
     if not parsed.reflections:
@@ -150,6 +151,12 @@ def run(args=None) -> None:
             "Unable to interpret the reflection file - please check input.\n"
             f" Error: {e}"
         )
+        return
+
+    if parsed.cell is None:
+        # friendly error like the -r/-e paths (divergence: the reference
+        # crashes with a raw TypeError via gemmi.UnitCell(*None))
+        print("Please specify the unit cell with -c/--cell")
         return
 
     from ..indexing.ssx import SSXIndexer

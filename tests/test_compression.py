@@ -144,3 +144,46 @@ def test_byte_offset_roundtrip_and_oracle(rng):
     np.testing.assert_array_equal(got, vals.astype(np.int32))
     got_np = comp.byte_offset_decompress_np(bytes(out), len(vals))
     np.testing.assert_array_equal(got_np, vals.astype(np.int32))
+
+
+@pytest.mark.parametrize("n_elem", [5, 56211, 4096 + 3])
+def test_bshuf_lz4_upstream_tail_framing(rng, n_elem):
+    """Upstream bitshuffle framing: the final n_elem % 8 elements are
+    stored RAW after all length-prefixed LZ4 blocks (bitshuffle
+    bshuf_blocked_wrap_fun), not folded into the last block.  Pin the
+    byte-level framing and cross-decode native <-> NumPy."""
+    data = rng.poisson(4, size=n_elem).astype(np.uint16)
+    chunk = comp.bshuf_lz4_compress(data, 2)  # native when available
+    tail_elems = n_elem % 8
+    if tail_elems:
+        # the chunk must END with the raw little-endian tail elements
+        tail = np.frombuffer(chunk[-tail_elems * 2 :], "<u2")
+        np.testing.assert_array_equal(tail, data[-tail_elems:])
+
+    # native decode
+    flat = comp.bshuf_lz4_decompress(chunk, n_elem, 2)
+    np.testing.assert_array_equal(flat.view("<u2"), data)
+
+    # NumPy decode of the (native-encoded) chunk — framing must agree
+    block_bytes = int.from_bytes(chunk[8:12], "big")
+    out = np.empty(n_elem * 2, np.uint8)
+    payload = chunk[12:]
+    done = 0
+    i = 0
+    n_shuf = n_elem - tail_elems
+    block_elem = block_bytes // 2
+    while done < n_shuf:
+        this_elem = min(block_elem, n_shuf - done)
+        comp_len = int.from_bytes(payload[i : i + 4], "big")
+        i += 4
+        raw = comp.lz4_decompress_block_np(
+            payload[i : i + comp_len], this_elem * 2
+        )
+        i += comp_len
+        out[done * 2 : done * 2 + this_elem * 2] = comp.bitshuffle_decode_np(
+            np.frombuffer(bytes(raw), np.uint8), this_elem, 2
+        )
+        done += this_elem
+    if tail_elems:
+        out[n_shuf * 2 :] = np.frombuffer(payload[i : i + tail_elems * 2], np.uint8)
+    np.testing.assert_array_equal(out.view("<u2"), data)

@@ -59,3 +59,53 @@ def test_image_modules_view():
     # module (0, 1) starts at fast offset 1040
     assert mods[0, 1, 0, 0] == 1040
     assert mods[3, 0, 100, 77] == 77
+
+
+def test_panel_material_and_trusted_range_round_trip():
+    """A CdTe panel must not be silently relabeled Si on serialisation,
+    and an unbounded trusted max must emit valid JSON (no Infinity)."""
+    import json
+
+    import numpy as np
+
+    from ffs_tpu.models.geometry import Panel, simple_panel
+
+    p = simple_panel(
+        150.0, (100.0, 120.0), (0.075, 0.075), (200, 240),
+        mu=90.0, thickness=0.75, parallax=True, material="CdTe",
+    )
+    obj = p.to_json()
+    assert obj["material"] == "CdTe"
+    txt = json.dumps(obj)  # default trusted max is inf
+    assert "Infinity" not in txt
+    p2 = Panel.from_json(json.loads(txt))
+    assert p2.material == "CdTe"
+    assert p2.mu == 90.0 and p2.parallax
+    assert np.isfinite(p2.trusted_range[1])
+
+
+def test_reflection_table_attr_repair_one_sided(tmp_path):
+    """A .refl with exactly one of experiment_ids/identifiers present must
+    load with BOTH, same length (consumers zip the pair)."""
+    import h5py
+    import numpy as np
+
+    from ffs_tpu.models.reflection_table import DEFAULT_GROUP, ReflectionTable
+
+    path = tmp_path / "one_sided.refl"
+    with h5py.File(path, "w") as f:
+        g = f.create_group(DEFAULT_GROUP)
+        g.create_dataset("id", data=np.zeros(4, np.int64))
+        g.attrs["experiment_ids"] = np.array([0, 1])
+    t = ReflectionTable.read(str(path))
+    assert t.experiment_ids == [0, 1]
+    assert len(t.identifiers) == 2
+
+    path2 = tmp_path / "other_sided.refl"
+    with h5py.File(path2, "w") as f:
+        g = f.create_group(DEFAULT_GROUP)
+        g.create_dataset("id", data=np.zeros(4, np.int64))
+        g.attrs["identifiers"] = np.array([b"abc", b"def"])
+    t2 = ReflectionTable.read(str(path2))
+    assert t2.identifiers == ["abc", "def"]
+    assert t2.experiment_ids == [0, 1]
