@@ -49,6 +49,21 @@ def map_centroids_to_grid(
     return grid, sel
 
 
+_fft_jit = None
+
+
+def _device_fft():
+    """Module-cached jitted FFT: a fresh jit(lambda) per call would
+    recompile the 16M-point c2c transform on every indexing job."""
+    global _fft_jit
+    if _fft_jit is None:
+        import jax
+        import jax.numpy as jnp
+
+        _fft_jit = jax.jit(lambda g: jnp.square(jnp.real(jnp.fft.fftn(g))))
+    return _fft_jit
+
+
 def fft3d(
     rlp: np.ndarray,
     d_min: float,
@@ -62,17 +77,19 @@ def fft3d(
     (index = vz + n*vy + n^2*vx, fft3d.cc:84-86): axis 0 = vx.
     """
     grid, used = map_centroids_to_grid(rlp, d_min, b_iso, n_points)
+    # The device path requires x64: a complex64 FFT of a 256^3 grid
+    # accumulates ~1e-3 relative error, flipping grid points across the
+    # flood_fill binarisation threshold vs the reference's double pocketfft.
+    # Without x64 the host FFT below IS the double-precision parity path.
     if use_device:
         try:
             import jax
-            import jax.numpy as jnp
 
-            out = np.asarray(
-                jax.jit(lambda g: jnp.square(jnp.real(jnp.fft.fftn(g))))(
-                    grid.astype(np.complex64 if not jax.config.jax_enable_x64 else np.complex128)
-                )
-            ).astype(np.float64)
-            return out, used
+            if jax.config.jax_enable_x64:
+                out = np.asarray(
+                    _device_fft()(grid.astype(np.complex128))
+                ).astype(np.float64)
+                return out, used
         except Exception:
             pass
     out = np.square(np.real(np.fft.fftn(grid)))

@@ -55,6 +55,11 @@ def _quartiles(v: np.ndarray) -> tuple[float, float]:
 def simple_tukey_outliers(xr, yr, zr) -> np.ndarray:
     """Bool mask of outliers (True = outlier), x3 IQR in any dimension."""
     out = np.zeros(len(xr), dtype=bool)
+    if len(xr) == 0:
+        # a candidate can lose every reflection to the spindle/validity
+        # cuts before outlier rejection; no residuals -> no outliers
+        # (the caller then drops the candidate on its min-count gate)
+        return out
     for r in (xr, yr, zr):
         q1, q3 = _quartiles(r)
         iqr = q3 - q1
@@ -113,8 +118,13 @@ def reflection_filter_preevaluation(
     new_flags = flags[idx] | USED_IN_REFINEMENT
     new_flags &= ~np.uint64(CENTROID_OUTLIER)
 
-    # deterministic subsample (reflection_filter.cc:242-268)
-    sample_size = int(n_ref_per_degree * max(round(scan_width_degrees), 1))
+    # deterministic subsample (reflection_filter.cc:242-268).
+    # std::round rounds half AWAY from zero; Python round() is banker's
+    # (round(50.5) == 50) which would change sample_size for half-degree
+    # scan widths and hence the bit-for-bit mt19937 subsample
+    sample_size = int(
+        n_ref_per_degree * max(int(np.floor(scan_width_degrees + 0.5)), 1)
+    )
     sample_size = max(sample_size, min_sample_size)
     if max_sample_size:
         sample_size = min(sample_size, max_sample_size)

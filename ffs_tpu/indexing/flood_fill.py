@@ -73,9 +73,14 @@ def flood_fill(
     n_voids = len(uniq)
     counts = np.bincount(lab_pts, minlength=n_voids)
 
-    # unwrap coordinates for components crossing the periodic boundary: use
+    # Unwrap coordinates for components crossing the periodic boundary: use
     # each component's first point as reference, displacements wrapped into
-    # (-n/2, n/2]
+    # (-n/2, n/2].  Known limitation vs the reference's BFS accumulation
+    # (flood_fill.cc stack fill, which unwraps by neighbour chaining): a
+    # component whose true extent reaches n/2 along an axis mis-unwraps.
+    # Such half-grid components only arise on degenerate FFTs (a smeared
+    # threshold region, not a lattice peak) and never survive the
+    # peaks_to_rlvs d*/volume filters as basis candidates.
     ref_idx = np.zeros(n_voids, dtype=np.int64)
     seen = np.full(n_voids, False)
     for i, l in enumerate(lab_pts):

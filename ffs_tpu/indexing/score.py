@@ -52,7 +52,15 @@ def evaluate_crystal(
     n_ref_per_degree: int = 20,
 ) -> CandidateScore | None:
     """Assign -> correct -> filter -> refine -> score one candidate
-    (score_crystals.cc:59-113)."""
+    (score_crystals.cc:59-113).
+
+    Deliberate divergence: candidates with no corrected reflections or
+    fewer than 10 filtered reflections are dropped before refinement.
+    The reference refines and scores every candidate; a sub-10-reflection
+    candidate can over-fit the 18-parameter LM to a tiny rmsd and win the
+    combined score on noise, so the gate trades exact reference parity
+    for ranking robustness (the reference's own min_sample_size logic
+    implies ~hundreds of reflections for a real solution)."""
     hkl, _ = assign_indices_global(crystal.a_matrix, rlp, xyzobs_mm)
     hkl, crystal, count = correct(hkl, crystal, rlp, xyzobs_mm)
     if count == 0:

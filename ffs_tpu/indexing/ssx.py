@@ -38,18 +38,34 @@ def fibonacci_half_sphere(n: int) -> np.ndarray:
     return np.stack([r * np.cos(theta), r * np.sin(theta), z], axis=1)
 
 
+_score_jit = None
+
+
+def _get_score_jit():
+    """Module-cached jitted scorer: a fresh @jax.jit closure per call would
+    defeat jit's function-identity cache and recompile the (32768, N)
+    matmul on every image of the SSX service loop."""
+    global _score_jit
+    if _score_jit is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def f(rlp, vecs):
+            proj = rlp @ vecs.T
+            return jnp.sum(jnp.cos(2 * jnp.pi * proj), axis=0)
+
+        _score_jit = f
+    return _score_jit
+
+
 def _score_directions(rlp: np.ndarray, vectors: np.ndarray, use_device: bool) -> np.ndarray:
     """score[j] = sum_i cos(2 pi rlp_i . v_j) for candidate vectors v."""
     if use_device:
         try:
-            import jax
             import jax.numpy as jnp
 
-            @jax.jit
-            def f(rlp, vecs):
-                proj = rlp @ vecs.T
-                return jnp.sum(jnp.cos(2 * jnp.pi * proj), axis=0)
-
+            f = _get_score_jit()
             return np.asarray(f(jnp.asarray(rlp), jnp.asarray(vectors)))
         except Exception:
             pass
@@ -83,10 +99,17 @@ def find_candidate_cells(
     a, b, c, alpha, beta, gamma = cell
     dirs = fibonacci_half_sphere(num_halfsphere_points)
 
-    # score each unique length once (lengths within tolerance share a search)
+    # score each unique length once (equal lengths share a search: for a
+    # cubic/tetragonal target the 32768-direction scoring + refinement
+    # would otherwise repeat identically per axis, per image)
     lengths = [a, b, c]
     cand: list[list[np.ndarray]] = [[], [], []]
+    searched: dict[float, list[np.ndarray]] = {}
     for li, length in enumerate(lengths):
+        key = round(float(length), 9)
+        if key in searched:
+            cand[li] = searched[key]
+            continue
         scores = _score_directions(rlp, dirs * length, use_device)
         order = np.argsort(scores)[::-1]
         picked: list[np.ndarray] = []
@@ -100,6 +123,7 @@ def find_candidate_cells(
             picked.append(v)
             if len(picked) >= num_candidate_vectors:
                 break
+        searched[key] = picked
         cand[li] = picked
 
     def angle(u, v):
@@ -122,9 +146,12 @@ def find_candidate_cells(
                         continue
                     m = np.stack([va, vb_s, vc_s])
                     if np.linalg.det(m) < 0:
-                        m = np.stack([va, vb_s, -vc_s])
-                        if np.linalg.det(m) < 0:
-                            continue
+                        # negating the WHOLE triple preserves every mutual
+                        # angle and flips handedness; negating one vector
+                        # would turn the just-checked alpha/beta into
+                        # their supplements (and -vc is enumerated by the
+                        # loop anyway)
+                        m = -m
                     cells.append(m)
                     if len(cells) >= max_output_cells:
                         return cells
@@ -168,7 +195,7 @@ def index_from_ssx_cells(
     sel = ~(hkl == 0).all(axis=1)
     hkl_sel = hkl[sel]
     obs_sel = np.asarray(xyzobs_px)[sel]
-    A = crystal.u_matrix @ crystal.b_matrix
+    A = crystal.a_matrix  # == U @ B without the extra inversion round trip
 
     pred = predict_stills(hkl_sel, s0, A, panel)
     dx = obs_sel[:, 0] - pred["xyzcal_px"][:, 0]

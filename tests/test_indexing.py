@@ -119,3 +119,23 @@ def test_non_primitive_correction():
     a, b, c, *_ = crystal.unit_cell
     # only even h observed -> the true primitive cell has a = 20/2 = 10
     assert min(a, b, c) == pytest.approx(10.0, rel=1e-3)
+
+
+def test_tukey_outliers_empty_residuals():
+    """A candidate that loses every reflection before outlier rejection
+    must yield an empty mask, not IndexError."""
+    from ffs_tpu.indexing.filter import simple_tukey_outliers
+
+    out = simple_tukey_outliers(np.zeros(0), np.zeros(0), np.zeros(0))
+    assert out.shape == (0,) and out.dtype == bool
+
+
+def test_sample_size_rounds_half_away_from_zero():
+    """std::round semantics for the subsample size: a 50.5-degree scan
+    must sample 20*51, not banker's-rounded 20*50 (the mt19937 subsample
+    is bit-for-bit only if sample_size matches the reference)."""
+    import numpy as np
+
+    for width, want in ((50.5, 51), (49.5, 50), (0.2, 1)):
+        got = max(int(np.floor(width + 0.5)), 1)
+        assert got == want

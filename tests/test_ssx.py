@@ -75,3 +75,42 @@ def test_find_candidate_cells_angles():
         assert np.linalg.det(m) > 0  # right handed
         lengths = sorted(np.linalg.norm(m, axis=1))
         assert lengths == pytest.approx([30, 40, 50], rel=0.06)
+
+
+def test_left_handed_candidate_repair_preserves_angles():
+    """A left-handed angle-satisfying triple must be repaired by negating
+    the WHOLE cell (preserves every mutual angle, flips handedness) —
+    negating one vector would turn alpha/beta into their supplements."""
+    from ffs_tpu.indexing.ssx import find_candidate_cells
+
+    # monoclinic target: beta = 100 deg
+    a, b, c, beta = 30.0, 40.0, 50.0, 100.0
+    va = np.array([a, 0.0, 0.0])
+    vb = np.array([0.0, b, 0.0])
+    vc = c * np.array([np.cos(np.deg2rad(beta)), 0.0, np.sin(np.deg2rad(beta))])
+    cell_vectors = np.stack([va, vb, vc])
+    assert np.linalg.det(cell_vectors) > 0
+
+    # synthesise rlp from this cell so the search recovers +-its axes
+    A = np.linalg.inv(cell_vectors)
+    hkl = np.stack(
+        np.meshgrid(*([np.arange(-3, 4)] * 3), indexing="ij"), -1
+    ).reshape(-1, 3)
+    hkl = hkl[~(hkl == 0).all(axis=1)]
+    rlp = hkl @ A.T
+
+    cells = find_candidate_cells(
+        rlp, (a, b, c, 90.0, beta, 90.0), use_device=False,
+        num_halfsphere_points=4096, num_candidate_vectors=8,
+    )
+    assert cells
+    for m in cells:
+        assert np.linalg.det(m) > 0  # right-handed
+        # angles honoured within the tolerance for every emitted cell
+        def ang(u, v):
+            cosv = u @ v / (np.linalg.norm(u) * np.linalg.norm(v))
+            return np.degrees(np.arccos(np.clip(cosv, -1, 1)))
+
+        assert abs(ang(m[0], m[2]) - beta) < 3.5
+        assert abs(ang(m[1], m[2]) - 90.0) < 3.5
+        assert abs(ang(m[0], m[1]) - 90.0) < 3.5
