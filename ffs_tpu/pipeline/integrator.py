@@ -91,9 +91,16 @@ def run(argv=None) -> int:
     from ..models.reflection_table import INTEGRATED_SUM, PREDICTED, ReflectionTable
     from ..prediction.rotation import predict_rotation
 
+    from ..utils.cli import add_common_arguments, apply_verbosity, expand_common_args
+
     p = argparse.ArgumentParser(prog="integrator")
-    p.add_argument("--reflection", "-r", required=True, metavar="strong.refl")
-    p.add_argument("--experiment", "-e", required=True, metavar="experiments.expt")
+    add_common_arguments(p)
+    # the reference integrator derives from CUDAArgumentParser, which adds
+    # the device-selection surface (cuda_arg_parser.cc:30-41)
+    p.add_argument("--list-devices", action="store_true")
+    p.add_argument("--device", type=int, default=0)
+    p.add_argument("--reflection", "-r", required=False, metavar="strong.refl")
+    p.add_argument("--experiment", "-e", required=False, metavar="experiments.expt")
     p.add_argument("--images", "-i", default=None, metavar="images.nxs")
     p.add_argument("-n", "--threads", type=int, default=0)
     p.add_argument("--timeout", type=float, default=30.0)
@@ -124,7 +131,17 @@ def run(argv=None) -> int:
         "spotfinder --profile analogue; reference per-stage CUDA events: "
         "integrator.cc:925-991)",
     )
-    args = p.parse_args(argv)
+    args = p.parse_args(expand_common_args(argv))
+    apply_verbosity(args)
+
+    if args.list_devices:
+        import jax
+
+        for i, d in enumerate(jax.devices()):
+            print(f"{i}: {d.device_kind}")
+        return 0
+    if not args.reflection or not args.experiment:
+        p.error("the following arguments are required: --reflection/-r, --experiment/-e")
 
     stage_t: dict[str, float] = {}
     t_last = time.monotonic()

@@ -28,6 +28,9 @@ def _build_parser(version: str) -> argparse.ArgumentParser:
     group.add_argument("--sample", action="store_true", help="Use generated test data")
     group.add_argument("file", nargs="?", default="", metavar="FILE.nxs")
     p.add_argument("--version", action="version", version=version)
+    from ..utils.cli import add_common_arguments
+
+    add_common_arguments(p)
     p.add_argument("--list-devices", action="store_true")
     p.add_argument("--device", type=int, default=0)
     p.add_argument("-n", "--threads", type=int, default=1, metavar="NUM")
@@ -221,7 +224,10 @@ def run(argv=None, default_pixel_depth: int = 16) -> int:
     from ..spotfind import SpotfindConfig, SpotfindProcessor
 
     print(f"Spotfinder version: {__version__}")
-    args = _build_parser(__version__).parse_args(argv)
+    from ..utils.cli import apply_verbosity, expand_common_args
+
+    args = _build_parser(__version__).parse_args(expand_common_args(argv))
+    apply_verbosity(args)
 
     # Cooperative SIGINT cancellation (reference: spotfinder.cc:43-54,603):
     # the first Ctrl-C stops image intake so the epilogue (3D merge, sigma

@@ -109,3 +109,40 @@ def test_reflection_table_attr_repair_one_sided(tmp_path):
     t2 = ReflectionTable.read(str(path2))
     assert t2.identifiers == ["abc", "def"]
     assert t2.experiment_ids == [0, 1]
+
+
+def test_common_args_file_appended(tmp_path, monkeypatch):
+    # reference: src/ffs/arg_parser.cc:53-70 — each non-empty common.args
+    # line is appended unless that exact argument string is already present
+    from ffs_tpu.utils.cli import expand_common_args
+
+    monkeypatch.chdir(tmp_path)
+    assert expand_common_args(["--sample"]) == ["--sample"]
+    (tmp_path / "common.args").write_text("--images\n4\n\n--sample\n")
+    got = expand_common_args(["--sample"])
+    assert got == ["--sample", "--images", "4"]  # dedup + skip blank
+    # no argv: falls back to sys.argv[1:] plus the file
+    monkeypatch.setattr("sys.argv", ["prog", "--images"])
+    assert expand_common_args(None) == ["--images", "4", "--sample"]
+
+
+def test_verbose_flag_sets_debug_level(monkeypatch):
+    import argparse
+
+    from ffs_tpu.utils.cli import add_common_arguments, apply_verbosity
+
+    monkeypatch.delenv("LOG_LEVEL", raising=False)
+    p = argparse.ArgumentParser()
+    add_common_arguments(p)
+    apply_verbosity(p.parse_args([]))
+    assert "LOG_LEVEL" not in __import__("os").environ
+    apply_verbosity(p.parse_args(["-v"]))
+    assert __import__("os").environ["LOG_LEVEL"] == "debug"
+
+
+def test_cli_parsers_accept_verbose():
+    # both FFSArgumentParser-derived binaries expose -v/--verbose
+    from ffs_tpu.pipeline.spotfinder import _build_parser
+
+    args = _build_parser("0").parse_args(["--sample", "-v"])
+    assert args.verbose
