@@ -6,6 +6,10 @@ spotfinder profile variances (sigma_b_variance / sigma_m_variance columns,
 sigma_m restricted to spots spanning >= min_bbox_depth images) and (b) the
 positional rmsd between predicted and observed centroids in Kabsch space
 (with a 0.1 degree mis-prediction guard).
+
+Deliberate divergence: when NO deep reflection passes the 0.1 degree guard
+the reference divides 0/0 (sigma_estimation.cc:154 count_m==0) and returns a
+NaN sigma_m; we use 0.0 so the profile term alone survives.
 """
 
 from __future__ import annotations
