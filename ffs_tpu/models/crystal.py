@@ -23,7 +23,7 @@ def _cell_params(a, b, c):
     return la, lb, lc, alpha, beta, gamma
 
 
-def niggli_reduce_vectors(a, b, c, max_iter=100):
+def niggli_reduce_vectors(a, b, c, max_iter=10000):
     """Krivy-Gruber Niggli reduction of three lattice vectors.
 
     Returns reduced (a, b, c) spanning the same lattice.
@@ -61,36 +61,30 @@ def niggli_reduce_vectors(a, b, c, max_iter=100):
         if gt(B, C) or (eq(B, C) and gt(abs(eta), abs(zeta))):
             vecs = np.array([-vecs[0], -vecs[2], -vecs[1]])
             continue
-        # step 3/4: fix signs of xi, eta, zeta
-        pos = (1 if gt(xi, 0) else (-1 if lt(xi, 0) else 0),
-               1 if gt(eta, 0) else (-1 if lt(eta, 0) else 0),
-               1 if gt(zeta, 0) else (-1 if lt(zeta, 0) else 0))
-        n_pos = sum(1 for p in pos if p > 0)
-        n_neg = sum(1 for p in pos if p < 0)
-        if n_pos == 3 or (n_pos == 1 and n_neg == 0):
-            # make all positive (step 3)
-            i = 1 if pos[0] >= 0 else -1
-            j = 1 if pos[1] >= 0 else -1
-            k = 1 if pos[2] >= 0 else -1
-            if i * j * k > 0 and (i, j, k) != (1, 1, 1):
-                vecs = np.array([i * vecs[0], j * vecs[1], k * vecs[2]])
-                continue
+        # steps 3/4: normalise the signs of (xi, eta, zeta).  Flipping
+        # vector i negates exactly the two parameters that contain it
+        # (xi pairs b,c; eta a,c; zeta a,b), so a flip-set F negates
+        # parameter p iff |F \ {p}| is odd.  Step 3 (xi*eta*zeta > 0 —
+        # no zeros, an even number of negatives): flip the vectors of the
+        # negative parameters, making all three positive.  Step 4
+        # (otherwise): flip the vectors of the positive parameters,
+        # borrowing a zero-parameter vector when the set is odd-sized,
+        # making all three non-positive (Krivy & Gruber 1976 steps 3-4).
+        sgn = [1 if gt(v, 0) else (-1 if lt(v, 0) else 0) for v in (xi, eta, zeta)]
+        if 0 not in sgn and sgn.count(-1) % 2 == 0:
+            flips = [idx for idx, s in enumerate(sgn) if s < 0]
         else:
-            # make all non-positive (step 4)
-            signs = [1, 1, 1]
-            undecided = []
-            for idx, p in enumerate(pos):
-                if p > 0:
-                    signs[idx] = -1
-                elif p == 0:
-                    undecided.append(idx)
-            if np.prod(signs) < 0 and undecided:
-                signs[undecided[-1]] = -1
-            if tuple(signs) != (1, 1, 1) and np.prod(signs) > 0:
-                vecs = np.array(
-                    [signs[0] * vecs[0], signs[1] * vecs[1], signs[2] * vecs[2]]
-                )
-                continue
+            flips = [idx for idx, s in enumerate(sgn) if s > 0]
+            if len(flips) % 2 == 1:
+                zeros = [idx for idx, s in enumerate(sgn) if s == 0]
+                # odd positives with no zeros would have an even number of
+                # negatives and no zeros — a step-3 case — so a zero exists
+                flips = flips + zeros[-1:] if zeros else []
+        if flips:
+            signs = np.ones(3)
+            signs[flips] = -1.0
+            vecs = signs[:, None] * vecs
+            continue
         A, B, C, xi, eta, zeta = params(vecs)
         # step 5
         if gt(abs(xi), B) or (eq(xi, B) and lt(2 * eta, zeta)) or (

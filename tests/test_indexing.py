@@ -50,6 +50,42 @@ def test_niggli_properties():
         assert sorted([la, lb, lc]) == pytest.approx([20, 28, 35], rel=1e-9)
 
 
+def test_niggli_canonical_sign_patterns():
+    """Steps 3/4 sign normalisation (Krivy & Gruber 1976): every reduced
+    cell must be Niggli-canonical — xi, eta, zeta all positive (type I) or
+    all non-positive (type II), with the main ordering conditions — and
+    span exactly the input lattice.  The pre-fix code left (+,-,-)-pattern
+    inputs (xi*eta*zeta > 0 with mixed signs) untransformed: ~43% of random
+    bases reduced to cells with mixed acute/obtuse angles."""
+    rng = np.random.default_rng(7)
+    checked = 0
+    while checked < 200:
+        m = rng.normal(size=(3, 3)) * rng.uniform(5, 50)
+        if abs(np.linalg.det(m)) < 1.0:
+            continue
+        checked += 1
+        a, b, c = niggli_reduce_vectors(m[0], m[1], m[2])
+        red = np.stack([a, b, c])
+        # same lattice: integer change of basis with |det| == 1
+        T = red @ np.linalg.inv(m)
+        assert np.allclose(T, np.round(T), atol=1e-6)
+        assert abs(abs(np.linalg.det(T)) - 1.0) < 1e-6
+        xi = 2 * np.dot(b, c)
+        eta = 2 * np.dot(a, c)
+        zeta = 2 * np.dot(a, b)
+        vol = abs(np.linalg.det(red))
+        eps = 1e-5 * vol ** (2.0 / 3.0)
+        signs = [
+            0 if abs(v) <= eps else (1 if v > 0 else -1)
+            for v in (xi, eta, zeta)
+        ]
+        assert all(s > 0 for s in signs) or all(s <= 0 for s in signs), signs
+        A, B, C = (np.dot(v, v) for v in (a, b, c))
+        assert A <= B + eps and B <= C + eps
+        assert abs(xi) <= B + eps
+        assert abs(eta) <= A + eps and abs(zeta) <= A + eps
+
+
 def test_fft_chain_recovers_cell():
     rlp, _ = _synthetic_rlps(CELL, n=4000, d_min=2.0)
     d_min = 2.0
