@@ -19,7 +19,7 @@ geometry, here swept over:
   * Poisson background at random rates + saturating high counts,
     random detector-mask bands and holes overlapping shoeboxes.
 
-Usage: python tools/fuzz_integrator.py [N_SEEDS]
+Usage: python tools/fuzz_integrator.py [N_SEEDS [START_SEED]]
 Exit code 0 = every accumulator of every seed bit-identical.
 """
 
@@ -241,11 +241,14 @@ def run_seed(seed: int, verbose: bool = False) -> bool:
 
 def main():
     n_seeds = 20
-    for a in sys.argv[1:]:
-        if a.isdigit():
-            n_seeds = int(a)
+    start = 0
+    digits = [int(a) for a in sys.argv[1:] if a.isdigit()]
+    if digits:
+        n_seeds = digits[0]
+    if len(digits) > 1:
+        start = digits[1]
     failures = 0
-    for seed in range(n_seeds):
+    for seed in range(start, start + n_seeds):
         try:
             if not run_seed(seed, verbose=True):
                 failures += 1

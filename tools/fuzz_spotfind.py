@@ -14,7 +14,7 @@ adversarial content:
   * random masks (bands, holes, fully open), both CC backends, both
     algorithms (dispersion / dispersion_extended), batch vs per-frame.
 
-Usage: python tools/fuzz_spotfind.py [N_SEEDS]
+Usage: python tools/fuzz_spotfind.py [N_SEEDS [START_SEED]]
 Exit code 0 = no mismatches.  Seeds cycle through a FIXED config pool
 (shape/dtype/algorithm/backend/mask) with processors cached per config,
 so the number of distinct XLA compiles — and therefore host memory — is
@@ -200,20 +200,23 @@ def run_seed(seed: int) -> bool:
 
 def main():
     n_seeds = 50
-    for a in sys.argv[1:]:
-        if a.isdigit():
-            n_seeds = int(a)
+    start = 0
+    digits = [int(a) for a in sys.argv[1:] if a.isdigit()]
+    if digits:
+        n_seeds = digits[0]
+    if len(digits) > 1:
+        start = digits[1]
     failures = 0
-    for seed in range(n_seeds):
+    for seed in range(start, start + n_seeds):
         try:
             if not run_seed(seed):
                 failures += 1
         except Exception as e:  # a crash is a finding too
             print(f"CRASH seed={seed}: {type(e).__name__}: {e}")
             failures += 1
-        if (seed + 1) % 10 == 0:
-            print(f"... {seed + 1}/{n_seeds} seeds, {failures} failures",
-                  flush=True)
+        if (seed + 1 - start) % 10 == 0:
+            print(f"... {seed + 1 - start}/{n_seeds} seeds, "
+                  f"{failures} failures", flush=True)
     print(f"fuzz done: {n_seeds} seeds, {failures} failures")
     return 1 if failures else 0
 
