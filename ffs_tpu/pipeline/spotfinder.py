@@ -57,7 +57,9 @@ def _build_parser(version: str) -> argparse.ArgumentParser:
     p.add_argument("-a", "--algorithm", default="dispersion", metavar="ALGO")
     p.add_argument("--dmin", type=float, default=-1.0, metavar="MIN D")
     p.add_argument("--dmax", type=float, default=-1.0, metavar="MAX D")
-    p.add_argument("-w", "--wavelength", type=float, default=None, metavar="λ")
+    # "-λ" short alias matches the reference parser (spotfinder.cc:382)
+    p.add_argument("-w", "-λ", "--wavelength", type=float, default=None,
+                   metavar="λ")
     p.add_argument("--detector", default=None, metavar="JSON")
     p.add_argument("-h5", "--save-h5", action="store_true")
     p.add_argument("--output-for-index", action="store_true")
