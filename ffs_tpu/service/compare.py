@@ -4,6 +4,13 @@ Equivalent of the reference XRCResultCompare (reference:
 src/ffs/compare_service.py:23-126): pairs GPU- and CPU-produced XRC results
 for the same data collection and diffs them.  Transport-agnostic core plus
 an optional zocalo wrapper, mirroring ffs_tpu.service.pia.
+
+Deliberate divergence: when two results from the SAME implementation
+arrive for one DCID the reference nacks both headers and then falls
+through to ack them as well (compare_service.py:116-126 — the error
+branch is missing a return, double-settling both messages; transports
+typically raise or warn on the second settle).  We return after the
+nacks so each message is settled exactly once.
 """
 
 from __future__ import annotations
