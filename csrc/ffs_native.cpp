@@ -306,6 +306,58 @@ int ffs_bshuf_lz4_decompress(const uint8_t* src, long long src_len,
     return 0;
 }
 
+// LZ4-only half of the chunk decode: per-block LZ4 into a stacked plane
+// matrix of (n_blocks, block_elem * elem_size) rows, leaving the bit
+// untranspose to the caller (the TPU — ops/bitshuffle_device.py; the
+// decompression-offload split the reference flags as a TODO,
+// spotfinder.cc:823-842).  A partial final block is bit-transposed at its
+// own extent, so its (S, 8, this_elem/8) rows are re-spread to the
+// full-block (S, 8, block_elem/8) row offsets; the padding decodes to
+// zero elements the caller slices off.  `planes` must hold
+// ceil(n_shuf/block_elem) * block_elem * elem_size zero-initialised
+// bytes.  Returns 0 on success.
+int ffs_bshuf_lz4_planes(const uint8_t* src, long long src_len,
+                         uint8_t* planes, long long n_elem,
+                         long long elem_size, long long block_elem) {
+    if (block_elem <= 0) block_elem = bshuf_default_block_size(elem_size);
+    if (block_elem % 8) return -81;
+    const long long block_bytes = block_elem * elem_size;
+    const long long n_shuf = n_elem - (n_elem % 8);
+    const uint8_t* ip = src;
+    const uint8_t* const iend = src + src_len;
+    long long done = 0;
+    uint8_t* row = planes;
+    while (done < n_shuf) {
+        const long long this_elem = (n_shuf - done < block_elem) ? (n_shuf - done) : block_elem;
+        const long long this_bytes = this_elem * elem_size;
+        if (ip + 4 > iend) return -10;
+        const uint32_t comp_len = read_be32(ip);
+        ip += 4;
+        if (ip + comp_len > iend) return -11;
+        const long long written =
+            ffs_lz4_decompress_block(ip, comp_len, row, this_bytes);
+        if (written != this_bytes) return -12;
+        ip += comp_len;
+        if (this_elem < block_elem) {
+            // re-spread the partial block's rows (back to front so the
+            // in-place moves never overlap a not-yet-moved source row)
+            const long long src_m = this_elem / 8;
+            const long long dst_m = block_elem / 8;
+            for (long long r = 8 * elem_size - 1; r > 0; --r) {
+                memmove(row + r * dst_m, row + r * src_m,
+                        static_cast<size_t>(src_m));
+            }
+            for (long long r = 0; r < 8 * elem_size; ++r) {
+                memset(row + r * dst_m + src_m, 0,
+                       static_cast<size_t>(dst_m - src_m));
+            }
+        }
+        done += this_elem;
+        row += block_bytes;
+    }
+    return 0;
+}
+
 // Compress with the same framing (testing fixture / SHM writer).
 long long ffs_bshuf_lz4_compress(const uint8_t* src, long long n_elem,
                                  long long elem_size, uint8_t* dst,

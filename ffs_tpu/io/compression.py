@@ -189,6 +189,102 @@ def bshuf_lz4_decompress(
     return out
 
 
+def bshuf_lz4_planes(
+    chunk: bytes, n_elem: int, elem_size: int, skip_header: bool = True
+) -> tuple[np.ndarray, bytes, int, int]:
+    """LZ4-only half of the chunk decode: per-block LZ4 into a stacked
+    plane matrix, leaving the bit untranspose to the caller (the device —
+    ops/bitshuffle_device.untranspose_planes; reference offload note:
+    spotfinder.cc:823-842).
+
+    Returns (planes, tail, block_elem, n_shuf): planes is
+    (n_blocks, block_elem * elem_size) uint8 with a zero-padded final
+    partial block; tail is the raw (unshuffled) n_elem % 8 trailing
+    elements' bytes; n_shuf = n_elem - n_elem % 8.
+    """
+    block_elem = 0
+    payload = chunk
+    if skip_header:
+        block_bytes = struct.unpack(">I", chunk[8:12])[0]
+        if block_bytes:
+            block_elem = block_bytes // elem_size
+        payload = chunk[12:]
+    if block_elem <= 0:
+        block_elem = _default_block_elems(elem_size)
+    if block_elem % 8:
+        raise ValueError(f"block size {block_elem} elements not a multiple of 8")
+
+    n_shuf = n_elem - (n_elem % 8)
+    n_blocks = (n_shuf + block_elem - 1) // block_elem
+    planes = np.zeros((max(n_blocks, 1), block_elem * elem_size), dtype=np.uint8)
+    native = lib()
+    if native is not None and hasattr(native, "ffs_bshuf_lz4_planes"):
+        src = np.frombuffer(payload, dtype=np.uint8)
+        rc = native.ffs_bshuf_lz4_planes(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_longlong(len(src)),
+            planes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_longlong(n_elem),
+            ctypes.c_longlong(elem_size),
+            ctypes.c_longlong(block_elem),
+        )
+        if rc != 0:
+            raise ValueError(f"native bshuf-lz4 planes decode failed: {rc}")
+        tail_bytes = (n_elem % 8) * elem_size
+        tail = b""
+        if tail_bytes:
+            tail = bytes(payload[-tail_bytes:])
+            if len(tail) != tail_bytes:
+                raise ValueError("truncated raw tail in bshuf-lz4 chunk")
+        return planes[:n_blocks], tail, block_elem, n_shuf
+    done = 0
+    i = 0
+    b = 0
+    while done < n_shuf:
+        this_elem = min(block_elem, n_shuf - done)
+        this_bytes = this_elem * elem_size
+        (comp_len,) = struct.unpack_from(">I", payload, i)
+        i += 4
+        block = payload[i : i + comp_len]
+        i += comp_len
+        if native is not None:
+            src_arr = np.frombuffer(block, dtype=np.uint8)
+            n = native.ffs_lz4_decompress_block(
+                src_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.c_longlong(len(src_arr)),
+                planes[b].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.c_longlong(this_bytes),
+            )
+            if n != this_bytes:
+                raise ValueError(f"lz4 block decode failed: {n}")
+        else:
+            planes[b, :this_bytes] = np.frombuffer(
+                bytes(lz4_decompress_block_np(block, this_bytes)), np.uint8
+            )
+        if this_elem < block_elem:
+            # A partial final block is bit-transposed at its OWN extent:
+            # its layout is (S, 8, this_elem/8), so under the fixed
+            # (S, 8, block_elem/8) full-block view its rows must be
+            # re-spread to the full-block row offsets (elements past
+            # this_elem then decode from the zero padding).
+            this_bytes = this_elem * elem_size
+            packed = planes[b, :this_bytes].copy()
+            planes[b] = 0
+            planes[b].reshape(elem_size, 8, block_elem // 8)[
+                :, :, : this_elem // 8
+            ] = packed.reshape(elem_size, 8, this_elem // 8)
+        done += this_elem
+        b += 1
+
+    tail_bytes = (n_elem % 8) * elem_size
+    tail = b""
+    if tail_bytes:
+        tail = bytes(payload[i : i + tail_bytes])
+        if len(tail) != tail_bytes:
+            raise ValueError("truncated raw tail in bshuf-lz4 chunk")
+    return planes[:n_blocks], tail, block_elem, n_shuf
+
+
 def bshuf_lz4_compress(
     data: np.ndarray, elem_size: int, with_header: bool = True
 ) -> bytes:

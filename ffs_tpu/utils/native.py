@@ -72,6 +72,8 @@ def lib() -> ctypes.CDLL | None:
     l.ffs_bshuf_lz4_compress.restype = ctypes.c_longlong
     l.ffs_byte_offset_decompress.restype = ctypes.c_longlong
     l.ffs_bshuf_lz4_decompress.restype = ctypes.c_int
+    if hasattr(l, "ffs_bshuf_lz4_planes"):
+        l.ffs_bshuf_lz4_planes.restype = ctypes.c_int
     l.ffs_bitshuffle_decode.restype = ctypes.c_int
     l.ffs_bitshuffle_encode.restype = ctypes.c_int
     if hasattr(l, "ffs_cc2d"):

@@ -1,0 +1,72 @@
+"""On-device bitshuffle untranspose (ops/bitshuffle_device.py).
+
+Contract: bshuf_lz4_decompress_device == bshuf_lz4_decompress bit-for-bit
+on filter-32008 chunks (host LZ4 + device bit untranspose vs the all-host
+codec), across element sizes, partial final blocks and raw <8-element
+tails — the decompression-offload path the reference leaves as a TODO
+(spotfinder.cc:823-842).
+"""
+
+import numpy as np
+import pytest
+
+from ffs_tpu.io import compression
+from ffs_tpu.ops import bitshuffle_device
+
+
+def _roundtrip(n_elem, elem_size, seed):
+    rng = np.random.default_rng(seed)
+    dtype = {1: np.uint8, 2: np.uint16, 4: np.uint32}[elem_size]
+    info = np.iinfo(dtype)
+    data = rng.integers(0, int(info.max) + 1, size=n_elem, dtype=dtype)
+    # plant extremes: all-ones, MSB-only (sign hazard), zero
+    if n_elem >= 3:
+        data[0] = info.max
+        data[1] = dtype(1) << (8 * elem_size - 1)
+        data[2] = 0
+    chunk = compression.bshuf_lz4_compress(data, elem_size)
+    want = compression.bshuf_lz4_decompress(chunk, n_elem, elem_size)
+    got = bitshuffle_device.bshuf_lz4_decompress_device(chunk, n_elem, elem_size)
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(got.view(dtype), data)
+
+
+@pytest.mark.parametrize("elem_size", [1, 2, 4])
+@pytest.mark.parametrize(
+    "n_elem",
+    [
+        8,  # single 8-element group
+        4096,  # exactly one block at elem_size 2
+        4096 * 3,  # several full blocks
+        10000,  # partial final block (multiple of 8)
+        10007,  # partial final block + 7-element raw tail
+        63,  # sub-group tail only path
+    ],
+)
+def test_device_decode_matches_host(n_elem, elem_size):
+    _roundtrip(n_elem, elem_size, seed=n_elem * 7 + elem_size)
+
+
+def test_untranspose_planes_matches_numpy_oracle():
+    """Layout-level check against the independent NumPy bit decoder."""
+    rng = np.random.default_rng(5)
+    block_elem = 4096
+    for elem_size in (2, 4):
+        raw = rng.integers(0, 256, size=(3, block_elem * elem_size), dtype=np.uint8)
+        got = np.asarray(
+            bitshuffle_device.untranspose_planes(raw, elem_size)
+        )
+        for b in range(3):
+            want = compression.bitshuffle_decode_np(
+                raw[b], block_elem, elem_size
+            )
+            np.testing.assert_array_equal(
+                got[b].copy().view(np.uint8), want
+            )
+
+
+def test_untranspose_rejects_ragged_blocks():
+    with pytest.raises(ValueError):
+        bitshuffle_device.untranspose_planes(
+            np.zeros((1, 12), dtype=np.uint8), 2
+        )
