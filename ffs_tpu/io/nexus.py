@@ -256,6 +256,27 @@ class NexusReader:
         b, local = self._block_for(index)
         return self._dataset_for(b).id.read_direct_chunk((local, 0, 0))[1]
 
+    def get_image_planes(self, index: int) -> np.ndarray | None:
+        """LZ4-only decode of one frame for the device-side bitshuffle
+        untranspose (SpotfindProcessor.dispatch_batch_planes): returns a
+        (n_blocks, block_bytes) uint8 plane matrix, or None when the frame
+        is not bitshuffle-LZ4 compressed (caller falls back to
+        :meth:`get_image`)."""
+        b, local = self._block_for(index)
+        ds = self._dataset_for(b)
+        if b.filters is None:
+            b.filters = tuple(f_id for f_id, *_ in self._chunk_filters(ds))
+        if FILTER_BSHUF not in b.filters:
+            return None
+        h, w = self.image_shape
+        if (h * w) % 8:
+            return None  # raw <8-element tail: keep the host decode
+        _, chunk = ds.id.read_direct_chunk((local, 0, 0))
+        planes, _tail, _be, _ns = compression.bshuf_lz4_planes(
+            chunk, h * w, self._dtype.itemsize
+        )
+        return planes
+
     @staticmethod
     def _chunk_filters(ds):
         """(filter_id, flags, values) triples on the dataset's pipeline."""

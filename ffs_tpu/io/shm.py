@@ -96,6 +96,19 @@ class SHMRead:
         flat = compression.bshuf_lz4_decompress(chunk, h * w, self._dtype.itemsize)
         return flat.view(self._dtype).reshape(h, w)
 
+    def get_image_planes(self, index: int):
+        """LZ4-only decode for the device-side untranspose (see
+        io/nexus.py get_image_planes); None when the frame has a raw
+        sub-8-element tail."""
+        h, w = self._shape
+        if (h * w) % 8:
+            return None
+        chunk = self.get_raw_chunk(index)
+        planes, _tail, _be, _ns = compression.bshuf_lz4_planes(
+            chunk, h * w, self._dtype.itemsize
+        )
+        return planes
+
 
 def is_ready_for_read(path: str) -> bool:
     return os.path.exists(os.path.join(path, "start_1")) and os.path.exists(

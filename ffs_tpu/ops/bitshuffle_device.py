@@ -83,6 +83,27 @@ def decode_blocks(planes: np.ndarray, elem_size: int, out_dtype=None):
     return fn(planes)
 
 
+def planes_to_frame_host(
+    planes: np.ndarray, n_elem: int, elem_size: int
+) -> np.ndarray:
+    """Host untranspose of a (n_blocks, block_bytes) plane matrix (the
+    mixed-batch CLI fallback): NumPy bit decode per padded block, sliced
+    to n_elem elements.  Returns the flat uint8 element buffer."""
+    from ..io.compression import bitshuffle_decode_np
+
+    n_blocks, block_bytes = planes.shape
+    block_elem = block_bytes // elem_size
+    out = np.empty(n_elem * elem_size, dtype=np.uint8)
+    for b in range(n_blocks):
+        lo = b * block_elem * elem_size
+        hi = min((b + 1) * block_elem * elem_size, n_elem * elem_size)
+        if hi <= lo:
+            break
+        dec = bitshuffle_decode_np(planes[b], block_elem, elem_size)
+        out[lo:hi] = dec[: hi - lo]
+    return out
+
+
 def bshuf_lz4_decompress_device(
     chunk: bytes, n_elem: int, elem_size: int, skip_header: bool = True
 ) -> np.ndarray:

@@ -108,6 +108,26 @@ def _build_parser(version: str) -> argparse.ArgumentParser:
         " requires the Pallas packed path, ignored otherwise and by"
         " --batch).  Env default: FFS_SPOTFIND_COMPACT.",
     )
+    default_decode = os.environ.get("FFS_SPOTFIND_DECODE", "host")
+    if default_decode not in ("host", "device"):
+        print(
+            "Warning: Ignoring invalid FFS_SPOTFIND_DECODE value:",
+            default_decode,
+        )
+        default_decode = "host"
+    p.add_argument(
+        "--decode-backend",
+        choices=["host", "device"],
+        default=default_decode,
+        help="Where the bitshuffle untranspose runs.  'device' has the"
+        " reader threads stop at the LZ4 stage and ships the bit-plane"
+        " buffers to the TPU, which untransposes them inside the batch"
+        " program (the decompression offload the reference flags as a"
+        " TODO, spotfinder.cc:823-842; ~60%% of host decode cost moves"
+        " off the CPUs).  Requires --batch on the Pallas packed path and"
+        " a bitshuffle-LZ4 source; falls back to host decode otherwise."
+        "  Env default: FFS_SPOTFIND_DECODE.",
+    )
     p.add_argument(
         "--profile",
         action="store_true",
@@ -504,7 +524,47 @@ def run(argv=None, default_pixel_depth: int = 16) -> int:
             "(requires the Pallas packed path: TPU + f32); "
             "falling back to per-frame processing"
         )
-    batch_buf: list = []  # [(image_num, host_frame)]
+
+    # device-side bitshuffle untranspose (--decode-backend device): the
+    # reader threads stop at the LZ4 stage; planes upload and untranspose
+    # inside the batch program (ops/bitshuffle_device.py)
+    decode_device = (
+        args.decode_backend == "device"
+        and use_batch
+        and hasattr(reader, "get_image_planes")
+    )
+    if args.decode_backend == "device" and not decode_device:
+        print(
+            "Device decode unavailable (requires --batch on the Pallas "
+            "packed path and a bitshuffle-LZ4 reader); "
+            "falling back to host decode"
+        )
+    pixel_dtype = np.uint16 if bytes_per_pixel == 2 else np.uint32
+
+    def _fetch(num):
+        """Reader-thread payload: LZ4-only planes when device decode is
+        on and the frame supports it, the decoded frame otherwise."""
+        if decode_device:
+            planes = reader.get_image_planes(num)
+            if planes is not None:
+                return ("planes", planes)
+        return ("frame", reader.get_image(num))
+
+    class _LazyFrames:
+        """Host frames decoded on demand (the batched overflow fallback
+        and --validate/--writeout are the only consumers in planes mode)."""
+
+        def __init__(self, nums):
+            self._nums = nums
+            self._cache: dict = {}
+
+        def __getitem__(self, b):
+            if b not in self._cache:
+                self._cache[b] = reader.get_image(self._nums[b])
+            return self._cache[b]
+
+    batch_buf: list = []  # [(image_num, (tag, payload))]
+    need_host_frames = bool(args.validate or args.writeout)
 
     def _emit_next():
         item = inflight.popleft()
@@ -513,7 +573,9 @@ def run(argv=None, default_pixel_depth: int = 16) -> int:
             ress = processor.collect_batch(
                 nums, dev, images=imgs, want_com=want_com
             )
-            for num, res, img in zip(nums, ress, imgs):
+            lazy = isinstance(imgs, _LazyFrames)
+            for b, (num, res) in enumerate(zip(nums, ress)):
+                img = None if (lazy and not need_host_frames) else imgs[b]
                 _emit(num, ("collected", res), img)
         else:
             _emit(*item[1:])
@@ -522,17 +584,44 @@ def run(argv=None, default_pixel_depth: int = 16) -> int:
         if not batch_buf:
             return
         nums = [n for n, _ in batch_buf]
-        imgs = [im for _, im in batch_buf]
-        stack = imgs + [np.zeros_like(imgs[0])] * (batch_n - len(imgs))
-        dev = processor.dispatch_batch(np.stack(stack))
+        payloads = [p for _, p in batch_buf]
+        if all(tag == "planes" for tag, _ in payloads):
+            pls = [a for _, a in payloads]
+            stack = np.stack(
+                pls + [np.zeros_like(pls[0])] * (batch_n - len(pls))
+            )
+            dev = processor.dispatch_batch_planes(stack, dtype=pixel_dtype)
+            imgs = _LazyFrames(nums)
+        else:
+            # mixed batch (a frame fell back mid-stream): decode any
+            # planes on host and take the classic frame path
+            from ..ops.bitshuffle_device import planes_to_frame_host
+
+            frames = [
+                a
+                if tag == "frame"
+                else planes_to_frame_host(a, height * width, bytes_per_pixel)
+                .view(pixel_dtype)
+                .reshape(height, width)
+                for tag, a in payloads
+            ]
+            stack = frames + [np.zeros_like(frames[0])] * (
+                batch_n - len(frames)
+            )
+            dev = processor.dispatch_batch(np.stack(stack))
+            imgs = frames
         inflight.append(("batch", nums, dev, imgs))
         batch_buf.clear()
         while len(inflight) >= 2:  # keep one batch in flight
             _emit_next()
 
-    def _dispatch_image(num, image):
+    def _dispatch_image(num, payload):
+        if isinstance(payload, tuple):
+            tag, image = payload
+        else:
+            tag, image = "frame", payload
         if use_batch:
-            batch_buf.append((num, image))
+            batch_buf.append((num, (tag, image)))
             if len(batch_buf) == batch_n:
                 _flush_batch()
             return
@@ -581,14 +670,11 @@ def run(argv=None, default_pixel_depth: int = 16) -> int:
                 time_waiting += time.monotonic() - wait_start
                 if executor is not None:
                     decode_q.append(
-                        (
-                            offset_num,
-                            executor.submit(reader.get_image, offset_num),
-                        )
+                        (offset_num, executor.submit(_fetch, offset_num))
                     )
                     _drain_decoded(block=False)
                 else:
-                    _dispatch_image(offset_num, reader.get_image(offset_num))
+                    _dispatch_image(offset_num, _fetch(offset_num))
                 continue
             break  # timeout
 

@@ -24,12 +24,34 @@ def write_nexus(
     if beam_center is None:
         beam_center = (w / 2.0, h / 2.0)
     with h5py.File(path, "w") as f:
-        f.create_dataset(
-            "/entry/data/data",
-            data=stack,
-            chunks=(1, h, w),
-            compression=compression,
-        )
+        if compression == "bshuf":
+            # real filter-32008 chunks through the low-level API (our own
+            # codec both ways; no filter plugin needed for read-back since
+            # the reader goes through read_direct_chunk)
+            from ffs_tpu.io.compression import bshuf_lz4_compress
+
+            ds = f.create_dataset(
+                "/entry/data/data",
+                shape=stack.shape,
+                dtype=stack.dtype,
+                chunks=(1, h, w),
+                compression=32008,
+                compression_opts=(0, 2),
+                allow_unknown_filter=True,
+            )
+            for i in range(nimg):
+                ds.id.write_direct_chunk(
+                    (i, 0, 0),
+                    bytes(bshuf_lz4_compress(stack[i], stack.dtype.itemsize)),
+                    filter_mask=0,
+                )
+        else:
+            f.create_dataset(
+                "/entry/data/data",
+                data=stack,
+                chunks=(1, h, w),
+                compression=compression,
+            )
         det = f.create_group("/entry/instrument/detector")
         det.create_dataset("beam_center_x", data=beam_center[0])
         det.create_dataset("beam_center_y", data=beam_center[1])
