@@ -195,6 +195,29 @@ def run_seed(seed: int) -> bool:
         for n in range(nimg):
             ok &= _compare(seed, f"{tag} frame {n} batch-vs-frame",
                            got[n], want[n])
+        # device-decode ingestion: LZ4-only planes + on-device bitshuffle
+        # untranspose must reproduce the frame-batch results bitwise
+        # (SpotfindProcessor.dispatch_batch_planes; the frames are
+        # multiple-of-8 sized by construction)
+        if (h * w) % 8 == 0:
+            from ffs_tpu.io import compression
+
+            planes = np.stack([
+                compression.bshuf_lz4_planes(
+                    compression.bshuf_lz4_compress(fr, fr.dtype.itemsize),
+                    fr.size, fr.dtype.itemsize,
+                )[0]
+                for fr in stack
+            ])
+            got_p = packed.collect_batch(
+                list(range(nimg)),
+                packed.dispatch_batch_planes(planes, dtype=dtype),
+                images=stack,
+                want_com=True,
+            )
+            for n in range(nimg):
+                ok &= _compare(seed, f"{tag} frame {n} planes-vs-frame",
+                               got_p[n], want[n])
     return ok
 
 
