@@ -154,6 +154,46 @@ def halo_sharded_dispersion(
     return jax.jit(step)(image, mask)
 
 
+def _packed_chip_body(
+    local_frames,
+    mask_rep,
+    trusted_max,
+    w,
+    max_pixels_per_frame,
+    max_spots_per_chip,
+    interpret,
+    axis,
+    peak_slots,
+):
+    """One chip's full packed hot path (shared by the frame- and
+    planes-input DP pipelines; runs inside shard_map)."""
+    from ..ops import connected_components as cc
+    from ..ops.compact import compact_from_pcw_segmented
+    from ..ops.dispersion_pallas import dispersion_packed_raw
+
+    pcw = dispersion_packed_raw(
+        local_frames, mask_rep, trusted_max, trim=False, interpret=interpret
+    )
+    p, nbu, nbd, per_frame = compact_from_pcw_segmented(
+        local_frames,
+        pcw,
+        max_pixels_per_frame=max_pixels_per_frame,
+        with_neighbors=True,
+    )
+    root = cc.label_compact_pixels(p, width=w, neighbors=(nbu, nbd))
+    table = cc.spot_table_from_pixels(
+        p,
+        root,
+        width=w,
+        max_spots=max_spots_per_chip,
+        dtype=jnp.float32,
+        frame_rows=pcw.shape[1],
+        peak_key_slots=peak_slots,
+    )
+    total = jax.lax.psum(jnp.sum(per_frame), axis)
+    return per_frame, table.n_spots[None], total, jnp.max(per_frame)[None]
+
+
 def sharded_packed_pipeline(
     mesh: Mesh,
     frames: jnp.ndarray,
@@ -179,10 +219,6 @@ def sharded_packed_pipeline(
 
     Returns (per_frame_strong (B,), n_spots_per_chip (n,), global_total ()).
     """
-    from ..ops import connected_components as cc
-    from ..ops.compact import compact_from_pcw_segmented
-    from ..ops.dispersion_pallas import dispersion_packed_raw
-
     n = mesh.shape[axis]
     B, h, w = frames.shape
     if B % n:
@@ -202,33 +238,87 @@ def sharded_packed_pipeline(
         check_vma=False,
     )
     def step(local_frames, mask_rep):
-        pcw = dispersion_packed_raw(
-            local_frames, mask_rep, trusted_max, trim=False, interpret=interpret
+        return _packed_chip_body(
+            local_frames, mask_rep, trusted_max, w,
+            max_pixels_per_frame, max_spots_per_chip, interpret, axis,
+            peak_slots,
         )
-        p, nbu, nbd, per_frame = compact_from_pcw_segmented(
-            local_frames,
-            pcw,
-            max_pixels_per_frame=max_pixels_per_frame,
-            with_neighbors=True,
-        )
-        root = cc.label_compact_pixels(p, width=w, neighbors=(nbu, nbd))
-        table = cc.spot_table_from_pixels(
-            p,
-            root,
-            width=w,
-            max_spots=max_spots_per_chip,
-            dtype=jnp.float32,
-            frame_rows=pcw.shape[1],
-            peak_key_slots=peak_slots,
-        )
-        total = jax.lax.psum(jnp.sum(per_frame), axis)
-        return per_frame, table.n_spots[None], total, jnp.max(per_frame)[None]
 
     per_frame, n_spots, total, frame_maxes = jax.jit(step)(frames, mask)
     # fail loudly on per-frame capacity overflow instead of silently
     # truncating the spot list (the per-frame counts are exact — from the
     # kernel's prefix sums — while the compact segments cap at the static
     # capacity; same policy as SpotfindProcessor.collect)
+    frame_maxes = jax.device_get(frame_maxes)
+    if int(frame_maxes.max()) > max_pixels_per_frame:
+        raise RuntimeError(
+            f"a frame holds {int(frame_maxes.max())} strong pixels, "
+            f"exceeding max_pixels_per_frame={max_pixels_per_frame}; raise it"
+        )
+    return per_frame, n_spots, total
+
+
+def sharded_packed_pipeline_planes(
+    mesh: Mesh,
+    planes: jnp.ndarray,
+    frame_shape: tuple,
+    frame_dtype,
+    mask: jnp.ndarray,
+    trusted_max: float,
+    *,
+    max_pixels_per_frame: int = 4096,
+    max_spots_per_chip: int = 4096,
+    interpret: bool = False,
+    axis: str = "data",
+):
+    """DP scale-out of the device-decode ingestion path.
+
+    ``planes``: (B, n_blocks, block_bytes) uint8 — each frame's LZ4-decoded
+    bitshuffle plane matrix (io/compression.bshuf_lz4_planes).  Planes
+    shard over the batch axis like frames; each chip untransposes its
+    shard on device (ops/bitshuffle_device) inside the SAME program as the
+    packed pipeline, so the host never touches pixel values.  Outputs are
+    bit-identical to :func:`sharded_packed_pipeline` of the decoded frames
+    (asserted in tests/test_parallel.py and dryrun_multichip).
+    """
+    from ..ops.bitshuffle_device import untranspose_planes
+
+    n = mesh.shape[axis]
+    B = planes.shape[0]
+    h, w = frame_shape
+    dt = jnp.dtype(frame_dtype)
+    if B % n:
+        raise ValueError(f"batch ({B}) must divide the mesh axis ({n})")
+    if (h * w) % 8:
+        raise ValueError(f"device decode needs a multiple-of-8 pixel count, got {h * w}")
+    peak_slots = max_pixels_per_frame if dt == jnp.uint16 else None
+    planes = jax.device_put(
+        planes, NamedSharding(mesh, P(axis, None, None))
+    )
+    mask = jax.device_put(mask, NamedSharding(mesh, P(None, None)))
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(None, None)),
+        out_specs=(P(axis), P(axis), P(), P(axis)),
+        check_vma=False,
+    )
+    def step(local_planes, mask_rep):
+        lb, n_blocks, block_bytes = local_planes.shape
+        elems = untranspose_planes(
+            local_planes.reshape(lb * n_blocks, block_bytes), dt.itemsize, dt
+        )
+        local_frames = (
+            elems.reshape(lb, -1)[:, : h * w].reshape(lb, h, w)
+        )
+        return _packed_chip_body(
+            local_frames, mask_rep, trusted_max, w,
+            max_pixels_per_frame, max_spots_per_chip, interpret, axis,
+            peak_slots,
+        )
+
+    per_frame, n_spots, total, frame_maxes = jax.jit(step)(planes, mask)
     frame_maxes = jax.device_get(frame_maxes)
     if int(frame_maxes.max()) > max_pixels_per_frame:
         raise RuntimeError(

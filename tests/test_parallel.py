@@ -97,6 +97,41 @@ def test_sharded_packed_pipeline_matches_single_chip(small_frame):
     assert np.asarray(spots_per_chip).sum() > 0
 
 
+def test_sharded_packed_pipeline_planes_matches_frames(small_frame):
+    """Device-decode ingestion over the mesh: bitshuffle planes sharded
+    per chip, untransposed inside the shard_map program — outputs equal
+    the frame-input DP pipeline's."""
+    import jax.numpy as jnp
+
+    from ffs_tpu.io import compression
+    from ffs_tpu.parallel import make_mesh, sharded_packed_pipeline
+    from ffs_tpu.parallel.mesh import sharded_packed_pipeline_planes
+
+    image, mask = small_frame
+    n = 4
+    mesh = make_mesh(n)
+    batch = np.stack([np.roll(image, 3 * i, axis=1) for i in range(n)])
+    h, w = image.shape
+    assert (h * w) % 8 == 0
+    planes = np.stack([
+        compression.bshuf_lz4_planes(
+            compression.bshuf_lz4_compress(f, 2), h * w, 2
+        )[0]
+        for f in batch
+    ])
+    kw = dict(max_pixels_per_frame=2048, max_spots_per_chip=2048,
+              interpret=True)
+    want = sharded_packed_pipeline(
+        mesh, jnp.asarray(batch), jnp.asarray(mask), 65535.0, **kw
+    )
+    got = sharded_packed_pipeline_planes(
+        mesh, jnp.asarray(planes), (h, w), np.uint16,
+        jnp.asarray(mask), 65535.0, **kw
+    )
+    for g, p in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(p))
+
+
 def test_sharded_packed_sp_table_bit_identical(mesh, rng):
     """Intra-frame SP of the production packed path: spot TABLE parity.
 
