@@ -6,6 +6,8 @@ from .mesh import (  # noqa: F401
     sharded_kabsch_block_step,
     sharded_packed_pipeline,
     sharded_packed_sp_pipeline,
+    sharded_rotation_compact,
+    rotation_frame_pixels,
     sharded_spotfind_counts,
     halo_sharded_dispersion,
 )

@@ -577,3 +577,104 @@ def sharded_kabsch_block_step(
     return jax.jit(step)(
         frames, *args, jnp.asarray(d_osc), phi_lows, z_values, frame_ok
     )
+
+
+def sharded_rotation_compact(
+    mesh: Mesh,
+    frames: jnp.ndarray,
+    mask: jnp.ndarray,
+    trusted_max: float,
+    *,
+    max_pixels_per_frame: int = 4096,
+    interpret: bool = False,
+    axis: str = "data",
+):
+    """DP ingestion of a ROTATION collection: compact pixels for 3D merge.
+
+    A rotation scan's frames shard over the mesh in acquisition order
+    (chip c holds frames [c*k, (c+1)*k)); each chip runs the packed hot
+    path — Pallas dispersion kernel, SEGMENTED per-frame compaction with
+    neighbour derivation, sparse 2D CC — and emits its frames' compact
+    strong pixels plus 2D fragment roots.  The HOST then merges the
+    per-frame fragments into 3D spots with ops/cc3d.merge_frames, which
+    handles frame adjacency uniformly — including the pair that straddles
+    a chip boundary (reference analogue: the global Boost-graph merge's
+    inter-slice edges, connected_components.cc:350-370; here the z axis
+    never needs a device collective because intra-frame connectivity is
+    folded on device and the z-merge is a host fragment pass).
+
+    Returns host-ready slot arrays, chip-major so frame f = c*k + j
+    occupies slots [f*Kf, f*Kf + per_frame[f]):
+      (linear_index (B*Kf,), intensity (B*Kf,), root_lin (B*Kf,),
+       per_frame (B,), pitch) — linear indices / roots are in the
+    CHIP-LOCAL batch space (frame-local = value - j * pitch).
+    """
+    from ..ops import connected_components as cc
+    from ..ops.compact import compact_from_pcw_segmented
+    from ..ops.dispersion_pallas import dispersion_packed_raw
+
+    n = mesh.shape[axis]
+    B, h, w = frames.shape
+    if B % n:
+        raise ValueError(f"collection chunk ({B}) must divide the mesh axis ({n})")
+    frames = shard_frames(mesh, frames, axis)
+    mask = jax.device_put(mask, NamedSharding(mesh, P(None, None)))
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(None, None)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        # pallas_call output avals carry no varying-mesh-axes annotation
+        check_vma=False,
+    )
+    def step(local_frames, mask_rep):
+        pcw = dispersion_packed_raw(
+            local_frames, mask_rep, trusted_max, trim=False, interpret=interpret
+        )
+        p, nbu, nbd, per_frame = compact_from_pcw_segmented(
+            local_frames, pcw,
+            max_pixels_per_frame=max_pixels_per_frame, with_neighbors=True,
+        )
+        root = cc.label_compact_pixels(p, width=w, neighbors=(nbu, nbd))
+        root_lin = p.linear_index[root]
+        hp_arr = jnp.full((1,), pcw.shape[1], dtype=jnp.int32)
+        return p.linear_index, p.intensity, root_lin, per_frame, hp_arr
+
+    lin, inten, root_lin, per_frame, hp_arr = jax.device_get(
+        jax.jit(step)(frames, mask)
+    )
+    per_frame = np.asarray(per_frame)
+    if int(per_frame.max(initial=0)) > max_pixels_per_frame:
+        # fail loudly instead of silently truncating (same policy as
+        # sharded_packed_pipeline / SpotfindProcessor.collect)
+        raise RuntimeError(
+            f"a frame holds {int(per_frame.max())} strong pixels, exceeding "
+            f"max_pixels_per_frame={max_pixels_per_frame}; raise it"
+        )
+    pitch = (int(hp_arr[0]) + 1) * w
+    return (
+        np.asarray(lin), np.asarray(inten), np.asarray(root_lin),
+        per_frame, pitch,
+    )
+
+
+def rotation_frame_pixels(lin, inten, root_lin, per_frame, pitch, kf, k):
+    """Slice sharded_rotation_compact's slot arrays into per-frame
+    cc3d.FramePixels (acquisition order), shifting chip-local linear
+    indices to frame-local (j = frame index within its chip's shard of
+    k frames; kf = max_pixels_per_frame)."""
+    from ..ops import cc3d
+
+    out = []
+    for f in range(len(per_frame)):
+        j = f % k
+        sl = slice(f * kf, f * kf + int(per_frame[f]))
+        out.append(
+            cc3d.FramePixels(
+                linear_index=lin[sl] - j * pitch,
+                intensity=inten[sl],
+                root=root_lin[sl] - j * pitch,
+            )
+        )
+    return out

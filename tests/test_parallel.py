@@ -290,3 +290,62 @@ def test_sharded_kabsch_block_step_bit_identical(mesh, rng):
         np.testing.assert_array_equal(
             np.asarray(g), np.asarray(w_), err_msg=f"output {k} diverged"
         )
+
+
+def test_sharded_rotation_3d_merge_bit_identical(mesh, rng):
+    """DP of a rotation collection -> host cc3d merge: 3D spot parity.
+
+    Frames shard over 8 chips in acquisition order (2 per chip); a planted
+    spot spans the chip-0/chip-1 boundary frame pair so the host fragment
+    merge genuinely crosses a chip boundary.  Per-frame compact pixels,
+    2D roots, and every merged Spots3D field must be bit-identical to the
+    single-chip path (reference analogue: the global Boost-graph merge's
+    inter-slice edges, connected_components.cc:350-370).
+    """
+    import dataclasses
+
+    from ffs_tpu.ops import cc3d
+    from ffs_tpu.ops import connected_components as cc
+    from ffs_tpu.ops.compact import compact_from_pcw_segmented
+    from ffs_tpu.ops.dispersion_pallas import dispersion_packed_raw
+    from ffs_tpu.parallel import rotation_frame_pixels, sharded_rotation_compact
+
+    n, k, kf = 8, 2, 2048
+    h, w = 64, 256
+    rot = rng.poisson(3.0, size=(k * n, h, w)).astype(np.uint16)
+    rot[k - 1, 40:43, 200:203] = 700
+    rot[k, 41:44, 200:203] = 700
+    rot[k + 1, 42:44, 201:203] = 700
+    mask = np.ones((h, w), np.uint8)
+
+    lin, inten, rl, pf, pitch = sharded_rotation_compact(
+        mesh, jnp.asarray(rot), jnp.asarray(mask), 65535.0,
+        max_pixels_per_frame=kf, interpret=True,
+    )
+    frames_dp = rotation_frame_pixels(lin, inten, rl, pf, pitch, kf, k)
+    spots_dp = cc3d.merge_frames(frames_dp, width=w)
+
+    pcw = dispersion_packed_raw(
+        jnp.asarray(rot), jnp.asarray(mask), 65535.0, trim=False, interpret=True
+    )
+    p1, nbu, nbd, pf1 = compact_from_pcw_segmented(
+        jnp.asarray(rot), pcw, max_pixels_per_frame=kf, with_neighbors=True
+    )
+    root1 = cc.label_compact_pixels(p1, width=w, neighbors=(nbu, nbd))
+    assert (np.asarray(pf1) == pf).all()
+    frames_1 = rotation_frame_pixels(
+        np.asarray(p1.linear_index), np.asarray(p1.intensity),
+        np.asarray(p1.linear_index[root1]), np.asarray(pf1), pitch, kf, k * n,
+    )
+    for z, (a, b) in enumerate(zip(frames_dp, frames_1)):
+        assert (a.linear_index == b.linear_index).all(), z
+        assert (a.intensity == b.intensity).all(), z
+        assert (a.root == b.root).all(), z
+    spots_1 = cc3d.merge_frames(frames_1, width=w)
+    assert len(spots_dp) == len(spots_1) > 0
+    for fld in dataclasses.fields(cc3d.Spots3D):
+        a, b = getattr(spots_dp, fld.name), getattr(spots_1, fld.name)
+        assert (np.asarray(a) == np.asarray(b)).all(), fld.name
+    spans = (spots_dp.z_min <= k - 1) & (spots_dp.z_max >= k)
+    assert spans.any(), "no 3D spot spans the chip-boundary frame pair"
+    assert int(spots_dp.z_max[spans][0] - spots_dp.z_min[spans][0]) >= 2
