@@ -425,6 +425,41 @@ def main() -> int:
         except Exception as e:  # integrator metric is best-effort
             _note(f"integrator bench skipped: {e}")
 
+    # --- SSX indexing metric (subprocess; cheap: two small jit programs) ---
+    ssx_timeout = min(900.0, _remaining() - 30.0)
+    if ssx_timeout < 60.0:
+        _note(f"skipping SSX metric: {_remaining():.0f}s budget left")
+    else:
+        try:
+            env = dict(os.environ)
+            if SMOKE:
+                env.setdefault("FFS_BENCH_SSX_IMAGES", "4")
+                env.setdefault("FFS_BENCH_SSX_BATCH", "4")
+                env.setdefault("FFS_BENCH_SSX_REPS", "1")
+            r = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "bench_ssx.py",
+                    ),
+                ],
+                capture_output=True, timeout=ssx_timeout, text=True, env=env,
+            )
+            emitted = False
+            for line in r.stdout.splitlines():
+                if line.startswith("{"):
+                    d = json.loads(line)
+                    _emit(d["metric"], d["value"], d["unit"], d["vs_baseline"])
+                    emitted = True
+            if not emitted:
+                _note(
+                    f"SSX bench produced no metric (rc={r.returncode}): "
+                    f"{r.stderr[-400:]}"
+                )
+        except Exception as e:  # best-effort
+            _note(f"SSX bench skipped: {e}")
+
     # Final line = headline Eiger metric (repeated deliberately: metrics
     # stream out as measured for timeout robustness, and the driver's
     # last-line parse should still land on the headline number).

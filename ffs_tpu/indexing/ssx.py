@@ -38,54 +38,213 @@ def fibonacci_half_sphere(n: int) -> np.ndarray:
     return np.stack([r * np.cos(theta), r * np.sin(theta), z], axis=1)
 
 
-_score_jit = None
+_REFINE_STEPS = 40
+_TOPK = 512  # score-ordered direction candidates handed to the greedy pick
+_jit_cache: dict = {}
+_dirs_cache: dict = {}
 
 
-def _get_score_jit():
-    """Module-cached jitted scorer: a fresh @jax.jit closure per call would
-    defeat jit's function-identity cache and recompile the (32768, N)
-    matmul on every image of the SSX service loop."""
-    global _score_jit
-    if _score_jit is None:
+def _device_dirs(n: int):
+    """Device-resident f32 half-sphere, cached per n (committing the
+    (32768, 3) table once instead of re-uploading it per image)."""
+    import jax
+
+    if n not in _dirs_cache:
+        _dirs_cache[n] = jax.device_put(
+            fibonacci_half_sphere(n).astype(np.float32)
+        )
+    return _dirs_cache[n]
+
+
+def _get_topk_jit(chunk: int):
+    """Batched fused search front half: score every (direction, length)
+    pair and return the top-K direction indices per length, ONE device
+    dispatch for a whole image batch.
+
+    score[b, l, d] = sum_s w[b, s] * cos(2 pi * len_l * (rlp_bs . dir_d))
+    — the (B*S, 3) @ (3, D) projection runs once and is reused by all
+    three lengths (v = l*d so rlp.v = l*(rlp.d)); the cos+weighted-sum
+    runs per direction chunk so the (B, S, D) projection is never fully
+    materialised (at D=32768 it would be ~1 GB for a 16-image batch).
+    """
+    key = ("topk", chunk)
+    if key not in _jit_cache:
+        import jax
+        import jax.numpy as jnp
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("k",))
+        def f(rlp, w, lengths, dirs, k):
+            B = rlp.shape[0]
+            D = dirs.shape[0]
+            two_pi = np.float32(2 * np.pi)
+            outs = []
+            for lo in range(0, D, chunk):
+                dd = jax.lax.slice_in_dim(dirs, lo, min(lo + chunk, D))
+                proj = jnp.einsum(
+                    "bsk,dk->bsd", rlp, dd,
+                    preferred_element_type=jnp.float32,
+                )
+                # (B, S, C) -> (B, 3, C) weighted cos sums, one per length
+                outs.append(
+                    jnp.stack(
+                        [
+                            jnp.einsum(
+                                "bs,bsd->bd", w,
+                                jnp.cos(two_pi * lengths[li] * proj),
+                            )
+                            for li in range(3)
+                        ],
+                        axis=1,
+                    )
+                )
+            scores = jnp.concatenate(outs, axis=-1)  # (B, 3, D)
+            _, idx = jax.lax.top_k(scores.reshape(B * 3, D), k)
+            return idx.reshape(B, 3, _TOPK)
+
+        _jit_cache[key] = f
+    return _jit_cache[key]
+
+
+def _get_refine_jit():
+    """Batched fused search back half: gradient-ascent refinement of the
+    PICKED candidate vectors (all images, lengths and picks in parallel;
+    zero-padded pick slots have zero gradient and stay zero)."""
+    key = "refine"
+    if key not in _jit_cache:
         import jax
         import jax.numpy as jnp
 
         @jax.jit
-        def f(rlp, vecs):
-            proj = rlp @ vecs.T
-            return jnp.sum(jnp.cos(2 * jnp.pi * proj), axis=0)
+        def f(rlp, w, n_real, v0):
+            two_pi = np.float32(2 * np.pi)
+            h = (two_pi * two_pi) * jnp.maximum(n_real, 1.0)  # (B,)
 
-        _score_jit = f
-    return _score_jit
+            def body(_, v):
+                proj = jnp.einsum("bsk,bljk->bslj", rlp, v)
+                sinp = jnp.sin(two_pi * proj) * w[:, :, None, None]
+                g = -two_pi * jnp.einsum(
+                    "bslj,bsk->bljk", sinp, rlp,
+                    preferred_element_type=jnp.float32,
+                )
+                return v + g / h[:, None, None, None]
 
+            return jax.lax.fori_loop(0, _REFINE_STEPS, body, v0)
 
-def _score_directions(rlp: np.ndarray, vectors: np.ndarray, use_device: bool) -> np.ndarray:
-    """score[j] = sum_i cos(2 pi rlp_i . v_j) for candidate vectors v."""
-    if use_device:
-        try:
-            import jax.numpy as jnp
-
-            f = _get_score_jit()
-            return np.asarray(f(jnp.asarray(rlp), jnp.asarray(vectors)))
-        except Exception:
-            pass
-    proj = rlp @ vectors.T
-    return np.cos(2 * np.pi * proj).sum(axis=0)
+        _jit_cache[key] = f
+    return _jit_cache[key]
 
 
-def _refine_vector(rlp: np.ndarray, v: np.ndarray, steps: int = 40) -> np.ndarray:
-    """Gradient ascent on score(v) (smooth), small steps."""
-    v = v.copy()
-    for _ in range(steps):
-        proj = rlp @ v
-        g = -2 * np.pi * (np.sin(2 * np.pi * proj)[:, None] * rlp).sum(axis=0)
-        h = (2 * np.pi) ** 2 * len(rlp)  # crude curvature bound
-        v = v + g / h
-    return v
+def _pad_rlp_batch(rlps: list[np.ndarray]):
+    """(B, S, 3) f32 + (B, S) weights, S bucketed to a multiple of 128 so
+    the batched search compiles once per (B, bucket) instead of per exact
+    spot count."""
+    S = max(128, -(-max(len(r) for r in rlps) // 128) * 128)
+    B = len(rlps)
+    out = np.zeros((B, S, 3), dtype=np.float32)
+    w = np.zeros((B, S), dtype=np.float32)
+    for i, r in enumerate(rlps):
+        out[i, : len(r)] = r
+        w[i, : len(r)] = 1.0
+    return out, w, np.array([len(r) for r in rlps], dtype=np.float32)
 
 
-def find_candidate_cells(
-    rlp: np.ndarray,
+def _greedy_diverse_pick(dirs: np.ndarray, order: np.ndarray, max_pick: int):
+    """Score-order greedy pick with the 0.95-|cos| diversity exclusion,
+    vectorised: each accepted direction excludes its near-(anti)parallel
+    cone from the remaining candidates in one masked dot product."""
+    sel: list[int] = []
+    excluded = np.zeros(len(order), dtype=bool)
+    cand = dirs[order]  # (K, 3) unit
+    for j in range(len(order)):
+        if excluded[j]:
+            continue
+        sel.append(int(order[j]))
+        if len(sel) >= max_pick:
+            break
+        excluded |= np.abs(cand @ cand[j]) > 0.95
+    return sel
+
+
+def _assemble_cells(
+    cand: list[np.ndarray],
+    cell,
+    angle_tolerance: float,
+    max_output_cells: int,
+) -> list[np.ndarray]:
+    """Angle-consistent candidate cell assembly, vectorised.
+
+    Enumerates (va, vb, vc, +-vc) in the same lexicographic order as the
+    reference's nested search (index_module.cpp:49-201 analogue): all
+    pairwise angles are precomputed as matrices, the 4-D pass mask is
+    built with numpy, and np.argwhere's C-order yields exactly the
+    nested-loop emission order, truncated at max_output_cells.
+    """
+    a, b, c, alpha, beta, gamma = cell
+    A, Bv, Cv = (np.asarray(v, dtype=np.float64) for v in cand)
+    if not (len(A) and len(Bv) and len(Cv)):
+        return []
+
+    def units(m):
+        return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    ua, ub, uc = units(A), units(Bv), units(Cv)
+
+    def ang(u, v):  # (n, 3) x (m, 3) -> degrees (n, m)
+        return np.degrees(np.arccos(np.clip(u @ v.T, -1.0, 1.0)))
+
+    ang_ab = ang(ua, ub)  # gamma candidates
+    ang_ac = ang(ua, uc)  # beta
+    ang_bc = ang(ub, uc)  # alpha
+
+    g_ok = np.abs(ang_ab - gamma) <= angle_tolerance
+    g_ok_flip = np.abs(180.0 - ang_ab - gamma) <= angle_tolerance
+    pair_ab = g_ok | g_ok_flip
+    b_flip = ~g_ok & g_ok_flip  # vb_s = -vb exactly when only the flip passes
+
+    # beta test on (va, s*vc): s=+ uses ang_ac, s=- its supplement
+    beta_ok = np.stack(
+        [
+            np.abs(ang_ac - beta) <= angle_tolerance,
+            np.abs(180.0 - ang_ac - beta) <= angle_tolerance,
+        ],
+        axis=-1,
+    )  # (na, nc, 2)
+    # alpha test on (vb_s, s*vc): supplement iff exactly one of (b_flip, s-) flips
+    alpha_pass = np.abs(ang_bc - alpha) <= angle_tolerance  # (nb, nc)
+    alpha_supp = np.abs(180.0 - ang_bc - alpha) <= angle_tolerance
+    # cond[a, b, c, s]
+    alpha_ok = np.empty((len(A), len(Bv), len(Cv), 2), dtype=bool)
+    alpha_ok[:, :, :, 0] = np.where(
+        b_flip[:, :, None], alpha_supp[None], alpha_pass[None]
+    )
+    alpha_ok[:, :, :, 1] = np.where(
+        b_flip[:, :, None], alpha_pass[None], alpha_supp[None]
+    )
+    cond = (
+        pair_ab[:, :, None, None]
+        & beta_ok[:, None, :, :]
+        & alpha_ok
+    )
+    hits = np.argwhere(cond)[:max_output_cells]
+
+    cells: list[np.ndarray] = []
+    for ia, ib, ic, s in hits:
+        vb_s = -Bv[ib] if b_flip[ia, ib] else Bv[ib]
+        vc_s = -Cv[ic] if s else Cv[ic]
+        m = np.stack([A[ia], vb_s, vc_s])
+        if np.linalg.det(m) < 0:
+            # negating the WHOLE triple preserves every mutual angle and
+            # flips handedness; negating one vector would turn the
+            # just-checked alpha/beta into their supplements (and -vc is
+            # enumerated by the loop anyway)
+            m = -m
+        cells.append(m)
+    return cells
+
+
+def find_candidate_cells_batch(
+    rlps: list[np.ndarray],
     cell: tuple[float, float, float, float, float, float],
     *,
     num_halfsphere_points: int = 32768,
@@ -94,68 +253,107 @@ def find_candidate_cells(
     angle_tolerance: float = 3.0,
     length_tolerance: float = 0.05,
     use_device: bool = True,
+) -> list[list[np.ndarray]]:
+    """Candidate cells for a BATCH of stills in two device dispatches.
+
+    TPU-first shape of the ffbidx half-sphere search (reference:
+    src/ffs/ssx_index.py:100-113): dispatch 1 scores every (direction,
+    length) pair for every image in the batch — one shared projection
+    matmul feeding per-length cos reductions — and top-ks the direction
+    order on device; the host runs the tiny greedy diversity pick;
+    dispatch 2 gradient-refines all picked vectors of all images in
+    parallel.  Per-image dispatch overhead is amortised B-fold, which is
+    what moves the service from ~1 image/s to collection rate on a
+    tunnelled chip (tools/bench_ssx.py).
+    """
+    lengths = np.asarray(cell[:3], dtype=np.float32)
+    dirs_np = None
+    picked_all: list[list[list[np.ndarray]]] = []
+
+    topk_idx = None
+    if use_device:
+        try:
+            import jax.numpy as jnp
+
+            rlp_pad, w, n_real = _pad_rlp_batch(rlps)
+            dirs = _device_dirs(num_halfsphere_points)
+            f = _get_topk_jit(chunk=2048)
+            topk_idx = np.asarray(
+                f(jnp.asarray(rlp_pad), jnp.asarray(w), jnp.asarray(lengths),
+                  dirs, k=_TOPK)
+            )
+        except Exception:
+            topk_idx = None
+    dirs_np = fibonacci_half_sphere(num_halfsphere_points)
+    if topk_idx is None:  # host fallback (use_device=False or no backend)
+        topk_idx = np.empty((len(rlps), 3, _TOPK), dtype=np.int64)
+        for i, r in enumerate(rlps):
+            proj = np.asarray(r, dtype=np.float64) @ dirs_np.T  # (n, D)
+            for li in range(3):
+                s = np.cos(2 * np.pi * float(lengths[li]) * proj).sum(axis=0)
+                part = np.argpartition(s, -_TOPK)[-_TOPK:]
+                topk_idx[i, li] = part[np.argsort(s[part])[::-1]]
+
+    # host: greedy diversity pick per (image, length); equal lengths give
+    # equal score tables, hence equal picks — no special casing needed
+    P = num_candidate_vectors
+    v0 = np.zeros((len(rlps), 3, P, 3), dtype=np.float32)
+    n_picked = np.zeros((len(rlps), 3), dtype=int)
+    for i in range(len(rlps)):
+        for li in range(3):
+            sel = _greedy_diverse_pick(dirs_np, topk_idx[i, li], P)
+            n_picked[i, li] = len(sel)
+            v0[i, li, : len(sel)] = dirs_np[sel] * float(lengths[li])
+
+    # refine all picked vectors (device when available, else numpy)
+    refined = None
+    if use_device:
+        try:
+            import jax.numpy as jnp
+
+            rlp_pad, w, n_real = _pad_rlp_batch(rlps)
+            refined = np.asarray(
+                _get_refine_jit()(
+                    jnp.asarray(rlp_pad), jnp.asarray(w),
+                    jnp.asarray(n_real), jnp.asarray(v0),
+                )
+            )
+        except Exception:
+            refined = None
+    if refined is None:
+        refined = v0.astype(np.float64).copy()
+        for i, r in enumerate(rlps):
+            r = np.asarray(r, dtype=np.float64)
+            h = (2 * np.pi) ** 2 * max(len(r), 1)
+            v = refined[i].reshape(-1, 3)
+            for _ in range(_REFINE_STEPS):
+                proj = v @ r.T  # (3P, n)
+                v = v + (-2 * np.pi) * (np.sin(2 * np.pi * proj) @ r) / h
+            refined[i] = v.reshape(3, P, 3)
+
+    out: list[list[np.ndarray]] = []
+    for i in range(len(rlps)):
+        cand: list[np.ndarray] = []
+        for li in range(3):
+            vs = refined[i, li, : n_picked[i, li]].astype(np.float64)
+            norms = np.linalg.norm(vs, axis=1)
+            length = float(lengths[li])
+            off = np.abs(norms - length) / length > length_tolerance
+            vs[off] = vs[off] / norms[off, None] * length
+            cand.append(vs)
+        out.append(
+            _assemble_cells(cand, cell, angle_tolerance, max_output_cells)
+        )
+    return out
+
+
+def find_candidate_cells(
+    rlp: np.ndarray,
+    cell: tuple[float, float, float, float, float, float],
+    **kwargs,
 ) -> list[np.ndarray]:
     """Candidate real-space cells (each a (3, 3) row matrix [a; b; c])."""
-    a, b, c, alpha, beta, gamma = cell
-    dirs = fibonacci_half_sphere(num_halfsphere_points)
-
-    # score each unique length once (equal lengths share a search: for a
-    # cubic/tetragonal target the 32768-direction scoring + refinement
-    # would otherwise repeat identically per axis, per image)
-    lengths = [a, b, c]
-    cand: list[list[np.ndarray]] = [[], [], []]
-    searched: dict[float, list[np.ndarray]] = {}
-    for li, length in enumerate(lengths):
-        key = round(float(length), 9)
-        if key in searched:
-            cand[li] = searched[key]
-            continue
-        scores = _score_directions(rlp, dirs * length, use_device)
-        order = np.argsort(scores)[::-1]
-        picked: list[np.ndarray] = []
-        for j in order:
-            d = dirs[j]
-            if any(abs(d @ p / np.linalg.norm(p) * length) > 0.95 * length for p in picked):
-                continue
-            v = _refine_vector(rlp, d * length)
-            if abs(np.linalg.norm(v) - length) / length > length_tolerance:
-                v = v / np.linalg.norm(v) * length
-            picked.append(v)
-            if len(picked) >= num_candidate_vectors:
-                break
-        searched[key] = picked
-        cand[li] = picked
-
-    def angle(u, v):
-        cosv = u @ v / (np.linalg.norm(u) * np.linalg.norm(v))
-        return np.degrees(np.arccos(np.clip(cosv, -1, 1)))
-
-    cells: list[np.ndarray] = []
-    for va in cand[0]:
-        for vb in cand[1]:
-            if abs(angle(va, vb) - gamma) > angle_tolerance and abs(
-                180 - angle(va, vb) - gamma
-            ) > angle_tolerance:
-                continue
-            vb_s = vb if abs(angle(va, vb) - gamma) <= angle_tolerance else -vb
-            for vc in cand[2]:
-                for vc_s in (vc, -vc):
-                    if abs(angle(va, vc_s) - beta) > angle_tolerance:
-                        continue
-                    if abs(angle(vb_s, vc_s) - alpha) > angle_tolerance:
-                        continue
-                    m = np.stack([va, vb_s, vc_s])
-                    if np.linalg.det(m) < 0:
-                        # negating the WHOLE triple preserves every mutual
-                        # angle and flips handedness; negating one vector
-                        # would turn the just-checked alpha/beta into
-                        # their supplements (and -vc is enumerated by the
-                        # loop anyway)
-                        m = -m
-                    cells.append(m)
-                    if len(cells) >= max_output_cells:
-                        return cells
-    return cells
+    return find_candidate_cells_batch([np.asarray(rlp)], cell, **kwargs)[0]
 
 
 @dataclass
@@ -244,15 +442,34 @@ class SSXIndexer:
 
     def index(self, xyzobs_px: np.ndarray):
         """Returns (SSXIndexingResult | None, n_unindexed)."""
+        return self.index_batch([xyzobs_px])[0]
+
+    def index_batch(self, images: list[np.ndarray]):
+        """Index a BATCH of stills: the candidate-vector search for every
+        image runs in one pair of device dispatches (score+top-k, refine),
+        amortising the per-dispatch latency that dominates per-image calls
+        on a tunnelled chip (see find_candidate_cells_batch).  Returns a
+        list of (SSXIndexingResult | None, n_unindexed), one per image."""
         from .rlp import ssx_xyz_to_rlp
 
-        xyzobs_px = np.asarray(xyzobs_px, dtype=np.float64).reshape(-1, 3)
-        n_initial = len(xyzobs_px)
-        if n_initial < self.min_spots:
-            return None, n_initial
-        rlp = ssx_xyz_to_rlp(xyzobs_px, self.panel, self.wavelength)
-        cells = find_candidate_cells(rlp, self.cell, use_device=self.use_device)
-        result = index_from_ssx_cells(cells, rlp, xyzobs_px, self.s0, self.panel)
-        if result is None:
-            return None, n_initial
-        return result, n_initial - len(result.delpsi)
+        prep = [
+            np.asarray(x, dtype=np.float64).reshape(-1, 3) for x in images
+        ]
+        rlps, idxs = [], []
+        for i, xyz in enumerate(prep):
+            if len(xyz) >= self.min_spots:
+                rlps.append(ssx_xyz_to_rlp(xyz, self.panel, self.wavelength))
+                idxs.append(i)
+        out: list = [(None, len(x)) for x in prep]
+        if not rlps:
+            return out
+        cells_per = find_candidate_cells_batch(
+            rlps, self.cell, use_device=self.use_device
+        )
+        for cells, rlp, i in zip(cells_per, rlps, idxs):
+            result = index_from_ssx_cells(
+                cells, rlp, prep[i], self.s0, self.panel
+            )
+            if result is not None:
+                out[i] = (result, len(prep[i]) - len(result.delpsi))
+        return out
