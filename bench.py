@@ -401,6 +401,7 @@ def main() -> int:
             if SMOKE:
                 env.setdefault("FFS_BENCH_INT_REFL", "64")
                 env.setdefault("FFS_BENCH_INT_REPS", "2")
+                env.setdefault("FFS_BENCH_INT_EFF_SCALE", "0.01")
             r = subprocess.run(
                 [
                     sys.executable,

@@ -174,7 +174,8 @@ def predict_rotation(
 
     if use_device:
         return _predict_rotation_device(
-            experiment, sv, hkl, dmin, d_osc, osc0, z0, n_images
+            experiment, sv, hkl, dmin, d_osc, osc0, z0, n_images,
+            hkl_chunk=chunk,
         )
 
     rays_host = lambda hkl, a1, a2, s0_1, s0_2, phi_beg: _rays_for_image(
@@ -287,6 +288,225 @@ def predict_rotation(
     )
 
 
+def _compact_i32(mask, cap):
+    """i32 fixed-capacity compaction of True positions (ascending).
+
+    Replaces ``jnp.nonzero(size=cap)``: under x64 that scans INT64 index
+    pairs, which the v5e emulates as u32-pair reduce-windows with a fixed
+    19M scoped-VMEM stack buffer — over the 16M limit, so the whole
+    program fails AOT compilation regardless of chunk size.  An explicit
+    i32 cumsum + drop-scatter lowers cleanly.
+    Returns (idx (cap,) i32 ascending, valid (cap,) bool)."""
+    import jax.numpy as jnp
+
+    total = mask.shape[0]
+    c = jnp.cumsum(mask.astype(jnp.int32))
+    # slot i holds the position of the (i+1)-th True: a cap x log(total)
+    # binary-search gather — a full-length scatter here measured ~0.5 s
+    # per block on v5e (TPU scatters serialise; the searchsorted form is
+    # the same pattern the spotfind compaction uses)
+    want = jnp.arange(1, cap + 1, dtype=jnp.int32)
+    idx = jnp.searchsorted(c, want, side="left").astype(jnp.int32)
+    valid = want <= c[-1]
+    return jnp.where(valid, idx, total), valid
+
+
+def _rays_rowwise(h, a1, a2, s0_1, s0_2, dmin_, phi_beg, d_osc_):
+    """_rays_for_image with PER-ROW matrices/beams (cap, 3, 3) — the
+    pass-2 exact f64 form over compacted candidates."""
+    import jax.numpy as jnp
+
+    r1 = jnp.einsum("ck,cjk->cj", h, a1)
+    r2 = jnp.einsum("ck,cjk->cj", h, a2)
+    dr = r2 - r1
+    s0pr1 = s0_1 + r1
+    s0pr2 = s0_2 + r2
+    n01 = jnp.linalg.norm(s0_1, axis=1)
+    n02 = jnp.linalg.norm(s0_2, axis=1)
+    r1_from_es = jnp.linalg.norm(s0pr1, axis=1) - n01
+    r2_from_es = jnp.linalg.norm(s0pr2, axis=1) - n02
+    starts_outside = r1_from_es >= 0.0
+    ends_outside = r2_from_es >= 0.0
+    ok = (starts_outside != ends_outside) & (
+        jnp.sum(r1 * r1, axis=1) <= 1.0 / (dmin_ * dmin_)
+    )
+    a = jnp.sum(dr * dr, axis=1)
+    a_safe = jnp.where(a == 0, 1.0, a)
+
+    def root_in_01(b, c):
+        d = b * b - a_safe * c
+        ok_d = d >= 0
+        sq = jnp.sqrt(jnp.maximum(d, 0.0))
+        lo = (-b - sq) / a_safe
+        hi = (-b + sq) / a_safe
+        lo_ok = (lo >= 0.0) & (lo <= 1.0)
+        hi_ok = (hi >= 0.0) & (hi <= 1.0)
+        alpha = jnp.where(lo_ok, lo, jnp.where(hi_ok, hi, jnp.nan))
+        return ok_d & (lo_ok | hi_ok), alpha
+
+    ok1, alpha1 = root_in_01(
+        jnp.sum(s0pr1 * dr, axis=1),
+        jnp.sum(r1 * r1, axis=1) + 2 * jnp.sum(r1 * s0_1, axis=1),
+    )
+    ok2_, alpha2 = root_in_01(
+        -jnp.sum(s0pr2 * dr, axis=1),
+        jnp.sum(r2 * r2, axis=1) + 2 * jnp.sum(r2 * s0_2, axis=1),
+    )
+    ok = ok & ok1 & ok2_ & (a > 0)
+    denom = alpha1 + alpha2
+    alpha = jnp.where(ok, alpha1, 0.5) / jnp.where(ok, denom, 1.0)
+    us0_1 = s0_1 / n01[:, None]
+    us0_2 = s0_2 / n02[:, None]
+    us0 = alpha[:, None] * (us0_2 - us0_1) + us0_1
+    wavenumber = (n01 + n02) * 0.5
+    s1 = r1 + alpha[:, None] * dr + wavenumber[:, None] * us0
+    angle = phi_beg + alpha * d_osc_
+    return ok, s1, angle, starts_outside
+
+
+_pblock_cache: dict = {}
+
+
+def _get_pblock_fn(cap: int, ch: int, dmin: float, d_osc: float):
+    """Module-cached jitted two-pass ray-search block.
+
+    Cached at module level with the hkl tables as ARGUMENTS: the first
+    implementation closed over them inside a per-call ``make_block_fn``,
+    which (a) baked 20+ MB of constants into every program and (b) made
+    each predict_rotation call a fresh jit object — a full recompile
+    (~30 s on the tunnelled compile service) per CALL.
+
+    Two-pass TPU ray search: f64 is SOFTWARE-EMULATED on the v5e (~30 s
+    per 8-image block at a 600k-hkl grid — hours for a 3600-image
+    collection), so the full-grid scan cannot run in double.  Pass 1
+    scans every (image, hkl) pair in f32 with a WIDENED acceptance band:
+    the Ewald entering/exiting sign test on the cancellation-free
+    quadratic form q = 2 s0.r + |r|^2 (same sign as |s0+r| - |s0|),
+    accepting sign flips OR |q| <= band.  The r = h A^T products use
+    Precision.HIGHEST (the default bf16 MXU passes carry ~1e-3 error —
+    measured to LOSE rays against a 1e-4 band on real v5e) and the dots
+    are elementwise VPU reductions, so pass-1 error is ~1e-6; band=1e-3
+    keeps three orders of margin, so the candidate set contains every
+    f64-accepted ray.  Pass 2 re-evaluates ONLY the compacted candidates
+    (cap rows, not ch x img_block) with the exact f64 predicate + ray
+    math — membership and outputs are bitwise those of the pure-f64 path
+    at ~f32 full-grid cost.
+    """
+    key = (cap, ch, dmin, d_osc)
+    if key in _pblock_cache:
+        return _pblock_cache[key]
+
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def block(packed, hkl_chunks, hkl_flat64):
+        # ONE h2d per block: columns [a1(9) | a2(9) | s01(3) | s02(3) |
+        # phi | live] — six separate uploads measured 185 ms/block of
+        # pure per-transfer latency on the tunnel (and one PJRT call
+        # beats six anywhere)
+        B = packed.shape[0]
+        a1b = packed[:, 0:9].reshape(B, 3, 3)
+        a2b = packed[:, 9:18].reshape(B, 3, 3)
+        s01b = packed[:, 18:21]
+        s02b = packed[:, 21:24]
+        phib = packed[:, 24]
+        liveb = packed[:, 25] > 0.5
+        n_chunks = hkl_chunks.shape[0]
+        a1s, a2s = a1b.astype(jnp.float32), a2b.astype(jnp.float32)
+        s01s, s02s = s01b.astype(jnp.float32), s02b.astype(jnp.float32)
+        band = jnp.float32(1e-3)
+        res_lim = jnp.float32(1.0 / (dmin * dmin) * (1.0 + 1e-5))
+
+        def per_chunk(hc):
+            def one(a1, a2, s01_, s02_):
+                r1 = jnp.dot(hc, a1.T, precision=jax.lax.Precision.HIGHEST)
+                r2 = jnp.dot(hc, a2.T, precision=jax.lax.Precision.HIGHEST)
+                q1 = jnp.sum(r1 * (2.0 * s01_ + r1), axis=1)
+                q2 = jnp.sum(r2 * (2.0 * s02_ + r2), axis=1)
+                flip = (q1 >= 0.0) != (q2 >= 0.0)
+                near = (jnp.abs(q1) <= band) | (jnp.abs(q2) <= band)
+                res = jnp.sum(r1 * r1, axis=1) <= res_lim
+                nz = jnp.sum(jnp.abs(hc), axis=1) > 0  # padded rows
+                return (flip | near) & res & nz
+
+            okw = jax.vmap(one)(a1s, a2s, s01s, s02s) & liveb[:, None]
+            okf = okw.reshape(-1)
+            total = okf.shape[0]
+            cnt = jnp.sum(okf.astype(jnp.int32))
+            idx, cvalid = _compact_i32(okf, cap)
+            idxc = jnp.minimum(idx, total - 1)
+            return (
+                (idxc // ch).astype(jnp.int32),  # image within block
+                (idxc % ch).astype(jnp.int32),  # hkl within chunk
+                cvalid,
+                cnt,
+            )
+
+        c_img, c_hkl, c_valid, c_cnt = jax.lax.map(per_chunk, hkl_chunks)
+        # merge per-chunk candidates into one cap-sized block set
+        chunk_ids = jnp.repeat(jnp.arange(n_chunks, dtype=jnp.int32), cap)
+        vflat = c_valid.reshape(-1)
+        sel, valid = _compact_i32(vflat, cap)
+        selc = jnp.minimum(sel, vflat.shape[0] - 1)
+        img_i = c_img.reshape(-1)[selc]
+        hkl_i = chunk_ids[selc] * ch + c_hkl.reshape(-1)[selc]
+
+        # pass 2: exact f64 ray prediction on the candidate rows only
+        h_sel = hkl_flat64[hkl_i]  # (cap, 3)
+        ok2, s1, ang, ent = _rays_rowwise(
+            h_sel, a1b[img_i], a2b[img_i], s01b[img_i], s02b[img_i],
+            dmin, phib[img_i], d_osc,
+        )
+        valid = valid & ok2
+        # TWO d2h arrays + a scalar (seven separate transfers measured
+        # 315 ms/block of latency on the tunnel)
+        meta = jnp.stack(
+            [
+                img_i,
+                hkl_i,
+                ent.astype(jnp.int32),
+                valid.astype(jnp.int32),
+            ],
+            axis=1,
+        )
+        vals = jnp.concatenate([s1, ang[:, None]], axis=1)
+        # wide-candidate total: >= the exact survivor count, so the
+        # cap-overflow retry stays conservative (per-chunk compaction
+        # overflow is covered since every cnt_j <= the sum)
+        return meta, vals, jnp.sum(c_cnt)
+
+    _pblock_cache[key] = block
+    return block
+
+
+_hkl_dev_cache: dict = {}
+
+
+def _device_hkl_tables(hkl_pad: np.ndarray, n_chunks: int, ch: int):
+    """Device-resident hkl tables, cached by content hash: the grid is
+    identical across predict_rotation calls for the same experiment, and
+    re-uploading the ~20 MB tables cost 11 s per call on the tunnel."""
+    import hashlib
+
+    import jax
+    import jax.numpy as jnp
+
+    key = (n_chunks, ch, hashlib.md5(hkl_pad.tobytes()).hexdigest())
+    if key not in _hkl_dev_cache:
+        if len(_hkl_dev_cache) > 4:  # a few grids at most live at once
+            _hkl_dev_cache.clear()
+        _hkl_dev_cache[key] = (
+            jax.device_put(
+                jnp.asarray(
+                    hkl_pad.reshape(n_chunks, ch, 3), dtype=jnp.float32
+                )
+            ),
+            jax.device_put(jnp.asarray(hkl_pad, dtype=jnp.float64)),
+        )
+    return _hkl_dev_cache[key]
+
+
 def _predict_rotation_device(
     experiment,
     sv: ScanVaryingData,
@@ -296,8 +516,8 @@ def _predict_rotation_device(
     osc0: float,
     z0: int,
     n_images: int,
-    img_block: int = 8,
-    cap_per_image: int = 4096,
+    img_block: int = 32,
+    cap_per_image: int = 1024,
     hkl_chunk: int = 1 << 17,
 ) -> PredictedReflections:
     """Device path: ONE dispatch per image block, not per (image, chunk).
@@ -380,88 +600,60 @@ def _predict_rotation_device(
     n_chunks = (n_hkl + ch - 1) // ch
     hkl_pad = np.zeros((n_chunks * ch, 3), hkl.dtype)
     hkl_pad[:n_hkl] = hkl
-    hkl_chunks = jnp.asarray(
-        hkl_pad.reshape(n_chunks, ch, 3), dtype=jnp.float64
-    )
-
-    def make_block_fn(cap):
-        @jax.jit
-        def block(a1b, a2b, s01b, s02b, phib, liveb):
-            def per_chunk(hc):
-                def one(a1, a2, s01_, s02_, pb):
-                    return _rays_for_image(
-                        jnp, hc, a1, a2, s01_, s02_, dmin, pb, d_osc
-                    )
-
-                ok, s1, ang, ent = jax.vmap(one)(a1b, a2b, s01b, s02b, phib)
-                ok = ok & liveb[:, None]
-                okf = ok.reshape(-1)
-                total = okf.shape[0]
-                cnt = jnp.sum(okf.astype(jnp.int32))
-                (idx,) = jnp.nonzero(okf, size=cap, fill_value=total)
-                cvalid = idx < total
-                idxc = jnp.minimum(idx, total - 1)
-                return (
-                    (idxc // ch).astype(jnp.int32),  # image within block
-                    (idxc % ch).astype(jnp.int32),  # hkl within chunk
-                    s1.reshape(-1, 3)[idxc],
-                    ang.reshape(-1)[idxc],
-                    ent.reshape(-1)[idxc],
-                    cvalid,
-                    cnt,
-                )
-
-            c_img, c_hkl, c_s1, c_ang, c_ent, c_valid, c_cnt = jax.lax.map(
-                per_chunk, hkl_chunks
-            )
-            # merge per-chunk survivors into one cap-sized block result
-            chunk_ids = jnp.repeat(jnp.arange(n_chunks, dtype=jnp.int32), cap)
-            vflat = c_valid.reshape(-1)
-            total = vflat.shape[0]
-            (sel,) = jnp.nonzero(vflat, size=cap, fill_value=total)
-            valid = sel < total
-            selc = jnp.minimum(sel, total - 1)
-            img_i = c_img.reshape(-1)[selc]
-            hkl_i = chunk_ids[selc] * ch + c_hkl.reshape(-1)[selc]
-            return (
-                img_i,
-                hkl_i,
-                c_s1.reshape(-1, 3)[selc],
-                c_ang.reshape(-1)[selc],
-                c_ent.reshape(-1)[selc],
-                valid,
-                # total survivors; also covers per-chunk compaction
-                # overflow since every cnt_j <= the sum
-                jnp.sum(c_cnt),
-            )
-
-        return block
+    # f32 chunks drive the wide-band candidate scan (pass 1); the flat f64
+    # copy feeds the exact re-evaluation of the few survivors (pass 2)
+    hkl_chunks, hkl_flat64 = _device_hkl_tables(hkl_pad, n_chunks, ch)
 
     cap = img_block * cap_per_image
-    block_fn = make_block_fn(cap)
+    block_fn = _get_pblock_fn(cap, ch, float(dmin), float(d_osc))
 
     out_hkl, out_s1, out_px, out_mm, out_panel, out_entering = (
         [], [], [], [], [], [],
     )
     w, hh = panel.image_size
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _dbg = bool(_os.environ.get("FFS_PREDICT_DEBUG"))
+    packed_all = np.concatenate(
+        [
+            A1f.reshape(-1, 9),
+            A2f.reshape(-1, 9),
+            s01,
+            s02,
+            phis[:, None],
+            live[:, None].astype(np.float64),
+        ],
+        axis=1,
+    )
+
+    def _run_block(fn, packed_dev):
+        meta, vals, count = fn(packed_dev, hkl_chunks, hkl_flat64)
+        meta, vals = np.asarray(meta), np.asarray(vals)
+        return (
+            meta[:, 0], meta[:, 1], vals[:, :3], vals[:, 3],
+            meta[:, 2].astype(bool), meta[:, 3].astype(bool), int(count),
+        )
+
     for b0 in range(0, n_pad_img, img_block):
-        sl = slice(b0, b0 + img_block)
-        args = (
-            jnp.asarray(A1f[sl]),
-            jnp.asarray(A2f[sl]),
-            jnp.asarray(s01[sl]),
-            jnp.asarray(s02[sl]),
-            jnp.asarray(phis[sl]),
-            jnp.asarray(live[sl]),
+        packed_dev = jnp.asarray(packed_all[b0 : b0 + img_block])
+        _t0 = _time.perf_counter()
+        img_i, hkl_i, s1c, angc, entc, valid, count = _run_block(
+            block_fn, packed_dev
         )
-        img_i, hkl_i, s1c, angc, entc, valid, count = (
-            np.asarray(v) for v in block_fn(*args)
-        )
+        if _dbg:
+            print(
+                f"predict block {b0 // img_block}: wide={int(count)} "
+                f"valid={int(valid.sum())} cap={cap} "
+                f"{(_time.perf_counter() - _t0) * 1e3:.1f} ms",
+                file=_sys.stderr,
+            )
         while int(count) > cap:  # block overflow: re-run at higher capacity
             cap *= 2
-            block_fn = make_block_fn(cap)
-            img_i, hkl_i, s1c, angc, entc, valid, count = (
-                np.asarray(v) for v in block_fn(*args)
+            block_fn = _get_pblock_fn(cap, ch, float(dmin), float(d_osc))
+            img_i, hkl_i, s1c, angc, entc, valid, count = _run_block(
+                block_fn, packed_dev
             )
         keep = valid
         if not keep.any():

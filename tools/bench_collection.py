@@ -1,0 +1,178 @@
+"""END-TO-END sustained-collection benchmark through the REAL CLI path.
+
+The reference's 500 Hz is an end-to-end figure: decode (40 CPU threads) ->
+H2D -> kernel -> CC -> output, logged as GBps/fps aggregates by the
+spotfinder epilogue (reference: spotfinder.cc:746,1054-1087).  bench.py
+measures the resident-frame device pipeline; this harness measures the
+whole collection path the service actually runs:
+
+  SHM stream read -> bshuf-LZ4 decode (host or device untranspose) ->
+  packed spotfind -> compaction -> CC -> 3D merge -> sigma estimates ->
+  HDF5 write
+
+on a synthetic compressed Eiger-16M rotation collection, via
+`python -m ffs_tpu.pipeline.spotfinder` with `--batch` (throughput run)
+and `--profile` (per-stage split, unbatched by design).
+
+Environment handicaps called out in the output (CLAUDE.md): this dev
+tunnel serialises dispatches at ~45 ms each and moves D2H at ~40 MB/s;
+1 host CPU does all decode (the reference budget is 40 CPU threads).
+Production-hardware fps is therefore bounded below by these numbers, not
+estimated by them.
+
+Run standalone (TPU, nothing else running):
+  python tools/bench_collection.py            # default 32 frames
+  FFS_COLL_FRAMES=64 FFS_COLL_MODES=host,device python tools/bench_collection.py
+Prints one JSON line per mode plus a stage-split JSON line.
+"""
+
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/ffs_tpu_xla")
+)
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+FPS_RE = r"(\d+) images in ([0-9.]+) s \(([0-9.]+) GBps\) \(([0-9.]+) fps\)"
+
+
+def build_collection(d, n_frames: int):
+    """Synthetic compressed Eiger-16M rotation collection, SHM layout."""
+    from ffs_tpu.constants import E2XE_16M_FAST, E2XE_16M_SLOW
+    from ffs_tpu.io import compression, sample_data
+
+    h, w = E2XE_16M_SLOW, E2XE_16M_FAST
+    rng = np.random.default_rng(5)
+    mask = sample_data.generate_mask()
+    base = rng.poisson(2.0, size=(h, w)).astype(np.uint16)
+    base[mask == 0] = 0
+    header = {
+        "nimages": n_frames,
+        "ntrigger": 1,
+        "y_pixels_in_detector": h,
+        "x_pixels_in_detector": w,
+        "bit_depth_image": 16,
+        "countrate_correction_count_cutoff": 65530,
+        "wavelength": 0.976,
+        "detector_distance": 250.0,
+        "y_pixel_size": 7.5e-05,
+        "x_pixel_size": 7.5e-05,
+        "beam_center_y": h / 2.0,
+        "beam_center_x": w / 2.0,
+    }
+    (d / "start_1").write_text(json.dumps(header))
+    (d / "start_4").write_text("{}")
+    (d / "start_5").write_bytes(np.zeros((h, w), np.int32).tobytes())
+    total_bytes = 0
+    t0 = time.perf_counter()
+    for i in range(n_frames):
+        f = base.copy()
+        # ~300 rotating 3x3 spots per frame, a few persisting across
+        # neighbouring frames so the 3D merge has real work
+        frng = np.random.default_rng(100 + i // 2)
+        ys = frng.integers(8, h - 8, 300)
+        xs = frng.integers(8, w - 8, 300)
+        f[ys, xs] += 600
+        f[ys + 1, xs] += 400
+        f[ys, xs + 1] += 350
+        f[mask == 0] = 0
+        blob = compression.bshuf_lz4_compress(f, 2)
+        (d / f"image_{i:06d}_2").write_bytes(bytes(blob))
+        total_bytes += len(blob)
+    dt = time.perf_counter() - t0
+    print(
+        f"built {n_frames}-frame collection, {total_bytes / 1e6:.0f} MB "
+        f"compressed, in {dt:.1f} s", file=sys.stderr,
+    )
+    return total_bytes
+
+
+def run_cli(src, workdir, extra, timeout=3600):
+    cmd = [
+        sys.executable, "-m", "ffs_tpu.pipeline.spotfinder", os.fspath(src),
+        "--wavelength", "0.976", "--min-spot-size", "1", "--save-h5",
+        *extra,
+    ]
+    t0 = time.perf_counter()
+    r = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=workdir, timeout=timeout
+    )
+    wall = time.perf_counter() - t0
+    if r.returncode != 0:
+        print(r.stderr[-2000:], file=sys.stderr)
+        raise RuntimeError(f"CLI failed rc={r.returncode}")
+    return r.stdout, wall
+
+
+def main() -> int:
+    n_frames = int(os.environ.get("FFS_COLL_FRAMES", "32"))
+    modes = os.environ.get("FFS_COLL_MODES", "host,device").split(",")
+    batch = os.environ.get("FFS_COLL_BATCH", "8")
+
+    tmp = tempfile.mkdtemp(prefix="ffs_coll_")
+    d = tempfile.mkdtemp(prefix="ffs_shm_")
+    from pathlib import Path
+
+    src = Path(d)
+    nbytes = build_collection(src, n_frames)
+
+    try:
+        for mode in modes:
+            out, wall = run_cli(
+                src, tmp,
+                ["--batch", batch, "--decode-backend", mode,
+                 "--compact-backend", "device", "--images", str(n_frames)],
+            )
+            m = re.search(FPS_RE, out)
+            fps = float(m.group(4)) if m else n_frames / wall
+            gbps = float(m.group(3)) if m else nbytes / 1e9 / wall
+            print(
+                json.dumps(
+                    {
+                        "metric": f"collection_end_to_end_fps_{mode}_decode",
+                        "value": round(fps, 2),
+                        "unit": (
+                            "frames/s end-to-end (SHM read+decode+spotfind+"
+                            "3Dmerge+sigma+HDF5; 1 host CPU vs the "
+                            "reference's 40; tunnel: ~45ms/dispatch, "
+                            "~40MB/s d2h)"
+                        ),
+                        "gbps": round(gbps, 3),
+                        "wall_s": round(wall, 1),
+                        "vs_baseline": round(fps / 500.0, 4),
+                    }
+                ),
+                flush=True,
+            )
+
+        # stage split (per-frame path; --profile is unbatched by design)
+        out, wall = run_cli(
+            src, tmp,
+            ["--profile", "--decode-backend", "host",
+             "--images", str(min(n_frames, 8))],
+        )
+        acc: dict[str, list] = {}
+        for line in out.splitlines():
+            m = re.match(r"\s*([A-Za-z0-9_+>2 -]+):\s*([0-9.]+)\s*ms\s*$", line)
+            if m:
+                acc.setdefault(m.group(1).strip(), []).append(float(m.group(2)))
+        stages = {k: round(float(np.mean(v)), 2) for k, v in acc.items()}
+        print(json.dumps({"metric": "collection_stage_split_ms_mean", **stages}))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

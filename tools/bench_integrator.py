@@ -121,9 +121,191 @@ def main() -> int:
                 "unit": "reflection-image slices/s/chip (21x21 shoeboxes)",
                 "vs_baseline": round(rps / 928000.0, 4),
             }
-        )
+        ),
+        flush=True,
     )
+
+    # --- EFFECTIVE collection rate: classification + every other stage ----
+    # The 928k bar is about a WHOLE collection (BASELINE.md): fold in
+    # prediction, bbox computation, the (N, 256) background reduction and
+    # host finalisation at reference-collection scale (3600 images,
+    # 464 predictions/image, ~6.7M slices in 7.2 s).  Measured here, not
+    # quoted; printed as a SECOND metric so a failure cannot starve the
+    # block metric above (it already flushed).
+    try:
+        eff = _effective_rate(rps, integ, panel, beam, gonio, rng)
+        print(
+            json.dumps(
+                {
+                    "metric": "kabsch_integrate_effective_slices_per_s",
+                    "value": round(eff, 1),
+                    "unit": (
+                        "collection slices/s/chip incl. predict+bbox+"
+                        "background+finalize"
+                    ),
+                    "vs_baseline": round(eff / 928000.0, 4),
+                }
+            ),
+            flush=True,
+        )
+    except Exception as e:  # best-effort second metric
+        print(f"effective-rate fold skipped: {e}", file=sys.stderr)
     return 0
+
+
+def _effective_rate(block_rps, integ, panel, beam, gonio, rng) -> float:
+    """Measure the non-classification stages at collection scale and fold
+    them into the block rate (VERDICT r3 task 5; reference analogue:
+    integrator.cc:1010-1161 runs these after the kernel loop)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ffs_tpu.integration import extent, finalize as fin_mod
+    from ffs_tpu.integration.background_jax import estimate_background_device
+    from ffs_tpu.integration.kabsch import NUM_BG_BINS, Accumulators
+    from ffs_tpu.models.crystal import Crystal
+    from ffs_tpu.models.experiment import Experiment
+    from ffs_tpu.models.geometry import Scan
+    from ffs_tpu.prediction.rotation import predict_rotation
+
+    N_IMAGES, PRED_PER_IMAGE, Z_EXTENT = 3600, 464, 4
+    N_REFL = N_IMAGES * PRED_PER_IMAGE
+    N_SLICES = N_REFL * Z_EXTENT
+    scale = float(os.environ.get("FFS_BENCH_INT_EFF_SCALE", "1.0"))
+
+    # prediction: chained loop-dependent reps of the device ray-search
+    # block (the same amortisation convention as every other metric —
+    # the tunnel's ~45 ms/dispatch and per-transfer latency are
+    # artifacts real deployments never pay; outputs are consumed on
+    # device so nothing is DCE'd)
+    import jax.numpy as jnp_
+    import ffs_tpu.prediction.rotation as rot
+
+    span = max(4, int(32 * scale))
+    cellm = np.diag([57.78, 57.78, 150.0])
+    expt = Experiment(
+        beam=beam, panel=panel, goniometer=gonio,
+        scan=Scan(image_range=(1, span), oscillation=(0.0, 0.1)),
+        crystal=Crystal(cellm[0], cellm[1], cellm[2]),
+    )
+    pred = predict_rotation(expt, use_device=True)  # warm + grid upload
+    t0 = time.perf_counter()
+    pred = predict_rotation(expt, use_device=True)
+    t_pred_api = (time.perf_counter() - t0) * (N_IMAGES / span)
+
+    t_pred = t_pred_api
+    try:
+        blk = next(iter(rot._pblock_cache.values()))
+        hk = next(iter(rot._hkl_dev_cache.values()))
+        packed = np.zeros((span, 26))
+        packed[:, 0:9] = np.eye(3).ravel()
+        packed[:, 9:18] = np.eye(3).ravel()
+        packed[:, 18:21] = np.asarray(beam.s0)
+        packed[:, 21:24] = np.asarray(beam.s0)
+        packed[:, 25] = 1.0
+        pk = jax.device_put(jnp_.asarray(packed))
+        R = 8
+
+        @jax.jit
+        def chained_pred(p, h32, h64):
+            def body(i, acc):
+                meta, vals, cnt = blk(p * (1.0 + i * 1e-15), h32, h64)
+                return (
+                    acc
+                    + jnp_.sum(meta.astype(jnp_.float64))
+                    + cnt
+                    + jnp_.nansum(vals)
+                )
+
+            return jax.lax.fori_loop(0, R, body, jnp_.float64(0.0))
+
+        jax.block_until_ready(chained_pred(pk, *hk))
+        t0 = time.perf_counter()
+        jax.block_until_ready(chained_pred(pk, *hk))
+        per_block = (time.perf_counter() - t0) / R
+        t_pred = per_block * (N_IMAGES / span)
+    except Exception as e:
+        print(f"chained predict measure failed ({e}); "
+              f"using API timing {t_pred_api:.1f}s", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    bboxes2 = extent.compute_kabsch_bounding_boxes(
+        np.asarray(beam.s0), gonio.rotation_axis,
+        np.asarray(pred.s1), np.asarray(pred.xyzcal_mm[:, 2]),
+        sigma_b=np.deg2rad(0.03), sigma_m=np.deg2rad(0.1),
+        panel=panel, scan=expt.scan,
+    )
+    t_bbox = (time.perf_counter() - t0) * (N_REFL / max(len(bboxes2), 1))
+
+    # background: (NB, 256) tukey IRLS on device (pipeline --bg-device),
+    # chained loop-dependent, all outputs consumed
+    # 32768 is the largest chunk the scoped-VMEM budget compiles (65536
+    # fails AOT with a 19M>16M scoped reduce-window alloc); the pipeline's
+    # --bg-device path chunks the same way for big collections
+    NB = max(1024, int(32768 * scale))
+    cvals = np.clip(rng.poisson(4.0, size=(NB, 380)), 0, NUM_BG_BINS - 1)
+    flat = (np.arange(NB)[:, None] * NUM_BG_BINS + cvals).ravel()
+    hist = (
+        np.bincount(flat, minlength=NB * NUM_BG_BINS)
+        .reshape(NB, NUM_BG_BINS)
+        .astype(np.int64)
+    )
+    hist_d = jax.device_put(jnp.asarray(hist))
+    ovf_d = jax.device_put(jnp.zeros(NB, dtype=jnp.int64))
+
+    @jax.jit
+    def bg_chained(h, o):
+        def body(i, acc):
+            m, w, v = estimate_background_device(h + (i & 1), o, "tukey")
+            return acc + jnp.sum(m) + jnp.sum(w) + jnp.sum(v)
+
+        return jax.lax.fori_loop(0, 4, body, jnp.float64(0.0))
+
+    jax.block_until_ready(bg_chained(hist_d, ovf_d))
+    t0 = time.perf_counter()
+    jax.block_until_ready(bg_chained(hist_d, ovf_d))
+    t_bg = (time.perf_counter() - t0) / 4 * (N_REFL / NB)
+
+    # finalize: host pass at (scaled) collection size
+    NF = max(4096, int(N_REFL * scale))
+    acc = Accumulators.zeros(NF)
+    acc.fg_sum[:] = rng.poisson(500.0, NF).astype(float)
+    acc.fg_count[:] = rng.integers(20, 60, NF)
+    acc.bg_count[:] = rng.integers(300, 400, NF)
+    acc.sum_ix[:] = acc.fg_sum * rng.uniform(100, 2000, NF)
+    acc.sum_iy[:] = acc.fg_sum * rng.uniform(100, 2000, NF)
+    acc.sum_iz[:] = acc.fg_sum * rng.uniform(0, N_IMAGES, NF)
+    s1f = rng.normal(size=(NF, 3))
+    s1f /= np.linalg.norm(s1f, axis=1, keepdims=True) * beam.wavelength
+    fbb = np.zeros((NF, 6), dtype=np.int64)
+    fbb[:, 1] = fbb[:, 3] = 20
+    fbb[:, 4] = rng.integers(0, N_IMAGES - Z_EXTENT, NF)
+    fbb[:, 5] = fbb[:, 4] + Z_EXTENT
+    t0 = time.perf_counter()
+    fin_mod.finalize(
+        acc=acc, bg_mean=np.full(NF, 4.0), bg_wsum=np.full(NF, 300.0),
+        bg_valid=np.ones(NF, dtype=bool), bboxes=fbb, s1=s1f,
+        phi=np.deg2rad(rng.uniform(0, 360, NF)),
+        hkl=rng.integers(-40, 41, size=(NF, 3)),
+        zeta=rng.uniform(0.1, 1.0, NF),
+        scan=Scan(image_range=(1, N_IMAGES), oscillation=(0.0, 0.1)),
+        beam=beam, gonio=gonio,
+        crystal=Crystal(cellm[0], cellm[1], cellm[2]),
+        sigma_m=np.deg2rad(0.1),
+    )
+    t_fin = (time.perf_counter() - t0) * (N_REFL / NF)
+
+    t_block = N_SLICES / block_rps
+    total = t_block + t_pred + t_bbox + t_bg + t_fin
+    print(
+        f"effective fold (s/collection): block {t_block:.2f}, predict "
+        f"{t_pred:.2f}, bbox {t_bbox:.2f}, background {t_bg:.2f}, "
+        f"finalize {t_fin:.2f} -> total {total:.2f} (acquisition 7.2)",
+        file=sys.stderr,
+    )
+    return N_SLICES / total
 
 
 if __name__ == "__main__":
