@@ -155,3 +155,172 @@ def finalize(
         valid=measured & bg_valid & (variance >= 0),
         n_background_failures=n_bg_failures,
     )
+
+
+_fin_jit = None
+
+
+def _get_finalize_jit():
+    """Module-cached jitted finalisation core (f64).
+
+    The host finalize() is ~25 vectorised numpy passes + two erf calls
+    over the whole collection (measured 3.1 s for 1.67M reflections on
+    one CPU — the deployment-envelope budget the reference assumes is 40
+    CPUs, reference: chart/templates/deployment.yaml:38-42).  On TPU the
+    identical math is one fused XLA program, so the collection-scale
+    cost drops to the transfer + a few ms of VPU work."""
+    global _fin_jit
+    if _fin_jit is None:
+        import jax
+        import jax.numpy as jnp
+        from jax.scipy.special import erf as jerf
+
+        @jax.jit
+        def core(
+            fg_sum, fg_count, bg_count, sum_ix, sum_iy, sum_iz,
+            bg_mean, bg_wsum, bg_valid, bboxes, s1, phi, hkl, zeta,
+            s0, m2, pn, amat_t, scalars,
+        ):
+            pol_frac, osc_start, osc_width, z0, sigma_m = (
+                scalars[0], scalars[1], scalars[2], scalars[3], scalars[4]
+            )
+            measured = fg_count > 0
+            b_mean = jnp.where(bg_valid, bg_mean, 0.0)
+            background_total = b_mean * fg_count
+            intensity = jnp.where(measured, fg_sum - background_total, 0.0)
+            ratio = jnp.where(
+                bg_count > 0, fg_count / jnp.maximum(bg_count, 1), 0.0
+            )
+            variance = jnp.where(
+                measured,
+                jnp.abs(intensity) + jnp.abs(background_total) * (1.0 + ratio),
+                -1.0,
+            )
+            n_bg_failures = jnp.sum(measured & ~bg_valid)
+
+            safe = jnp.where(fg_sum > 0, fg_sum, 1.0)
+            com = jnp.stack(
+                [sum_ix / safe, sum_iy / safe, sum_iz / safe], axis=1
+            )
+            centre = jnp.stack(
+                [
+                    0.5 * (bboxes[:, 0] + bboxes[:, 1]),
+                    0.5 * (bboxes[:, 2] + bboxes[:, 3]),
+                    0.5 * (bboxes[:, 4] + bboxes[:, 5]),
+                ],
+                axis=1,
+            )
+            xyzobs = jnp.where((fg_sum > 0)[:, None], com, centre)
+
+            # partiality (integrator.cc:1266-1277, degree/radian bug kept)
+            xyzcal_px_z = jnp.degrees(phi) / osc_width
+            phi_deg = osc_start + (xyzcal_px_z + 1 - z0) * osc_width
+            phia = osc_start + (bboxes[:, 4] + 1 - z0) * osc_width
+            phib = osc_start + (bboxes[:, 5] + 1 - z0) * osc_width
+            c = jnp.abs(zeta) / (jnp.sqrt(2.0) * sigma_m)
+            partiality = 0.5 * (
+                jerf(c * (phib - phi_deg)) - jerf(c * (phia - phi_deg))
+            )
+
+            # L/P factor (lp_correction.cc:12-39)
+            s1_len = jnp.linalg.norm(s1, axis=1)
+            s0_len = jnp.linalg.norm(s0)
+            L = jnp.abs(s1 @ jnp.cross(m2, s0)) / (s0_len * s1_len)
+            P1 = (s1 @ pn) / s1_len
+            P2 = (1.0 - 2.0 * pol_frac) * (1.0 - P1 * P1)
+            P3 = (s1 @ s0) / (s1_len * s0_len)
+            P4 = pol_frac * (1.0 + P3 * P3)
+            lp = L / (P2 + P4)
+
+            rlp = hkl @ amat_t
+            d = 1.0 / jnp.linalg.norm(rlp, axis=1)
+
+            return (
+                intensity, variance, b_mean,
+                jnp.where(bg_valid, bg_wsum, 0.0), xyzobs, partiality, lp, d,
+                measured & bg_valid & (variance >= 0), n_bg_failures,
+            )
+
+        _fin_jit = core
+    return _fin_jit
+
+
+def finalize_device(
+    *,
+    acc,
+    bg_mean: np.ndarray,
+    bg_wsum: np.ndarray,
+    bg_valid: np.ndarray,
+    bboxes: np.ndarray,
+    s1: np.ndarray,
+    phi: np.ndarray,
+    hkl: np.ndarray,
+    zeta: np.ndarray,
+    scan,
+    beam,
+    gonio,
+    crystal,
+    sigma_m: float,
+) -> IntegrationResult:
+    """finalize() evaluated on device as ONE fused f64 XLA program.
+
+    Same signature and (to f64 rounding of the erf implementations) the
+    same results as :func:`finalize`; parity pinned by
+    tests/test_integration.py::test_finalize_device_matches_host.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    core = _get_finalize_jit()
+    osc_start, osc_width = scan.oscillation
+    z0 = scan.image_range[0]
+    outs = core(
+        jnp.asarray(acc.fg_sum, jnp.float64),
+        jnp.asarray(acc.fg_count, jnp.float64),
+        jnp.asarray(acc.bg_count, jnp.float64),
+        jnp.asarray(acc.sum_ix, jnp.float64),
+        jnp.asarray(acc.sum_iy, jnp.float64),
+        jnp.asarray(acc.sum_iz, jnp.float64),
+        jnp.asarray(bg_mean, jnp.float64),
+        jnp.asarray(bg_wsum, jnp.float64),
+        jnp.asarray(bg_valid, bool),
+        jnp.asarray(bboxes, jnp.float64),
+        jnp.asarray(s1, jnp.float64),
+        jnp.asarray(phi, jnp.float64),
+        jnp.asarray(hkl, jnp.float64),
+        jnp.asarray(zeta, jnp.float64),
+        jnp.asarray(np.asarray(beam.s0), jnp.float64),
+        jnp.asarray(gonio.rotation_axis, jnp.float64),
+        jnp.asarray(
+            np.asarray(
+                getattr(beam, "polarization_normal", (0.0, 1.0, 0.0)),
+                dtype=np.float64,
+            )
+        ),
+        jnp.asarray(crystal.a_matrix.T, jnp.float64),
+        jnp.asarray(
+            np.array(
+                [
+                    getattr(beam, "polarization_fraction", 0.999),
+                    osc_start, osc_width, float(z0), sigma_m,
+                ],
+                dtype=np.float64,
+            )
+        ),
+    )
+    (
+        intensity, variance, b_mean, bg_sum, xyzobs, partiality, lp, d,
+        valid, n_bg_failures,
+    ) = jax.device_get(outs)
+    return IntegrationResult(
+        intensity=intensity,
+        variance=variance,
+        background_mean=b_mean,
+        background_sum=bg_sum,
+        xyzobs_px=xyzobs,
+        partiality=partiality,
+        lp=lp,
+        d=d,
+        valid=valid,
+        n_background_failures=int(n_bg_failures),
+    )

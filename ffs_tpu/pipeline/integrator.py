@@ -118,8 +118,11 @@ def run(argv=None) -> int:
     p.add_argument(
         "--bg-device",
         action="store_true",
-        help="Run background reduction on the accelerator (one (N, bins) "
-        "program; reference GPU reduction: background.cu:29-99)",
+        help="Run the background reduction AND finalisation on the "
+        "accelerator (one (N, bins) IRLS program + one fused finalize "
+        "program; reference GPU reduction: background.cu:29-99).  The "
+        "host finalize is ~25 numpy passes over the whole collection — "
+        "3.1 s at 1.67M reflections on one CPU vs milliseconds on device.",
     )
     p.add_argument("--min_zeta", type=float, default=0.05)
     p.add_argument("--output", default="integrated.refl")
@@ -217,7 +220,12 @@ def run(argv=None) -> int:
     mark("sigma+predict")
 
     # bounding boxes + coordinate systems + min_zeta skip
-    bboxes = extent_mod.compute_kabsch_bounding_boxes(
+    bbox_fn = (
+        extent_mod.compute_kabsch_bounding_boxes_device
+        if args.bg_device
+        else extent_mod.compute_kabsch_bounding_boxes
+    )
+    bboxes = bbox_fn(
         expt.beam.s0,
         expt.goniometer.rotation_axis,
         s1,
@@ -328,7 +336,10 @@ def run(argv=None) -> int:
             acc.bg_hist, acc.bg_overflow, bg_model
         )
     mark("background")
-    result = fin_mod.finalize(
+    finalize_fn = (
+        fin_mod.finalize_device if args.bg_device else fin_mod.finalize
+    )
+    result = finalize_fn(
         acc=acc,
         bg_mean=bg_mean,
         bg_wsum=bg_wsum,

@@ -418,23 +418,33 @@ def _get_pblock_fn(cap: int, ch: int, dmin: float, d_osc: float):
         band = jnp.float32(1e-3)
         res_lim = jnp.float32(1.0 / (dmin * dmin) * (1.0 + 1e-5))
 
+        # Per-chunk compaction capacity: the searchsorted compaction's
+        # cost is ~queries x 22 dependent gathers, so compacting every
+        # chunk at the full block cap measured 32 of the 48 ms block —
+        # while real per-chunk candidate counts are ~1-2k.  A tight
+        # chunk cap with its own overflow retry (max per-chunk count is
+        # returned) keeps the queries proportional to the candidates.
+        chunk_cap = min(cap, max(4096, cap // 8))
+
         def per_chunk(hc):
+            # hc is (3, ch): the chunk axis rides the 128 lanes (the
+            # (ch, 3) layout runs elementwise ops at 3/128 occupancy)
             def one(a1, a2, s01_, s02_):
-                r1 = jnp.dot(hc, a1.T, precision=jax.lax.Precision.HIGHEST)
-                r2 = jnp.dot(hc, a2.T, precision=jax.lax.Precision.HIGHEST)
-                q1 = jnp.sum(r1 * (2.0 * s01_ + r1), axis=1)
-                q2 = jnp.sum(r2 * (2.0 * s02_ + r2), axis=1)
+                r1 = jnp.dot(a1, hc, precision=jax.lax.Precision.HIGHEST)
+                r2 = jnp.dot(a2, hc, precision=jax.lax.Precision.HIGHEST)
+                q1 = jnp.sum(r1 * (2.0 * s01_[:, None] + r1), axis=0)
+                q2 = jnp.sum(r2 * (2.0 * s02_[:, None] + r2), axis=0)
                 flip = (q1 >= 0.0) != (q2 >= 0.0)
                 near = (jnp.abs(q1) <= band) | (jnp.abs(q2) <= band)
-                res = jnp.sum(r1 * r1, axis=1) <= res_lim
-                nz = jnp.sum(jnp.abs(hc), axis=1) > 0  # padded rows
+                res = jnp.sum(r1 * r1, axis=0) <= res_lim
+                nz = jnp.sum(jnp.abs(hc), axis=0) > 0  # padded rows
                 return (flip | near) & res & nz
 
             okw = jax.vmap(one)(a1s, a2s, s01s, s02s) & liveb[:, None]
             okf = okw.reshape(-1)
             total = okf.shape[0]
             cnt = jnp.sum(okf.astype(jnp.int32))
-            idx, cvalid = _compact_i32(okf, cap)
+            idx, cvalid = _compact_i32(okf, chunk_cap)
             idxc = jnp.minimum(idx, total - 1)
             return (
                 (idxc // ch).astype(jnp.int32),  # image within block
@@ -445,7 +455,9 @@ def _get_pblock_fn(cap: int, ch: int, dmin: float, d_osc: float):
 
         c_img, c_hkl, c_valid, c_cnt = jax.lax.map(per_chunk, hkl_chunks)
         # merge per-chunk candidates into one cap-sized block set
-        chunk_ids = jnp.repeat(jnp.arange(n_chunks, dtype=jnp.int32), cap)
+        chunk_ids = jnp.repeat(
+            jnp.arange(n_chunks, dtype=jnp.int32), chunk_cap
+        )
         vflat = c_valid.reshape(-1)
         sel, valid = _compact_i32(vflat, cap)
         selc = jnp.minimum(sel, vflat.shape[0] - 1)
@@ -471,10 +483,10 @@ def _get_pblock_fn(cap: int, ch: int, dmin: float, d_osc: float):
             axis=1,
         )
         vals = jnp.concatenate([s1, ang[:, None]], axis=1)
-        # wide-candidate total: >= the exact survivor count, so the
-        # cap-overflow retry stays conservative (per-chunk compaction
-        # overflow is covered since every cnt_j <= the sum)
-        return meta, vals, jnp.sum(c_cnt)
+        # wide-candidate totals: [sum over chunks, max single chunk] —
+        # both >= their exact survivor counterparts, so the overflow
+        # retry (global cap / per-chunk cap) stays conservative
+        return meta, vals, jnp.stack([jnp.sum(c_cnt), jnp.max(c_cnt)])
 
     _pblock_cache[key] = block
     return block
@@ -496,10 +508,14 @@ def _device_hkl_tables(hkl_pad: np.ndarray, n_chunks: int, ch: int):
     if key not in _hkl_dev_cache:
         if len(_hkl_dev_cache) > 4:  # a few grids at most live at once
             _hkl_dev_cache.clear()
+        # pass-1 chunks are LANE-MAJOR (n_chunks, 3, ch): see per_chunk
         _hkl_dev_cache[key] = (
             jax.device_put(
                 jnp.asarray(
-                    hkl_pad.reshape(n_chunks, ch, 3), dtype=jnp.float32
+                    np.ascontiguousarray(
+                        hkl_pad.reshape(n_chunks, ch, 3).transpose(0, 2, 1)
+                    ),
+                    dtype=jnp.float32,
                 )
             ),
             jax.device_put(jnp.asarray(hkl_pad, dtype=jnp.float64)),
@@ -629,12 +645,16 @@ def _predict_rotation_device(
     )
 
     def _run_block(fn, packed_dev):
-        meta, vals, count = fn(packed_dev, hkl_chunks, hkl_flat64)
-        meta, vals = np.asarray(meta), np.asarray(vals)
+        meta, vals, counts = fn(packed_dev, hkl_chunks, hkl_flat64)
+        meta, vals, counts = np.asarray(meta), np.asarray(vals), np.asarray(counts)
         return (
             meta[:, 0], meta[:, 1], vals[:, :3], vals[:, 3],
-            meta[:, 2].astype(bool), meta[:, 3].astype(bool), int(count),
+            meta[:, 2].astype(bool), meta[:, 3].astype(bool), counts,
         )
+
+    def _overflowed(counts, cap):
+        chunk_cap = min(cap, max(4096, cap // 8))
+        return int(counts[0]) > cap or int(counts[1]) > chunk_cap
 
     for b0 in range(0, n_pad_img, img_block):
         packed_dev = jnp.asarray(packed_all[b0 : b0 + img_block])
@@ -644,12 +664,12 @@ def _predict_rotation_device(
         )
         if _dbg:
             print(
-                f"predict block {b0 // img_block}: wide={int(count)} "
+                f"predict block {b0 // img_block}: wide={int(count[0])} "
                 f"valid={int(valid.sum())} cap={cap} "
                 f"{(_time.perf_counter() - _t0) * 1e3:.1f} ms",
                 file=_sys.stderr,
             )
-        while int(count) > cap:  # block overflow: re-run at higher capacity
+        while _overflowed(count, cap):  # overflow: re-run at higher capacity
             cap *= 2
             block_fn = _get_pblock_fn(cap, ch, float(dmin), float(d_osc))
             img_i, hkl_i, s1c, angc, entc, valid, count = _run_block(

@@ -572,3 +572,103 @@ def test_integrate_chunk_z_band_scheduling():
     # blocks [0-3], [4-7], [8-11]: chunk z [0,2) touches only the first,
     # chunk z [8,10) only the last -> exactly 2 device steps
     assert len(steps) == 2
+
+
+def test_finalize_device_matches_host():
+    """finalize_device: one fused XLA program == the host numpy finalize
+    (same math; erf implementations agree to f64 rounding)."""
+    import numpy as np
+
+    from ffs_tpu.integration import finalize as fin
+    from ffs_tpu.integration.kabsch import Accumulators
+    from ffs_tpu.models.crystal import Crystal
+    from ffs_tpu.models.geometry import (
+        Goniometer,
+        MonochromaticBeam,
+        Scan,
+        simple_panel,
+    )
+
+    rng = np.random.default_rng(23)
+    N = 4096
+    acc = Accumulators.zeros(N)
+    acc.fg_sum[:] = rng.poisson(500.0, N).astype(float)
+    acc.fg_sum[:32] = 0.0  # unmeasured rows exercise the fallbacks
+    acc.fg_count[:] = rng.integers(0, 60, N)
+    acc.fg_count[:32] = 0
+    acc.bg_count[:] = rng.integers(0, 400, N)
+    acc.sum_ix[:] = acc.fg_sum * rng.uniform(100, 2000, N)
+    acc.sum_iy[:] = acc.fg_sum * rng.uniform(100, 2000, N)
+    acc.sum_iz[:] = acc.fg_sum * rng.uniform(0, 100, N)
+    bg_mean = rng.uniform(3.5, 4.5, N)
+    bg_wsum = rng.uniform(250, 350, N)
+    bg_valid = rng.random(N) > 0.05
+    s1 = rng.normal(size=(N, 3))
+    s1 /= np.linalg.norm(s1, axis=1, keepdims=True) * 0.976
+    bb = np.zeros((N, 6), dtype=np.int64)
+    bb[:, 1] = bb[:, 3] = 20
+    bb[:, 4] = rng.integers(0, 96, N)
+    bb[:, 5] = bb[:, 4] + 4
+    kw = dict(
+        acc=acc, bg_mean=bg_mean, bg_wsum=bg_wsum, bg_valid=bg_valid,
+        bboxes=bb, s1=s1, phi=np.deg2rad(rng.uniform(0, 10, N)),
+        hkl=rng.integers(-40, 41, size=(N, 3)),
+        zeta=rng.uniform(0.05, 1.0, N),
+        scan=Scan(image_range=(1, 100), oscillation=(0.0, 0.1)),
+        beam=MonochromaticBeam(wavelength=0.976),
+        gonio=Goniometer(),
+        crystal=Crystal(*np.diag([57.78, 57.78, 150.0])),
+        sigma_m=np.deg2rad(0.1),
+    )
+    want = fin.finalize(**kw)
+    got = fin.finalize_device(**kw)
+    assert got.n_background_failures == want.n_background_failures
+    assert (got.valid == want.valid).all()
+    for f in (
+        "intensity", "variance", "background_mean", "background_sum",
+        "xyzobs_px", "partiality", "lp", "d",
+    ):
+        a, b = getattr(got, f), getattr(want, f)
+        np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-14, err_msg=f)
+
+
+def test_bbox_device_matches_host():
+    """compute_kabsch_bounding_boxes_device == the host numpy extents,
+    including parallax-corrected panels and degenerate-zeta rows."""
+    import numpy as np
+
+    from ffs_tpu.integration import extent
+    from ffs_tpu.models.geometry import MonochromaticBeam, Scan, simple_panel
+
+    rng = np.random.default_rng(31)
+    N = 4096
+    beam = MonochromaticBeam(wavelength=0.976)
+    scan = Scan(image_range=(1, 100), oscillation=(0.0, 0.1))
+    m2 = np.array([1.0, 0.0, 0.0])
+    for parallax in (False, True):
+        panel = simple_panel(
+            200.0, (1034, 1082), (0.075, 0.075), (2068, 2164),
+            mu=0.3974, thickness=0.45, parallax=parallax,
+        )
+        x = rng.uniform(50, 2000, N)
+        y = rng.uniform(50, 2100, N)
+        xmm, ymm = panel.px_to_mm(x, y)
+        lab = panel.get_lab_coord(xmm, ymm)
+        s1 = lab / np.linalg.norm(lab, axis=1, keepdims=True) / beam.wavelength
+        # a few rows nearly parallel to the rotation axis (zeta ~ 0)
+        phi = np.deg2rad(rng.uniform(0, 10, N))
+        args = (
+            np.asarray(beam.s0), m2, s1, phi,
+            np.deg2rad(0.03), np.deg2rad(0.1), panel, scan,
+        )
+        want = extent.compute_kabsch_bounding_boxes(*args)
+        got = extent.compute_kabsch_bounding_boxes_device(*args)
+        assert got.shape == want.shape
+        mismatch = (got != want).any(axis=1)
+        # floor/ceil at an exact f64 boundary may differ by the erf-free
+        # math reassociating: require bit-equality (the device math is
+        # the same op order)
+        assert not mismatch.any(), (
+            f"parallax={parallax}: {int(mismatch.sum())} rows differ, "
+            f"first {np.argwhere(mismatch)[:3].ravel()}"
+        )

@@ -215,7 +215,7 @@ def _effective_rate(block_rps, integ, panel, beam, gonio, rng) -> float:
                 return (
                     acc
                     + jnp_.sum(meta.astype(jnp_.float64))
-                    + cnt
+                    + jnp_.sum(cnt)
                     + jnp_.nansum(vals)
                 )
 
@@ -230,14 +230,42 @@ def _effective_rate(block_rps, integ, panel, beam, gonio, rng) -> float:
         print(f"chained predict measure failed ({e}); "
               f"using API timing {t_pred_api:.1f}s", file=sys.stderr)
 
+    # bbox extents on device (pipeline --bg-device path): resident data,
+    # chained loop-dependent reps, output consumed
+    NBB = max(4096, int(262144 * scale))
+    s1bb = np.asarray(pred.s1)
+    s1bb = np.tile(s1bb, (max(1, NBB // max(len(s1bb), 1) + 1), 1))[:NBB]
+    phibb = np.tile(
+        np.asarray(pred.xyzcal_mm[:, 2]),
+        max(1, NBB // max(len(pred.s1), 1) + 1),
+    )[:NBB]
+    bbox_core = extent._get_bbox_jit()
+    d_mat = np.stack([panel.fast_axis, panel.slow_axis, panel.origin], axis=1)
+    bb_scalars = np.array([
+        3.0 * np.deg2rad(0.03) * 2.0, 3.0 * np.deg2rad(0.1),
+        panel.pixel_size[0], panel.pixel_size[1],
+        0.0, 0.1, 1.0, float(N_IMAGES), 0.0, 0.0,
+    ])
+    bb_args = [jax.device_put(jnp.asarray(a)) for a in (
+        s1bb, phibb, np.asarray(beam.s0), gonio.rotation_axis,
+        panel.fast_axis, panel.slow_axis, panel.origin,
+        np.linalg.inv(d_mat).T, bb_scalars,
+    )]
+
+    @jax.jit
+    def bbox_chained(s1a, phia, *rest):
+        def body(i, accv):
+            out = bbox_core(
+                s1a * (1.0 + i * 1e-15), phia, *rest, parallax=False
+            )
+            return accv + jnp.nansum(out)
+
+        return jax.lax.fori_loop(0, 4, body, jnp.float64(0.0))
+
+    jax.block_until_ready(bbox_chained(*bb_args))
     t0 = time.perf_counter()
-    bboxes2 = extent.compute_kabsch_bounding_boxes(
-        np.asarray(beam.s0), gonio.rotation_axis,
-        np.asarray(pred.s1), np.asarray(pred.xyzcal_mm[:, 2]),
-        sigma_b=np.deg2rad(0.03), sigma_m=np.deg2rad(0.1),
-        panel=panel, scan=expt.scan,
-    )
-    t_bbox = (time.perf_counter() - t0) * (N_REFL / max(len(bboxes2), 1))
+    jax.block_until_ready(bbox_chained(*bb_args))
+    t_bbox = (time.perf_counter() - t0) / 4 * (N_REFL / NBB)
 
     # background: (NB, 256) tukey IRLS on device (pipeline --bg-device),
     # chained loop-dependent, all outputs consumed
@@ -283,19 +311,47 @@ def _effective_rate(block_rps, integ, panel, beam, gonio, rng) -> float:
     fbb[:, 1] = fbb[:, 3] = 20
     fbb[:, 4] = rng.integers(0, N_IMAGES - Z_EXTENT, NF)
     fbb[:, 5] = fbb[:, 4] + Z_EXTENT
+    # device finalisation (pipeline --bg-device path): resident data,
+    # chained loop-dependent reps, every output consumed
+    fin_core = fin_mod._get_finalize_jit()
+    scan_f = Scan(image_range=(1, N_IMAGES), oscillation=(0.0, 0.1))
+    crys = Crystal(cellm[0], cellm[1], cellm[2])
+    fin_args = [
+        jnp.asarray(acc.fg_sum), jnp.asarray(acc.fg_count, jnp.float64),
+        jnp.asarray(acc.bg_count, jnp.float64),
+        jnp.asarray(acc.sum_ix), jnp.asarray(acc.sum_iy),
+        jnp.asarray(acc.sum_iz),
+        jnp.asarray(np.full(NF, 4.0)), jnp.asarray(np.full(NF, 300.0)),
+        jnp.asarray(np.ones(NF, dtype=bool)),
+        jnp.asarray(fbb, jnp.float64), jnp.asarray(s1f),
+        jnp.asarray(np.deg2rad(rng.uniform(0, 360, NF))),
+        jnp.asarray(rng.integers(-40, 41, size=(NF, 3)), jnp.float64),
+        jnp.asarray(rng.uniform(0.1, 1.0, NF)),
+        jnp.asarray(np.asarray(beam.s0)),
+        jnp.asarray(gonio.rotation_axis, jnp.float64),
+        jnp.asarray(np.array([0.0, 1.0, 0.0])),
+        jnp.asarray(crys.a_matrix.T),
+        jnp.asarray(
+            np.array([0.999, 0.0, 0.1, 1.0, np.deg2rad(0.1)])
+        ),
+    ]
+    fin_args = [jax.device_put(a) for a in fin_args]
+
+    @jax.jit
+    def fin_chained(fg_sum, *rest):
+        def body(i, accv):
+            outs = fin_core(fg_sum + (i & 1), *rest)
+            s = jnp.float64(0.0)
+            for o in outs:
+                s = s + jnp.sum(o.astype(jnp.float64))
+            return accv + s
+
+        return jax.lax.fori_loop(0, 4, body, jnp.float64(0.0))
+
+    jax.block_until_ready(fin_chained(*fin_args))
     t0 = time.perf_counter()
-    fin_mod.finalize(
-        acc=acc, bg_mean=np.full(NF, 4.0), bg_wsum=np.full(NF, 300.0),
-        bg_valid=np.ones(NF, dtype=bool), bboxes=fbb, s1=s1f,
-        phi=np.deg2rad(rng.uniform(0, 360, NF)),
-        hkl=rng.integers(-40, 41, size=(NF, 3)),
-        zeta=rng.uniform(0.1, 1.0, NF),
-        scan=Scan(image_range=(1, N_IMAGES), oscillation=(0.0, 0.1)),
-        beam=beam, gonio=gonio,
-        crystal=Crystal(cellm[0], cellm[1], cellm[2]),
-        sigma_m=np.deg2rad(0.1),
-    )
-    t_fin = (time.perf_counter() - t0) * (N_REFL / NF)
+    jax.block_until_ready(fin_chained(*fin_args))
+    t_fin = (time.perf_counter() - t0) / 4 * (N_REFL / NF)
 
     t_block = N_SLICES / block_rps
     total = t_block + t_pred + t_bbox + t_bg + t_fin
