@@ -162,11 +162,33 @@ def main() -> int:
              "--images", str(min(n_frames, 8))],
         )
         acc: dict[str, list] = {}
+        known = ("upload", "kernel", "compact", "post", "collect")
         for line in out.splitlines():
             m = re.match(r"\s*([A-Za-z0-9_+>2 -]+):\s*([0-9.]+)\s*ms\s*$", line)
-            if m:
+            if m and m.group(1).strip() in known:
                 acc.setdefault(m.group(1).strip(), []).append(float(m.group(2)))
         stages = {k: round(float(np.mean(v)), 2) for k, v in acc.items()}
+
+        # host decode rate (the reader-pool stage --profile cannot see:
+        # it happens in the decode threads before the device path)
+        from ffs_tpu.io import compression
+
+        blob = (src / "image_000000_2").read_bytes()
+        from ffs_tpu.constants import E2XE_16M_FAST, E2XE_16M_SLOW
+
+        npix = E2XE_16M_FAST * E2XE_16M_SLOW
+        t0 = time.perf_counter()
+        for _ in range(3):
+            compression.bshuf_lz4_decompress(blob, npix, 2)
+        stages["decode_host_ms"] = round(
+            (time.perf_counter() - t0) / 3 * 1e3, 1
+        )
+        t0 = time.perf_counter()
+        for _ in range(3):
+            compression.bshuf_lz4_planes(blob, npix, 2)
+        stages["decode_lz4_only_ms"] = round(
+            (time.perf_counter() - t0) / 3 * 1e3, 1
+        )
         print(json.dumps({"metric": "collection_stage_split_ms_mean", **stages}))
     finally:
         shutil.rmtree(d, ignore_errors=True)
