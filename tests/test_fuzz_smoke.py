@@ -19,3 +19,14 @@ def test_fuzz_seed_agrees(seed):
     import fuzz_spotfind
 
     assert fuzz_spotfind.run_seed(seed)
+
+
+@pytest.mark.parametrize("seed", [1, 7])
+def test_fuzz_predict_seed_agrees(seed):
+    """Device two-pass ray search == host f64 oracle on random
+    experiments (full campaign: tools/fuzz_predict.py on the TPU,
+    results in docs/PARITY.md)."""
+    import fuzz_predict
+
+    r = fuzz_predict.run_seed(seed)
+    assert "fail" not in r, r
