@@ -17,7 +17,7 @@ Prints one JSON line {"metric": "ssx_index_images_per_s", ...}.
 
 Tunnel note: each index() call makes device dispatches that cost ~45 ms
 each here (artifact — real deployments don't pay it); the batched scoring
-path keeps it to ONE dispatch per image.
+path keeps it to two dispatches per 64-image batch.
 """
 
 import json
@@ -56,7 +56,7 @@ def main() -> int:
     indexer.cell = CELL
     indexer.wavelength = wavelength
 
-    BATCH = int(os.environ.get("FFS_BENCH_SSX_BATCH", "32"))
+    BATCH = int(os.environ.get("FFS_BENCH_SSX_BATCH", "64"))
 
     # warmup: compile the batched search (both dispatches) at the bucket
     indexer.index_batch(images[:BATCH])
