@@ -60,6 +60,7 @@ BUDGET_S = float(os.environ.get("FFS_BENCH_BUDGET_S", "2400"))
 SMOKE = os.environ.get("FFS_BENCH_SMOKE", "") not in ("", "0")
 
 _N_PRINTED = 0
+_VALIDATION_FAILED = False
 
 
 def _remaining() -> float:
@@ -85,6 +86,14 @@ def _note(msg: str) -> None:
     print(f"bench[{time.monotonic() - _T0:.0f}s]: {msg}", file=sys.stderr, flush=True)
 
 
+def _fail_validation(msg: str) -> None:
+    """Record a validation failure where the SIGTERM/SIGALRM handler can
+    see it (a budget-killed run that measured garbage must exit nonzero)."""
+    global _VALIDATION_FAILED
+    _VALIDATION_FAILED = True
+    _note(msg)
+
+
 def _flush_and_exit(signum, frame):
     # timeout(1) sends SIGTERM before SIGKILL; our own SIGALRM fires at the
     # budget.  Whatever was measured is already on stdout (incremental
@@ -92,7 +101,9 @@ def _flush_and_exit(signum, frame):
     _note(f"terminated by signal {signum}; {_N_PRINTED} metric(s) already emitted")
     sys.stdout.flush()
     sys.stderr.flush()
-    os._exit(0 if _N_PRINTED else 1)
+    # A budget-killed run that already FAILED validation must not exit 0:
+    # mirror the normal path's `0 if ok else 1` (ADVICE r4).
+    os._exit(0 if (_N_PRINTED and not _VALIDATION_FAILED) else 1)
 
 
 def _wait_for_backend(budget_s: float) -> None:
@@ -259,14 +270,16 @@ def main() -> int:
         per_frame = [int(counts_v[0]), int(counts_v[1])]
         ok = per_frame == [9506, 2388] and int(n_spots) == 9506 + 2311
         if not ok:
-            _note(f"VALIDATION MISMATCH: px={per_frame} spots={int(n_spots)}")
+            _fail_validation(
+                f"VALIDATION MISMATCH: px={per_frame} spots={int(n_spots)}"
+            )
 
         # host-CC cross-check (the production CLI backend) on the same
         # pixels (frame 0 occupies the first per-frame slot segment)
         lin0 = lin_v[: per_frame[0]]
         host_table = cc2d(lin0 % ((hp_v + 1) * W), int_v[: per_frame[0]], W)
         if host_table.n_spots != 9506:
-            _note(f"HOST-CC MISMATCH: {host_table.n_spots}")
+            _fail_validation(f"HOST-CC MISMATCH: {host_table.n_spots}")
             ok = False
         _note(f"anchors validated ok={ok}")
 
@@ -301,7 +314,9 @@ def main() -> int:
     # check BOTH loop parities (the chained loop runs batch and batch+1)
     counts_k = jnp.maximum(step(batch)[4], step(batch + jnp.uint16(1))[4])
     if int(jnp.max(counts_k)) > KF:
-        _note(f"bench frames exceed per-frame capacity: {int(jnp.max(counts_k))} > {KF}")
+        _fail_validation(
+            f"bench frames exceed per-frame capacity: {int(jnp.max(counts_k))} > {KF}"
+        )
         ok = False
 
     eiger_line = None
@@ -359,7 +374,9 @@ def main() -> int:
         )
         jcounts = jnp.maximum(jstep(jbatch)[4], jstep(jbatch + jnp.uint16(1))[4])
         if int(jnp.max(jcounts)) > JKF:
-            _note(f"JF bench frames exceed per-frame capacity: {int(jnp.max(jcounts))} > {JKF}")
+            _fail_validation(
+                f"JF bench frames exceed per-frame capacity: {int(jnp.max(jcounts))} > {JKF}"
+            )
             jok = False
             ok = False
 

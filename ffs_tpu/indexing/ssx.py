@@ -42,6 +42,26 @@ _REFINE_STEPS = 40
 _TOPK = 512  # score-ordered direction candidates handed to the greedy pick
 _jit_cache: dict = {}
 _dirs_cache: dict = {}
+_warned_device_fallback = False
+
+
+def _warn_device_fallback(stage: str, exc: BaseException) -> None:
+    """One-shot stderr diagnostic when a device dispatch falls back to the
+    ~100x slower host loop: a genuine device-path bug must not masquerade
+    as an unexplained slowdown (silent-fallback finding, ADVICE r4)."""
+    global _warned_device_fallback
+    if not _warned_device_fallback:
+        import sys
+        import traceback
+
+        print(
+            f"ffs_tpu.ssx: device {stage} dispatch failed; falling back to "
+            f"the host search (expect ~100x slower): "
+            f"{type(exc).__name__}: {exc}",
+            file=sys.stderr,
+        )
+        traceback.print_exc(file=sys.stderr)
+        _warned_device_fallback = True
 
 
 def _device_dirs(n: int):
@@ -50,6 +70,8 @@ def _device_dirs(n: int):
     import jax
 
     if n not in _dirs_cache:
+        if len(_dirs_cache) > 4:  # bounded: long-lived services vary n
+            _dirs_cache.clear()
         _dirs_cache[n] = jax.device_put(
             fibonacci_half_sphere(n).astype(np.float32)
         )
@@ -81,9 +103,15 @@ def _get_topk_jit(chunk: int):
             outs = []
             for lo in range(0, D, chunk):
                 dd = jax.lax.slice_in_dim(dirs, lo, min(lo + chunk, D))
+                # HIGHEST precision: the default bf16 MXU passes carry
+                # ~1e-3 relative error, and cos(2*pi*length*proj) turns
+                # that into a phase error that scales with the cell axis
+                # (~0.3-0.5 rad at 100-150 A) — the same silent-loss class
+                # CLAUDE.md records for the predictor's numeric band.
                 proj = jnp.einsum(
                     "bsk,dk->bsd", rlp, dd,
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
                 # (B, S, C) -> (B, 3, C) weighted cos sums, one per length
                 outs.append(
@@ -121,11 +149,18 @@ def _get_refine_jit():
             h = (two_pi * two_pi) * jnp.maximum(n_real, 1.0)  # (B,)
 
             def body(_, v):
-                proj = jnp.einsum("bsk,bljk->bslj", rlp, v)
+                # HIGHEST precision on both projections: sin/cos of
+                # 2*pi*proj amplifies bf16-pass error with cell length
+                # (see _get_topk_jit note).
+                proj = jnp.einsum(
+                    "bsk,bljk->bslj", rlp, v,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
                 sinp = jnp.sin(two_pi * proj) * w[:, :, None, None]
                 g = -two_pi * jnp.einsum(
                     "bslj,bsk->bljk", sinp, rlp,
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
                 return v + g / h[:, None, None, None]
 
@@ -282,7 +317,8 @@ def find_candidate_cells_batch(
                 f(jnp.asarray(rlp_pad), jnp.asarray(w), jnp.asarray(lengths),
                   dirs, k=_TOPK)
             )
-        except Exception:
+        except Exception as e:
+            _warn_device_fallback("top-k score", e)
             topk_idx = None
     dirs_np = fibonacci_half_sphere(num_halfsphere_points)
     if topk_idx is None:  # host fallback (use_device=False or no backend)
@@ -318,7 +354,8 @@ def find_candidate_cells_batch(
                     jnp.asarray(n_real), jnp.asarray(v0),
                 )
             )
-        except Exception:
+        except Exception as e:
+            _warn_device_fallback("refine", e)
             refined = None
     if refined is None:
         refined = v0.astype(np.float64).copy()

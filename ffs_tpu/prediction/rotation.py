@@ -367,7 +367,13 @@ def _rays_rowwise(h, a1, a2, s0_1, s0_2, dmin_, phi_beg, d_osc_):
 _pblock_cache: dict = {}
 
 
-def _get_pblock_fn(cap: int, ch: int, dmin: float, d_osc: float):
+def _default_chunk_cap(cap: int) -> int:
+    return min(cap, max(4096, cap // 8))
+
+
+def _get_pblock_fn(
+    cap: int, ch: int, dmin: float, d_osc: float, chunk_cap: int | None = None
+):
     """Module-cached jitted two-pass ray-search block.
 
     Cached at module level with the hkl tables as ARGUMENTS: the first
@@ -392,9 +398,16 @@ def _get_pblock_fn(cap: int, ch: int, dmin: float, d_osc: float):
     math — membership and outputs are bitwise those of the pure-f64 path
     at ~f32 full-grid cost.
     """
-    key = (cap, ch, dmin, d_osc)
+    if chunk_cap is None:
+        chunk_cap = _default_chunk_cap(cap)
+    key = (cap, ch, dmin, d_osc, chunk_cap)
     if key in _pblock_cache:
         return _pblock_cache[key]
+    if len(_pblock_cache) > 8:
+        # Bounded like _hkl_dev_cache: keys carry computed dmin floats and
+        # retry-doubled caps, so a long-running service would otherwise
+        # accumulate jit closures + XLA executables indefinitely.
+        _pblock_cache.clear()
 
     import jax
     import jax.numpy as jnp
@@ -424,7 +437,6 @@ def _get_pblock_fn(cap: int, ch: int, dmin: float, d_osc: float):
         # while real per-chunk candidate counts are ~1-2k.  A tight
         # chunk cap with its own overflow retry (max per-chunk count is
         # returned) keeps the queries proportional to the candidates.
-        chunk_cap = min(cap, max(4096, cap // 8))
 
         def per_chunk(hc):
             # hc is (3, ch): the chunk axis rides the 128 lanes (the
@@ -626,7 +638,8 @@ def _predict_rotation_device(
     hkl_chunks, hkl_flat64 = _device_hkl_tables(hkl_pad, n_chunks, ch)
 
     cap = img_block * cap_per_image
-    block_fn = _get_pblock_fn(cap, ch, float(dmin), float(d_osc))
+    chunk_cap = _default_chunk_cap(cap)
+    block_fn = _get_pblock_fn(cap, ch, float(dmin), float(d_osc), chunk_cap)
 
     out_hkl, out_s1, out_px, out_mm, out_panel, out_entering = (
         [], [], [], [], [], [],
@@ -657,8 +670,7 @@ def _predict_rotation_device(
             meta[:, 2].astype(bool), meta[:, 3].astype(bool), counts,
         )
 
-    def _overflowed(counts, cap):
-        chunk_cap = min(cap, max(4096, cap // 8))
+    def _overflowed(counts, cap, chunk_cap):
         return int(counts[0]) > cap or int(counts[1]) > chunk_cap
 
     for b0 in range(0, n_pad_img, img_block):
@@ -674,9 +686,19 @@ def _predict_rotation_device(
                 f"{(_time.perf_counter() - _t0) * 1e3:.1f} ms",
                 file=_sys.stderr,
             )
-        while _overflowed(count, cap):  # overflow: re-run at higher capacity
-            cap *= 2
-            block_fn = _get_pblock_fn(cap, ch, float(dmin), float(d_osc))
+        while _overflowed(count, cap, chunk_cap):
+            # Grow only the capacity that actually overflowed: a per-chunk
+            # overflow with the global cap fine used to double cap up to
+            # three times (each a full hkl-grid re-scan) before chunk_cap
+            # = max(4096, cap//8) even moved (ADVICE r4).
+            if int(count[0]) > cap:
+                cap *= 2
+            chunk_cap = min(cap, max(chunk_cap, _default_chunk_cap(cap)))
+            if int(count[1]) > chunk_cap:
+                chunk_cap = min(cap, chunk_cap * 2)
+            block_fn = _get_pblock_fn(
+                cap, ch, float(dmin), float(d_osc), chunk_cap
+            )
             img_i, hkl_i, s1c, angc, entc, valid, count = _run_block(
                 block_fn, packed_dev
             )

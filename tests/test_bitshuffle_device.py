@@ -70,3 +70,39 @@ def test_untranspose_rejects_ragged_blocks():
         bitshuffle_device.untranspose_planes(
             np.zeros((1, 12), dtype=np.uint8), 2
         )
+
+
+def test_untranspose_to_wide_matches_ref():
+    """The SWAR wide-element untranspose (u32-word planes in, one u32 per
+    element out) is bit-identical to the reference loop formulation."""
+    import numpy as np
+
+    from ffs_tpu.ops.bitshuffle_device import (
+        untranspose_planes_ref,
+        untranspose_planes_to_wide,
+    )
+
+    rng = np.random.default_rng(7)
+    for es in (1, 2, 4):
+        planes = rng.integers(0, 256, size=(5, 256 * 8 * es), dtype=np.uint8)
+        ref = np.asarray(untranspose_planes_ref(planes, es)).astype(np.uint32)
+        wide = np.asarray(
+            untranspose_planes_to_wide(planes.view(np.uint32), es)
+        )
+        assert np.array_equal(ref, wide)
+
+
+def test_untranspose_swar_matches_ref():
+    import numpy as np
+
+    from ffs_tpu.ops.bitshuffle_device import (
+        untranspose_planes_ref,
+        untranspose_planes_swar,
+    )
+
+    rng = np.random.default_rng(8)
+    for es in (1, 2, 4):
+        planes = rng.integers(0, 256, size=(4, 512 * 8 * es), dtype=np.uint8)
+        a = np.asarray(untranspose_planes_ref(planes, es))
+        b = np.asarray(untranspose_planes_swar(planes, es))
+        assert np.array_equal(a, b)
