@@ -152,6 +152,77 @@ def _make_frames(rng, h, w, n, mask, n_spots=300, amp=60.0):
     return np.stack(frames)
 
 
+def _load_anchor_golden():
+    """f64 host-oracle golden for the two sample anchor frames
+    (tests/data/bench_anchor_golden.npz; regenerate with
+    tools/make_anchor_golden.py — deterministic)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "data", "bench_anchor_golden.npz",
+    )
+    return np.load(path)
+
+
+def _check_anchor_bitparity(
+    golden, tag, w, hp, frame, lin, inten, table, fp32_rtol=1e-5
+):
+    """Compare one frame's device pixel list + spot-table columns against
+    the f64 host-oracle golden.  Returns a list of mismatch strings
+    (empty = bit-parity).
+
+    Integer data (pixel coordinates, intensities, pixel counts, bboxes,
+    peaks, integer-valued sums) must match EXACTLY — the v5e silent-MXU
+    precedent dropped single bits while counts stayed right, which is
+    exactly what a count-only anchor misses.  The two centre-of-mass
+    columns are f32 divisions of exact integer sums, so they get a tight
+    relative band instead of bit equality against the f64 oracle.
+    """
+    errs = []
+    g_y, g_x = golden[f"{tag}_y"], golden[f"{tag}_x"]
+    y = lin // w - frame * hp
+    x = lin % w
+    if len(lin) != len(g_y):
+        errs.append(f"{tag}: pixel count {len(lin)} != {len(g_y)}")
+        return errs
+    if not (np.array_equal(y, g_y) and np.array_equal(x, g_x)):
+        errs.append(f"{tag}: strong-pixel coordinate list differs")
+    if not np.array_equal(
+        inten.astype(np.int64), golden[f"{tag}_intensity"].astype(np.int64)
+    ):
+        errs.append(f"{tag}: strong-pixel intensities differ")
+
+    # device table rows for this frame (flat-batch z = frame index)
+    sel = (np.asarray(table.valid)) & (np.asarray(table.z_min) == frame)
+    n_g = len(golden[f"{tag}_n_pixels"])
+    if int(sel.sum()) != n_g:
+        errs.append(f"{tag}: spot count {int(sel.sum())} != {n_g}")
+        return errs
+    exact_cols = (
+        ("n_pixels", "n_pixels"), ("x_min", "x_min"), ("x_max", "x_max"),
+        ("y_min", "y_min"), ("y_max", "y_max"),
+        ("peak_x", "peak_x"), ("peak_y", "peak_y"),
+    )
+    for dev_name, g_name in exact_cols:
+        d = np.asarray(getattr(table, dev_name))[sel].astype(np.int64)
+        g = golden[f"{tag}_{g_name}"].astype(np.int64)
+        if not np.array_equal(d, g):
+            errs.append(f"{tag}: column {dev_name} differs")
+    # integer-valued f32 sum: exact (sums here are far below 2^24)
+    d = np.asarray(table.sum_intensity)[sel].astype(np.float64)
+    g = golden[f"{tag}_sum_intensity"].astype(np.float64)
+    if not np.array_equal(d, g):
+        errs.append(f"{tag}: column sum_intensity differs")
+    for col in ("com_x", "com_y"):
+        d = np.asarray(getattr(table, col))[sel].astype(np.float64)
+        g = golden[f"{tag}_{col}"].astype(np.float64)
+        if not np.allclose(d, g, rtol=fp32_rtol, atol=1e-4):
+            errs.append(f"{tag}: column {col} outside f32 band")
+    d = np.asarray(table.com_z)[sel]
+    if not np.allclose(d, frame + 0.5, rtol=0, atol=1e-6):
+        errs.append(f"{tag}: column com_z != frame+0.5")
+    return errs
+
+
 def main() -> int:
     signal.signal(signal.SIGTERM, _flush_and_exit)
     signal.signal(signal.SIGALRM, _flush_and_exit)
@@ -246,10 +317,21 @@ def main() -> int:
         return step
 
     # --- correctness anchors (deterministic sample frames) -------------------
+    # Upgraded r5: full BIT-PARITY of the real-chip pixel list and every
+    # spot-table column against the f64 host oracle golden
+    # (tools/make_anchor_golden.py) — the reference pixel-compares every
+    # image under --validate (spotfinder.cc:1011-1053), and count-only
+    # anchors are exactly what the observed v5e MXU bit-drop passed.
+    # FFS_BENCH_FAULT=1 plants a one-bit fault to prove the compare fails.
     ok = True
     if not SMOKE:
+        golden = _load_anchor_golden()
         img2 = sample_data.generate_sample_image(2)
         img5 = sample_data.generate_sample_image(5)
+        if os.environ.get("FFS_BENCH_FAULT", "") not in ("", "0"):
+            img2 = img2.copy()
+            img2[100, 200] ^= 1
+            _note("FFS_BENCH_FAULT: planted a one-bit fault in img2")
         VKF = 16384  # validation per-frame capacity (img2 holds 9506)
         val_step = jax.jit(
             lambda b: tuple(
@@ -258,21 +340,29 @@ def main() -> int:
                     make_full_step(VKF, 16384, mb=mbox)(b)
                 ]
                 for v in (
-                    p.linear_index, p.intensity, counts, t.n_spots,
+                    p.linear_index, p.intensity, counts, t,
                     jnp.sum(keep.astype(jnp.int32)), hp,
                 )
             )
         )
-        lin_v, int_v, counts_v, n_spots, n_keep, hp_v = jax.device_get(
+        lin_v, int_v, counts_v, table_v, n_keep, hp_v = jax.device_get(
             val_step(jnp.stack([jnp.asarray(img2), jnp.asarray(img5)]))
         )
         hp_v = int(hp_v)
         per_frame = [int(counts_v[0]), int(counts_v[1])]
-        ok = per_frame == [9506, 2388] and int(n_spots) == 9506 + 2311
-        if not ok:
-            _fail_validation(
-                f"VALIDATION MISMATCH: px={per_frame} spots={int(n_spots)}"
+        errs = []
+        for frame, (tag, npx) in enumerate(
+            (("img2", per_frame[0]), ("img5", per_frame[1]))
+        ):
+            seg0 = frame * VKF
+            errs += _check_anchor_bitparity(
+                golden, tag, W, hp_v, frame,
+                lin_v[seg0 : seg0 + npx], int_v[seg0 : seg0 + npx],
+                table_v,
             )
+        if errs:
+            ok = False
+            _fail_validation("ANCHOR BIT-PARITY FAILED: " + "; ".join(errs))
 
         # host-CC cross-check (the production CLI backend) on the same
         # pixels (frame 0 occupies the first per-frame slot segment)
@@ -281,7 +371,11 @@ def main() -> int:
         if host_table.n_spots != 9506:
             _fail_validation(f"HOST-CC MISMATCH: {host_table.n_spots}")
             ok = False
-        _note(f"anchors validated ok={ok}")
+        _note(
+            "anchors validated (table bit-parity) ok=%s" % ok
+            if ok
+            else f"anchors FAILED: {errs}"
+        )
 
     # --- Eiger 16M throughput -------------------------------------------------
     rng = np.random.default_rng(12)
@@ -311,13 +405,29 @@ def main() -> int:
         return consume_all(p, t, keep, counts)
 
     # capacity check on the realistic frames (per frame: segmented slots)
-    # check BOTH loop parities (the chained loop runs batch and batch+1)
-    counts_k = jnp.maximum(step(batch)[4], step(batch + jnp.uint16(1))[4])
+    # covering every value the warmup AND timed runs see (b+0..b+3: the
+    # timed input is value-perturbed, and the chained loop adds i&1)
+    counts_k = jnp.maximum(
+        jnp.maximum(step(batch)[4], step(batch + jnp.uint16(1))[4]),
+        jnp.maximum(
+            step(batch + jnp.uint16(2))[4], step(batch + jnp.uint16(3))[4]
+        ),
+    )
     if int(jnp.max(counts_k)) > KF:
         _fail_validation(
             f"bench frames exceed per-frame capacity: {int(jnp.max(counts_k))} > {KF}"
         )
         ok = False
+
+    def _timed_fps(chained_fn, warm_in, timed_in, n_frames):
+        """r5 fencing protocol: the tunnel now acks block_until_ready at
+        ENQUEUE (timings read ~0) and appears to memoize identical
+        (program, input-value) executions — so fence with a scalar d2h
+        (float()) and time an input whose VALUE differs from warmup."""
+        float(chained_fn(warm_in))
+        t0 = time.perf_counter()
+        float(chained_fn(timed_in))
+        return n_frames / (time.perf_counter() - t0)
 
     eiger_line = None
 
@@ -328,10 +438,9 @@ def main() -> int:
 
         return jax.lax.fori_loop(0, REPS, body, jnp.float32(0.0))
 
-    jax.block_until_ready(chained(batch))
-    t0 = time.perf_counter()
-    jax.block_until_ready(chained(batch))
-    eiger_fps = BATCH * REPS / (time.perf_counter() - t0)
+    eiger_fps = _timed_fps(
+        chained, batch, batch + jnp.uint16(2), BATCH * REPS
+    )
     eiger_line = (
         "eiger16m_spotfind_fps" + ("" if ok else "_VALIDATION_FAILED"),
         round(eiger_fps, 2),
@@ -339,6 +448,149 @@ def main() -> int:
         round(eiger_fps / 500.0, 4),
     )
     _emit(*eiger_line)
+
+    # --- Eiger 16M ingest-inclusive throughput ---------------------------------
+    # Decode enters the SAME chained device program: bitshuffle planes
+    # (the host stops at LZ4) -> device untranspose -> Pallas frame
+    # assembly -> the full spotfind pipeline, every output consumed.
+    # This is the ingest-in-the-loop number the reference's 500 Hz is
+    # measured with (spotfinder.cc:823-855 decodes per reader thread).
+    if _remaining() < 300.0:
+        _note(f"skipping ingest metric: {_remaining():.0f}s budget left")
+    else:
+        try:
+            from ffs_tpu.io import compression
+            from ffs_tpu.ops.bitshuffle_device import (
+                untranspose_planes_to_wide,
+            )
+            from ffs_tpu.ops.frame_assemble import (
+                frames_from_flat_wide,
+                padded_width,
+            )
+
+            WP = padded_width(W)
+            imask_np = np.zeros((H, WP), np.uint8)
+            imask_np[:, :W] = mask_np
+            imask = jnp.asarray(imask_np)
+            imbox = mask_box_count(imask) if on_tpu else None
+
+            def to_planes(frames_arr):
+                pls = []
+                for fb in frames_arr:
+                    chunk = compression.bshuf_lz4_compress(
+                        fb.reshape(-1), 2
+                    )
+                    planes, tail, _, n_shuf = compression.bshuf_lz4_planes(
+                        chunk, fb.size, 2
+                    )
+                    assert n_shuf == fb.size and not len(tail)
+                    pls.append(planes)
+                pl = np.stack(pls)
+                return jax.device_put(
+                    jnp.asarray(
+                        pl.reshape(len(pls), pl.shape[1], -1).view(np.uint32)
+                    )
+                )
+
+            def idecode(pl):
+                nb = pl.shape[0]
+                el = untranspose_planes_to_wide(
+                    pl.reshape(-1, pl.shape[-1]), 2
+                )
+                return frames_from_flat_wide(
+                    el.reshape(nb, -1), H, W, interpret=interp
+                )
+
+            istep = make_full_step(KF, S, msk=imask, mb=imbox)
+            iok = ok
+
+            if not SMOKE:
+                # ingest anchors: the sample frames routed through the
+                # decode path must reproduce the SAME oracle bit-parity
+                # (frame width padded to WP; x/y coordinates unchanged)
+                ival_step = jax.jit(
+                    lambda pl: tuple(
+                        v
+                        for p, t, keep, hp, counts in [
+                            make_full_step(
+                                16384, 16384, msk=imask, mb=imbox
+                            )(idecode(pl))
+                        ]
+                        for v in (p.linear_index, p.intensity, counts, t, hp)
+                    )
+                )
+                ilin, iint, icounts_v, itable, ihp = jax.device_get(
+                    ival_step(to_planes(np.stack([img2, img5])))
+                )
+                ihp = int(ihp)
+                iper = [int(icounts_v[0]), int(icounts_v[1])]
+                ierrs = []
+                for frame, (tag, npx) in enumerate(
+                    (("img2", iper[0]), ("img5", iper[1]))
+                ):
+                    seg0 = frame * 16384
+                    ierrs += _check_anchor_bitparity(
+                        golden, tag, WP, ihp, frame,
+                        ilin[seg0 : seg0 + npx], iint[seg0 : seg0 + npx],
+                        itable,
+                    )
+                if ierrs:
+                    iok = False
+                    _fail_validation(
+                        "INGEST ANCHOR BIT-PARITY FAILED: " + "; ".join(ierrs)
+                    )
+                else:
+                    _note("ingest anchors validated (table bit-parity)")
+
+            iplanes = to_planes(np.asarray(jax.device_get(batch)))
+            # loop perturbation restricted to the LOWEST bit plane
+            # (s=0, kk=0: the first 512 bytes = first 128 u32 words of
+            # each block): an unrestricted word XOR flips high bit
+            # planes too (+-32768 per pixel) and the frames stop being
+            # beamline-like (caught by the smoke run's capacity check)
+            wpb = iplanes.shape[-1]
+            ppat = np.zeros((1, 1, wpb), np.uint32)
+            ppat[..., : min(128, wpb)] = 1
+            ppat_dev = jnp.asarray(ppat)
+
+            def iconsume(pl):
+                p, t, keep, hp, counts = istep(idecode(pl))
+                return consume_all(p, t, keep, counts)
+
+            # capacity over every value warmup+timed runs see
+            ic = None
+            for d in range(4):
+                c = istep(idecode(iplanes ^ ppat_dev * jnp.uint32(d)))[4]
+                ic = c if ic is None else jnp.maximum(ic, c)
+            if int(jnp.max(ic)) > KF:
+                _fail_validation(
+                    f"ingest frames exceed per-frame capacity: "
+                    f"{int(jnp.max(ic))} > {KF}"
+                )
+                iok = False
+
+            @jax.jit
+            def ichained(pl):
+                def body(i, acc):
+                    return acc + iconsume(
+                        pl ^ ppat_dev * (i & 1).astype(jnp.uint32)
+                    )
+
+                return jax.lax.fori_loop(0, REPS, body, jnp.float32(0.0))
+
+            ingest_fps = _timed_fps(
+                ichained, iplanes, iplanes ^ ppat_dev * jnp.uint32(2),
+                BATCH * REPS,
+            )
+            _emit(
+                "eiger16m_ingest_spotfind_fps"
+                + ("" if iok else "_VALIDATION_FAILED"),
+                round(ingest_fps, 2),
+                "frames/s/chip (bitshuffle-plane input; device decode in-loop)",
+                round(ingest_fps / 500.0, 4),
+            )
+        except Exception as e:  # best-effort: never starve later metrics
+            _note(f"ingest metric skipped: {type(e).__name__}: {e}")
 
     # --- Jungfrau 1M throughput (extended algorithm) ---------------------------
     if _remaining() < 120.0:
@@ -372,7 +624,13 @@ def main() -> int:
             int(os.environ.get("FFS_BENCH_JF_MAX_SPOTS", "8192")),
             extended=True, msk=jmask, mb=jmbox,
         )
-        jcounts = jnp.maximum(jstep(jbatch)[4], jstep(jbatch + jnp.uint16(1))[4])
+        jcounts = jnp.maximum(
+            jnp.maximum(jstep(jbatch)[4], jstep(jbatch + jnp.uint16(1))[4]),
+            jnp.maximum(
+                jstep(jbatch + jnp.uint16(2))[4],
+                jstep(jbatch + jnp.uint16(3))[4],
+            ),
+        )
         if int(jnp.max(jcounts)) > JKF:
             _fail_validation(
                 f"JF bench frames exceed per-frame capacity: {int(jnp.max(jcounts))} > {JKF}"
@@ -391,10 +649,9 @@ def main() -> int:
 
             return jax.lax.fori_loop(0, REPS, body, jnp.float32(0.0))
 
-        jax.block_until_ready(jchained(jbatch))
-        t0 = time.perf_counter()
-        jax.block_until_ready(jchained(jbatch))
-        jf_fps = JB * REPS / (time.perf_counter() - t0)
+        jf_fps = _timed_fps(
+            jchained, jbatch, jbatch + jnp.uint16(2), JB * REPS
+        )
         _emit(
             "jungfrau1m_extended_spotfind_fps"
             + ("" if jok else "_VALIDATION_FAILED"),
@@ -485,7 +742,7 @@ def main() -> int:
         _emit(*eiger_line)
 
     signal.alarm(0)
-    return 0 if ok else 1
+    return 0 if (ok and not _VALIDATION_FAILED) else 1
 
 
 if __name__ == "__main__":

@@ -71,6 +71,72 @@ def tukey_constant_background(
     return mean, np.where(valid, wsum, 0.0), valid
 
 
+def dials_tukey_background(
+    bins: np.ndarray, overflow: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Independent reimplementation of the reference's dials-faithful
+    Tukey baseline (reference: src/integrator/background.cc:27-128,
+    ``ConstantBackgroundImpl::DialsIndependent`` — the third selectable
+    background impl, shipped precisely as a cross-check of the shared
+    core, baseline/integrator/integrator.cc:112-116).
+
+    Semantics of the dials-independent variant, reproduced here:
+
+      * NO overflow-fraction rejection (the reference scans an unbounded
+        histogram; there is no 25% tail cut);
+      * NO blanket ``upper fence < num_bins`` rejection — high values can
+        be genuine inliers.  Working from the bounded (bins, overflow)
+        histogram this path rejects ONLY when the answer genuinely lives
+        in the tail (a quartile or the upper fence reaches the >= num_bins
+        range while tail pixels exist, where the true per-value counts
+        are unknown) — for the realistic case (fences below num_bins) the
+        result is exactly the reference's unbounded computation;
+      * same 1-based quantile convention p25=(N+3)//4, p75=(3N+1)//4.
+
+    Structure is deliberately a separate code path from
+    :func:`tukey_constant_background`: quantiles by counting
+    ``cum < p`` (not one-hot argmax) and inlier sums by cumulative-array
+    differences (not masked reductions), so the two implementations can
+    cross-check each other (tests/test_background_dials_golden.py).
+    """
+    bins = np.asarray(bins, dtype=np.int64)
+    overflow = np.asarray(overflow, dtype=np.int64)
+    n, num_bins = bins.shape
+    total = bins.sum(axis=1) + overflow
+    cum = np.cumsum(bins, axis=1)
+    wcum = np.cumsum(bins * np.arange(num_bins)[None, :], axis=1)
+
+    def quant(p):
+        # number of values whose cumulative count stays below p = the
+        # first value reaching p; num_bins when it lies in the tail
+        return (cum < p[:, None]).sum(axis=1)
+
+    q1 = quant((total + 3) // 4)
+    q3 = quant((3 * total + 1) // 4)
+    iqr = (q3 - q1).astype(np.float64)
+    lower = q1 - 1.5 * iqr
+    upper = q3 + 1.5 * iqr
+
+    valid = total > 0
+    # quartiles must be resolvable from the bounded histogram
+    valid &= q1 < num_bins
+    valid &= q3 < num_bins
+    # the upper fence may only touch the tail when the tail is empty
+    valid &= (upper < num_bins) | (overflow == 0)
+
+    lo = np.clip(np.ceil(lower).astype(np.int64), 0, num_bins - 1)
+    hi = np.clip(np.floor(upper).astype(np.int64), 0, num_bins - 1)
+    rows = np.arange(n)
+    count = cum[rows, hi] - np.where(lo > 0, cum[rows, np.maximum(lo - 1, 0)], 0)
+    wsum = (
+        wcum[rows, hi]
+        - np.where(lo > 0, wcum[rows, np.maximum(lo - 1, 0)], 0)
+    ).astype(np.float64)
+    valid &= count > 0
+    mean = np.where(valid, wsum / np.where(count > 0, count, 1), 0.0)
+    return mean, np.where(valid, wsum, 0.0), valid
+
+
 def _poisson_terms(mu: np.ndarray, kmax: int) -> np.ndarray:
     """P(Y = k) for k = 0..kmax-1 over a vector of means -> (N, kmax)."""
     k = np.arange(kmax)
@@ -174,8 +240,12 @@ def glm_constant_background(
 def estimate_background(
     bins: np.ndarray, overflow: np.ndarray, model: str = "tukey"
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    if model in ("tukey", "constant", "dials"):
+    if model in ("tukey", "constant"):
         return tukey_constant_background(bins, overflow)
+    if model == "dials":
+        # the reference's third, INDEPENDENT Tukey implementation —
+        # selectable as a cross-check of the shared core
+        return dials_tukey_background(bins, overflow)
     if model == "glm":
         return glm_constant_background(bins, overflow)
     raise ValueError(f"unknown background model: {model}")

@@ -338,6 +338,7 @@ def sharded_packed_sp_pipeline(
     max_spots: int = 4096,
     interpret: bool = False,
     axis: str = "data",
+    extended: bool = False,
 ):
     """The PRODUCTION packed pipeline on ONE frame, rows sharded over ICI.
 
@@ -353,12 +354,27 @@ def sharded_packed_sp_pipeline(
     single-chip code — so the result is bit-identical to the single-chip
     flat path (asserted in tests/test_parallel.py and dryrun_multichip).
 
+    ``extended=True`` runs the three-stage extended algorithm (the one the
+    Jungfrau 2500 Hz stream uses — reference: thresholding.cu:253-491 +
+    erosion.cu:53-143).  Its halo is DEEPER: the second pass reads the
+    eroded first-pass mask over an 11x11 window (radius 5), erosion reads
+    the first-pass mask at radius 3, and the first pass reads pixels at
+    radius 3 — so a shard needs 5+3+3 = 11 neighbour rows to reproduce
+    every stage of the single-chip computation locally.  One 11-row halo
+    exchange + local recompute of the overlap region replaces the
+    reference's stage-by-stage intermediate exchanges (bit-identical:
+    every stage is a deterministic function of the haloed rows).
+
     Returns a replicated ``SpotTable`` (z = 0 rows, ``frame_rows=None``
     lin convention: lin = y*W + x) plus the global strong-pixel count.
     """
     from ..ops import connected_components as cc
     from ..ops.compact import compact_from_pcw_flat
     from ..ops.connected_components import BIG, CompactPixels, _searchsorted
+    from ..constants import KERNEL_RADIUS_EXTENDED
+    from ..ops.dispersion_extended_pallas import (
+        dispersion_extended_packed_raw,
+    )
     from ..ops.dispersion_pallas import dispersion_packed_raw
 
     n = mesh.shape[axis]
@@ -366,7 +382,11 @@ def sharded_packed_sp_pipeline(
     if h % n:
         raise ValueError(f"rows ({h}) must divide the mesh axis ({n})")
     hs = h // n
-    r = KERNEL_RADIUS
+    r = (
+        KERNEL_RADIUS + KERNEL_RADIUS + KERNEL_RADIUS_EXTENDED
+        if extended
+        else KERNEL_RADIUS
+    )
     if hs < r:
         raise ValueError(f"shard rows ({hs}) must cover the halo ({r})")
     k = max_pixels_per_chip
@@ -387,9 +407,14 @@ def sharded_packed_sp_pipeline(
         # --- per-chip packed hot path on the haloed strip ----------------
         img_p = _halo_exchange(img_shard, r, axis, n)
         mask_p = _halo_exchange(mask_shard, r, axis, n)
-        pcw = dispersion_packed_raw(
-            img_p, mask_p, trusted_max, trim=True, interpret=interpret
-        )
+        if extended:
+            pcw = dispersion_extended_packed_raw(
+                img_p, mask_p, trusted_max, trim=True, interpret=interpret
+            )
+        else:
+            pcw = dispersion_packed_raw(
+                img_p, mask_p, trusted_max, trim=True, interpret=interpret
+            )
         pcw_local = pcw[r : r + hs]  # drop halo rows
         pixels, nbu, nbd = compact_from_pcw_flat(
             img_shard[None],

@@ -114,7 +114,13 @@ def run(argv=None) -> int:
         default=6,
     )
     p.add_argument("-a", "--algorithm", default="ellipsoid", choices=["ellipsoid", "dials"])
-    p.add_argument("--background", default="constant", choices=["constant", "glm"])
+    p.add_argument(
+        "--background", default="constant",
+        choices=["constant", "glm", "dials"],
+        help="constant = shared-core Tukey; glm = robust-Poisson GLM; "
+        "dials = the independent dials-faithful Tukey cross-check "
+        "(reference: baseline/integrator/integrator.cc:112-116)",
+    )
     p.add_argument(
         "--bg-device",
         action="store_true",
@@ -319,8 +325,14 @@ def run(argv=None) -> int:
     mark("kabsch")
 
     fin_mod.check_overflow(acc.bg_count, acc.bg_overflow)
-    bg_model = "tukey" if args.background == "constant" else "glm"
-    if args.bg_device:
+    bg_model = {"constant": "tukey", "glm": "glm", "dials": "dials"}[
+        args.background
+    ]
+    if args.bg_device and bg_model == "dials":
+        # the dials cross-check variant is host-only by design (it exists
+        # to independently check the device/shared reductions)
+        print("note: --background dials runs on host; ignoring --bg-device for the background stage")
+    if args.bg_device and bg_model != "dials":
         # device reduction: whole reflection batch as one (N, bins) XLA
         # program (reference: integrator/background.cu:29-99)
         from ..integration.background_jax import estimate_background_device

@@ -84,7 +84,8 @@ class MessageOrderResolver:
         if message.dcgid != self._current_dcgid:
             if self._current_dcgid:
                 self.log.debug(
-                    f"Got new DCGID ({message.dcgid}); resetting expected index counter."
+                    "new collection group %s - index tracking restarts at 0",
+                    message.dcgid,
                 )
             self._current_dcgid = message.dcgid
             self._expected_next_message_id = 0
@@ -93,15 +94,16 @@ class MessageOrderResolver:
             self._expected_next_message_id += 1
         elif header.get("already_requeued", False):
             self.log.info(
-                f"PIA requests out-of-order; Expected "
-                f"{self._expected_next_message_id}, got {message.message_index}."
-                " Already Requeued once, continuing analysis."
+                "request %d arrived while %d was still pending and has "
+                "already been deferred once - processing it out of order",
+                message.message_index,
+                self._expected_next_message_id,
             )
         else:
             self.log.info(
-                f"PIA requests out-of-order; Expected "
-                f"{self._expected_next_message_id}, got {message.message_index}."
-                " Requeueing."
+                "request %d arrived before %d - deferring it once",
+                message.message_index,
+                self._expected_next_message_id,
             )
             header["already_requeued"] = True
             return False

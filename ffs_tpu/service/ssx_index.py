@@ -17,65 +17,86 @@ from pathlib import Path
 import numpy as np
 
 
-class OutputAggregator:
-    """Aggregate per-image lattices (reference: ssx_index.py:160-240)."""
+class IndexedCollection:
+    """One record per indexed lattice; renders the two output artefacts.
+
+    The FILE formats (`indexed.expt` crystal dicts, the DIALS
+    ``dials/processing/group_0`` reflection-table layout with its
+    ``experiment_ids``/``identifiers`` attrs) are fixed by downstream
+    DIALS consumers; the in-memory shape is our own — a flat list of
+    per-lattice records, with columns materialised only at write time.
+    """
 
     def __init__(self, identifiers_map):
-        self.miller_indices = []
-        self.xyzobs = []
-        self.xyzcal_px = []
-        self.delpsical = []
-        self.ids = []
-        self.s1 = []
-        self.image_nos = []
-        self.output_id = 0
-        self.new_id_to_old_id = {}
-        self.output_crystals_list = []
-        self.output_crystals_id_nos = []
-        self.identifiers_map = identifiers_map
+        self._records: list[dict] = []
+        self._identifiers = identifiers_map
 
-    def add_result(self, result, i):
-        A_inv = np.linalg.inv(result.a_matrix)
-        self.output_crystals_list.append(
+    def __len__(self) -> int:
+        return len(self._records)
+
+    def record(self, result, image_no: int) -> None:
+        """Store one indexing solution (all arrays copied out of the
+        result so the indexer can reuse its buffers)."""
+        b_real = np.linalg.inv(np.asarray(result.a_matrix))
+        self._records.append(
             {
-                "__id__": "crystal",
-                "real_space_a": list(map(float, A_inv[0])),
-                "real_space_b": list(map(float, A_inv[1])),
-                "real_space_c": list(map(float, A_inv[2])),
-                "space_group_hall_symbol": "P 1",
+                "image": int(image_no),
+                "crystal": {
+                    "__id__": "crystal",
+                    "real_space_a": [float(v) for v in b_real[0]],
+                    "real_space_b": [float(v) for v in b_real[1]],
+                    "real_space_c": [float(v) for v in b_real[2]],
+                    "space_group_hall_symbol": "P 1",
+                },
+                "miller": np.asarray(result.miller_indices, np.int32),
+                "xyzobs": np.asarray(result.xyzobs_px, float).reshape(-1, 3),
+                "xyzcal": np.asarray(result.xyzcal_px, float).reshape(-1, 3),
+                "delpsi": np.asarray(result.delpsi, float),
+                "s1": np.asarray(result.s1, float).reshape(-1, 3),
             }
         )
-        self.output_crystals_id_nos.append(int(i))
-        n = len(result.delpsi)
-        self.miller_indices.append(np.asarray(result.miller_indices, np.int32))
-        self.xyzobs.append(np.asarray(result.xyzobs_px).reshape(-1, 3))
-        self.xyzcal_px.append(np.asarray(result.xyzcal_px).reshape(-1, 3))
-        self.delpsical.append(np.asarray(result.delpsi))
-        self.s1.append(np.asarray(result.s1).reshape(-1, 3))
-        self.ids.append(np.full(n, self.output_id, dtype=np.int32))
-        self.image_nos.append(np.full(n, i, dtype=np.int32))
-        self.new_id_to_old_id[self.output_id] = int(i)
-        self.output_id += 1
 
-    def write_table(self, filename):
+    @property
+    def crystals(self) -> list[dict]:
+        return [r["crystal"] for r in self._records]
+
+    @property
+    def crystal_image_numbers(self) -> list[int]:
+        return [r["image"] for r in self._records]
+
+    def write_reflections(self, filename) -> None:
+        """Emit the DIALS-layout reflection table for every lattice."""
         import h5py
 
+        def col(key):
+            return np.concatenate([r[key] for r in self._records])
+
+        lattice_sizes = [len(r["delpsi"]) for r in self._records]
+        lattice_id = np.repeat(
+            np.arange(len(self._records), dtype=np.int32), lattice_sizes
+        )
+        image_no = np.repeat(
+            np.asarray([r["image"] for r in self._records], np.int32),
+            lattice_sizes,
+        )
         with h5py.File(Path.cwd() / filename, "w") as f:
-            group = f.create_group("dials/processing/group_0")
-            ids_array = np.concatenate(self.ids)
-            group["id"] = ids_array
-            group["image"] = np.concatenate(self.image_nos)
-            group["xyzobs.px.value"] = np.concatenate(self.xyzobs)
-            group["xyzcal.px"] = np.concatenate(self.xyzcal_px)
-            group["s1"] = np.concatenate(self.s1)
-            group["delpsical.rad"] = np.concatenate(self.delpsical)
-            group["miller_index"] = np.concatenate(self.miller_indices, dtype=np.int32)
-            sorted_ids = sorted(set(int(i) for i in self.new_id_to_old_id))
-            group.attrs["experiment_ids"] = np.asarray(sorted_ids, np.uint64)
-            group.attrs["identifiers"] = [
-                self.identifiers_map[self.new_id_to_old_id[i]] for i in sorted_ids
+            g = f.create_group("dials/processing/group_0")
+            g["id"] = lattice_id
+            g["image"] = image_no
+            g["xyzobs.px.value"] = col("xyzobs")
+            g["xyzcal.px"] = col("xyzcal")
+            g["s1"] = col("s1")
+            g["delpsical.rad"] = col("delpsi")
+            g["miller_index"] = col("miller").astype(np.int32)
+            # experiment ids are the DENSE lattice numbers; identifiers
+            # map each back to its source image's identifier string
+            g.attrs["experiment_ids"] = np.arange(
+                len(self._records), dtype=np.uint64
+            )
+            g.attrs["identifiers"] = [
+                self._identifiers[r["image"]] for r in self._records
             ]
-            group["panel"] = np.zeros_like(ids_array, dtype=np.uint64)
+            g["panel"] = np.zeros_like(lattice_id, dtype=np.uint64)
 
 
 def run(args=None) -> None:
@@ -166,7 +187,7 @@ def run(args=None) -> None:
     indexer.cell = tuple(parsed.cell)
     indexer.wavelength = wavelength
 
-    aggregator = OutputAggregator(identifiers_map)
+    collection = IndexedCollection(identifiers_map)
     unique_ids, starts = np.unique(ids, return_index=True)
     ends = np.append(starts[1:], len(ids))
 
@@ -185,7 +206,7 @@ def run(args=None) -> None:
         result, n_unindexed = indexer.index(xyzs_this)
         if result is not None and len(result.delpsi):
             n_indexed_images += 1
-            aggregator.add_result(result, int(id_))
+            collection.record(result, int(id_))
             rmsdx, rmsdy, rmsd_psi = result.rmsds
             cell_str = ", ".join(f"{v:.3f}" for v in result.cell_parameters)
             print(
@@ -206,18 +227,18 @@ def run(args=None) -> None:
 
     if parsed.test:
         with open("indexed_crystals.json", "w") as f:
-            json.dump(aggregator.output_crystals_list, f, indent=2)
+            json.dump(collection.crystals, f, indent=2)
     else:
-        expts["crystal"] = aggregator.output_crystals_list
-        for i, id_ in enumerate(aggregator.output_crystals_id_nos):
+        expts["crystal"] = collection.crystals
+        for i, id_ in enumerate(collection.crystal_image_numbers):
             expts["experiment"][id_]["crystal"] = i
         with open("indexed.expt", "w") as f:
             json.dump(expts, f, indent=2)
 
-    if not aggregator.ids:
-        print("No images successfully indexed, no reflection output will be written.")
+    if not len(collection):
+        print("no indexed lattices - skipping the reflection table")
     else:
-        aggregator.write_table("indexed.refl")
+        collection.write_reflections("indexed.refl")
     t3 = time.time()
     print(
         f"Setup time: {t1 - st:.3f}s, index time {t2 - t1:.3f}s, "

@@ -349,3 +349,77 @@ def test_sharded_rotation_3d_merge_bit_identical(mesh, rng):
     spans = (spots_dp.z_min <= k - 1) & (spots_dp.z_max >= k)
     assert spans.any(), "no 3D spot spans the chip-boundary frame pair"
     assert int(spots_dp.z_max[spans][0] - spots_dp.z_min[spans][0]) >= 2
+
+
+def test_sharded_packed_sp_extended_table_bit_identical(mesh, rng):
+    """Extended-dispersion SP (VERDICT r4 item 3): the three-stage
+    algorithm the Jungfrau stream runs, one frame's rows sharded over 8
+    chips with the DEEP halo (first pass r=3 + erosion r=3 + second pass
+    r=5 = 11 rows), signal planted across shard boundaries.  Spot TABLE
+    bit-parity vs the single-chip flat extended path.
+    """
+    from ffs_tpu.ops import connected_components as cc
+    from ffs_tpu.ops.compact import compact_from_pcw_flat
+    from ffs_tpu.ops.dispersion_extended_pallas import (
+        dispersion_extended_packed_raw,
+    )
+    from ffs_tpu.parallel import sharded_packed_sp_pipeline
+
+    h, w = 128, 192  # 16 rows per shard >= the 11-row extended halo
+    image = rng.poisson(4.0, size=(h, w)).astype(np.uint16)
+    # signal spanning shard boundaries (rows 15/16, 63/64, 111/112) and a
+    # tall component crossing three shards
+    image[13:20, 30:35] = 700
+    image[58:70, 90:95] = 900
+    image[109:115, 150:154] = 650
+    image[38:59, 10:13] = 800
+    mask = np.ones((h, w), np.uint8)
+
+    table, total = sharded_packed_sp_pipeline(
+        mesh,
+        jnp.asarray(image),
+        jnp.asarray(mask),
+        65535.0,
+        max_pixels_per_chip=1024,
+        max_spots=512,
+        interpret=True,
+        extended=True,
+    )
+
+    pcw = dispersion_extended_packed_raw(
+        jnp.asarray(image), jnp.asarray(mask), 65535.0, trim=True,
+        interpret=True,
+    )
+    pixels, nbu, nbd = compact_from_pcw_flat(
+        jnp.asarray(image)[None], pcw[None],
+        max_pixels_total=8 * 1024, with_neighbors=True,
+    )
+    root = cc.label_compact_pixels(pixels, width=w, neighbors=(nbu, nbd))
+    want = cc.spot_table_from_pixels(
+        pixels, root, width=w, max_spots=512, dtype=jnp.float32
+    )
+
+    assert int(total) == int(pixels.count) > 0
+    ns = int(want.n_spots)
+    assert int(table.n_spots) == ns > 0
+    for field in want._fields:
+        if field == "n_spots":
+            continue
+        a = np.asarray(getattr(table, field))[:ns]
+        b = np.asarray(getattr(want, field))[:ns]
+        np.testing.assert_array_equal(a, b, err_msg=f"column {field}")
+    # a genuinely boundary-spanning component survived the merge
+    n_px = np.asarray(want.n_pixels)[:ns]
+    assert (n_px >= 30).any(), "multi-shard extended spot not merged"
+
+
+def test_sharded_packed_sp_extended_halo_guard(mesh, rng):
+    """A shard shorter than the 11-row extended halo must be refused."""
+    from ffs_tpu.parallel import sharded_packed_sp_pipeline
+
+    image = jnp.asarray(rng.poisson(4.0, size=(64, 192)).astype(np.uint16))
+    mask = jnp.ones((64, 192), jnp.uint8)
+    with pytest.raises(ValueError, match="halo"):
+        sharded_packed_sp_pipeline(
+            mesh, image, mask, 65535.0, interpret=True, extended=True
+        )
