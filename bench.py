@@ -164,7 +164,7 @@ def _load_anchor_golden():
 
 
 def _check_anchor_bitparity(
-    golden, tag, w, hp, frame, lin, inten, table, fp32_rtol=1e-5
+    golden, tag, w, pitch, frame, lin, inten, table, fp32_rtol=1e-5
 ):
     """Compare one frame's device pixel list + spot-table columns against
     the f64 host-oracle golden.  Returns a list of mismatch strings
@@ -179,7 +179,9 @@ def _check_anchor_bitparity(
     """
     errs = []
     g_y, g_x = golden[f"{tag}_y"], golden[f"{tag}_x"]
-    y = lin // w - frame * hp
+    # tall linear indices use the (h+1)-row gap pitch between frames
+    # (ops/compact.compact_from_pcw_segmented contract)
+    y = lin // w - frame * pitch
     x = lin % w
     if len(lin) != len(g_y):
         errs.append(f"{tag}: pixel count {len(lin)} != {len(g_y)}")
@@ -356,7 +358,7 @@ def main() -> int:
         ):
             seg0 = frame * VKF
             errs += _check_anchor_bitparity(
-                golden, tag, W, hp_v, frame,
+                golden, tag, W, hp_v + 1, frame,
                 lin_v[seg0 : seg0 + npx], int_v[seg0 : seg0 + npx],
                 table_v,
             )
@@ -530,7 +532,7 @@ def main() -> int:
                 ):
                     seg0 = frame * 16384
                     ierrs += _check_anchor_bitparity(
-                        golden, tag, WP, ihp, frame,
+                        golden, tag, WP, ihp + 1, frame,
                         ilin[seg0 : seg0 + npx], iint[seg0 : seg0 + npx],
                         itable,
                     )

@@ -232,6 +232,311 @@ def merge_frames(
     )
 
 
+class StreamingMerger3D:
+    """Incremental 3D merge: consume frames as the collection streams.
+
+    The batch :func:`merge_frames` materialises every frame's pixels
+    before merging — fine for short scans, but SURVEY §5 calls the
+    streaming per-frame label merge the novel long-axis design and the
+    reference marks 3D CC "HOT for long scans"
+    (connected_components.cc:270-471).  This class carries the
+    label-equivalence state across frames:
+
+      * union-find over per-frame 2D FRAGMENTS (min-root hooking, so the
+        component root is its smallest global fragment id — the same
+        deterministic numbering the batch merge derives);
+      * per-fragment integer statistics (counts, intensity-weighted
+        coordinate sums, bboxes, peak candidates) accumulated at push
+        time — all integer-valued, so the final per-spot sums are exact
+        and BIT-IDENTICAL to the batch merge regardless of addition
+        order;
+      * a component CLOSES as soon as it has no fragment in the newest
+        frame (inter-frame edges only ever connect adjacent frames), at
+        which point its statistics collapse into one spot record and its
+        pixel storage — retained only for OPEN components — is freed.
+
+    Memory is bounded by fragments plus the pixels of currently-open
+    components (≈ the last frame's worth), not by the collection length.
+
+    ``keep_pixels=True`` additionally retains every pixel so
+    ``finalize()`` reproduces the batch merge's pixel-level fields
+    (compat/test mode; memory is then pixel-bound again).
+
+    ``on_spot_closed``: optional callback ``f(record: dict)`` invoked as
+    each component closes, with the spot's statistics and (if pixel
+    retention is on for open components, which it always is) its pixel
+    arrays — the hook for streaming per-spot variance computation.
+    """
+
+    _GROW = 4096
+
+    def __init__(self, width: int, *, keep_pixels: bool = False,
+                 on_spot_closed=None):
+        self.width = width
+        self.keep_pixels = keep_pixels
+        self.on_spot_closed = on_spot_closed
+        self._z = 0
+        self._n_frags = 0
+        cap = self._GROW
+        self._parent = np.arange(cap, dtype=np.int64)
+        self._frag_z = np.zeros(cap, dtype=np.int64)
+        self._stats = {
+            name: np.zeros(cap, dtype=np.int64)
+            for name in (
+                "n_pix", "sum_i", "sum_ix", "sum_iy", "sum_iz",
+                "x_min", "x_max", "y_min", "y_max",
+                "peak_i", "peak_z", "peak_y", "peak_x",
+            )
+        }
+        self._open = np.zeros(0, dtype=np.int64)  # open fragment ids
+        self._pix: dict[int, tuple] = {}  # frag id -> (lin, inten, z)
+        self._prev: tuple[np.ndarray, np.ndarray] | None = None
+        self._records: list[dict] = []
+        self._all_pixels: list[tuple] = []  # keep_pixels mode
+
+    # -- union-find over the growable parent array ------------------------
+    def _grow_to(self, n: int) -> None:
+        cap = len(self._parent)
+        if n <= cap:
+            return
+        new_cap = max(n, cap + self._GROW)
+        grown = np.arange(new_cap, dtype=np.int64)
+        grown[:cap] = self._parent
+        self._parent = grown
+        self._frag_z = np.resize(self._frag_z, new_cap)
+        for k, v in self._stats.items():
+            self._stats[k] = np.resize(v, new_cap)
+
+    def _find_all(self, idx: np.ndarray) -> np.ndarray:
+        """Roots with FULL global path compression (finalize-time only:
+        a per-frame global compression would be O(total_frags) per frame
+        = quadratic over a long collection)."""
+        p = self._parent
+        while True:
+            pp = p[p]
+            if np.array_equal(pp, p):
+                break
+            p = pp
+        self._parent = p
+        return p[idx]
+
+    def _roots_of(self, idx: np.ndarray) -> np.ndarray:
+        """Roots of just ``idx`` — touches only the chains it follows,
+        keeping the per-frame work proportional to the OPEN set."""
+        p = self._parent
+        r = p[idx]
+        while True:
+            rr = p[r]
+            if np.array_equal(rr, r):
+                return r
+            r = rr
+
+    def _union_edges(self, u: np.ndarray, v: np.ndarray) -> None:
+        while True:
+            ru, rv = self._roots_of(u), self._roots_of(v)
+            split = ru != rv
+            if not split.any():
+                return
+            lo = np.minimum(ru[split], rv[split])
+            hi = np.maximum(ru[split], rv[split])
+            np.minimum.at(self._parent, hi, lo)
+
+    # -- streaming interface ----------------------------------------------
+    def push_frame(self, f: FramePixels) -> None:
+        z = self._z
+        self._z += 1
+        lin = np.asarray(f.linear_index, dtype=np.int64)
+        inten = np.asarray(f.intensity, dtype=np.int64)
+        roots, inv = np.unique(np.asarray(f.root, dtype=np.int64),
+                               return_inverse=True)
+        nf = len(roots)
+        base = self._n_frags
+        self._n_frags += nf
+        self._grow_to(self._n_frags)
+        gids = base + np.arange(nf, dtype=np.int64)
+        self._frag_z[gids] = z
+
+        if nf:
+            x = lin % self.width
+            y = lin // self.width
+            st = self._stats
+            st["n_pix"][gids] = np.bincount(inv, minlength=nf)
+            st["sum_i"][gids] = np.bincount(inv, weights=inten, minlength=nf)
+            st["sum_ix"][gids] = np.bincount(
+                inv, weights=inten * x, minlength=nf
+            )
+            st["sum_iy"][gids] = np.bincount(
+                inv, weights=inten * y, minlength=nf
+            )
+            st["sum_iz"][gids] = np.bincount(
+                inv, weights=inten * z, minlength=nf
+            )
+            big = np.iinfo(np.int64).max
+            for name, vals, take_min in (
+                ("x_min", x, True), ("x_max", x, False),
+                ("y_min", y, True), ("y_max", y, False),
+            ):
+                acc = np.full(nf, big if take_min else -big, np.int64)
+                (np.minimum if take_min else np.maximum).at(acc, inv, vals)
+                st[name][gids] = acc
+            # per-fragment peak: max intensity, ties -> smallest (y, x)
+            # (z is constant within a fragment)
+            order = np.lexsort((x, y, -inten, inv))
+            first = np.searchsorted(inv[order], np.arange(nf), side="left")
+            pk = order[first]
+            st["peak_i"][gids] = inten[pk]
+            st["peak_z"][gids] = z
+            st["peak_y"][gids] = y[pk]
+            st["peak_x"][gids] = x[pk]
+            frag_global = gids[inv]
+            # open-component pixel retention (freed at close)
+            order_f = np.argsort(frag_global, kind="stable")
+            bounds = np.searchsorted(
+                frag_global[order_f], gids, side="left"
+            )
+            bounds = np.append(bounds, len(frag_global))
+            for j, g in enumerate(gids):
+                sl = order_f[bounds[j] : bounds[j + 1]]
+                self._pix[int(g)] = (lin[sl], inten[sl], z)
+            if self.keep_pixels:
+                self._all_pixels.append((lin, inten, frag_global, z))
+        else:
+            frag_global = np.zeros(0, dtype=np.int64)
+
+        # inter-frame edges against the previous frame (shared (x, y))
+        if self._prev is not None and nf and len(self._prev[0]):
+            plin, pfrag = self._prev
+            common, ia, ib = np.intersect1d(
+                plin, lin, assume_unique=True, return_indices=True
+            )
+            if len(common):
+                self._union_edges(pfrag[ia], frag_global[ib])
+
+        self._prev = (lin, frag_global)
+        self._open = np.concatenate([self._open, gids])
+        self._close_finished(before_z=z)
+
+    def push_frames(self, frames) -> None:
+        for f in frames:
+            self.push_frame(f)
+
+    def _close_finished(self, before_z: int | None = None) -> None:
+        """Close every open component whose newest fragment is older than
+        ``before_z`` (None = close everything)."""
+        if not len(self._open):
+            return
+        roots = self._roots_of(self._open)
+        if before_z is not None:
+            uniq_r, inv_r = np.unique(roots, return_inverse=True)
+            mx = np.full(len(uniq_r), -1, dtype=np.int64)
+            np.maximum.at(mx, inv_r, self._frag_z[self._open])
+            closing = mx[inv_r] < before_z
+        else:
+            closing = np.ones(len(self._open), dtype=bool)
+        if not closing.any():
+            return
+        close_frags = self._open[closing]
+        close_roots = roots[closing]
+        self._open = self._open[~closing]
+        # group fragments by root
+        order = np.argsort(close_roots, kind="stable")
+        cf, cr = close_frags[order], close_roots[order]
+        uniq, starts = np.unique(cr, return_index=True)
+        ends = np.append(starts[1:], len(cr))
+        st = self._stats
+        for r, s0, s1 in zip(uniq, starts, ends):
+            frs = cf[s0:s1]
+            rec = {
+                "root": int(r),
+                "n_pixels": int(st["n_pix"][frs].sum()),
+                "sum_intensity": int(st["sum_i"][frs].sum()),
+                "sum_ix": int(st["sum_ix"][frs].sum()),
+                "sum_iy": int(st["sum_iy"][frs].sum()),
+                "sum_iz": int(st["sum_iz"][frs].sum()),
+                "x_min": int(st["x_min"][frs].min()),
+                "x_max": int(st["x_max"][frs].max()),
+                "y_min": int(st["y_min"][frs].min()),
+                "y_max": int(st["y_max"][frs].max()),
+                "z_min": int(self._frag_z[frs].min()),
+                "z_max": int(self._frag_z[frs].max()),
+            }
+            # peak combine: max intensity, ties -> smallest (z, y, x);
+            # fragment candidates are already per-frame winners
+            pi = st["peak_i"][frs]
+            pz, py, px = (
+                st["peak_z"][frs], st["peak_y"][frs], st["peak_x"][frs],
+            )
+            k = np.lexsort((px, py, pz, -pi))[0]
+            rec.update(
+                peak_intensity=int(pi[k]), peak_z=int(pz[k]),
+                peak_y=int(py[k]), peak_x=int(px[k]),
+            )
+            # hand the pixels to the close hook, then free them
+            pix = [self._pix.pop(int(g)) for g in frs]
+            if self.on_spot_closed is not None:
+                lin = np.concatenate([p[0] for p in pix])
+                ival = np.concatenate([p[1] for p in pix])
+                zval = np.concatenate(
+                    [np.full(len(p[0]), p[2], np.int64) for p in pix]
+                )
+                rec2 = dict(rec)
+                rec2["pixel_linear_index"] = lin
+                rec2["pixel_intensity"] = ival
+                rec2["pixel_z"] = zval
+                self.on_spot_closed(rec2)
+            self._records.append(rec)
+
+    def finalize(self) -> Spots3D:
+        """Close all remaining components and build the Spots3D, ordered
+        and valued bit-identically to :func:`merge_frames`."""
+        self._close_finished(before_z=None)
+        recs = sorted(self._records, key=lambda r: r["root"])
+        n = len(recs)
+
+        def col(name, dtype=np.int64):
+            return np.asarray([r[name] for r in recs], dtype=dtype)
+
+        sum_i = col("sum_intensity").astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            com_x = col("sum_ix").astype(np.float64) / sum_i + 0.5
+            com_y = col("sum_iy").astype(np.float64) / sum_i + 0.5
+            com_z = col("sum_iz").astype(np.float64) / sum_i + 0.5
+
+        if self.keep_pixels and self._all_pixels:
+            all_lin = np.concatenate([p[0] for p in self._all_pixels])
+            all_int = np.concatenate([p[1] for p in self._all_pixels])
+            all_frag = np.concatenate([p[2] for p in self._all_pixels])
+            all_z = np.concatenate(
+                [np.full(len(p[0]), p[3], np.int64) for p in self._all_pixels]
+            )
+            root_of = self._find_all(all_frag)
+            root_to_spot = {r["root"]: i for i, r in enumerate(recs)}
+            spot = np.asarray(
+                [root_to_spot[int(r)] for r in root_of], dtype=np.int64
+            )
+            px = all_lin % self.width
+            py = all_lin // self.width
+            pint = all_int.astype(np.float64)
+        else:
+            spot = np.zeros(0, np.int64)
+            px = py = all_z = np.zeros(0, np.int64)
+            pint = np.zeros(0, np.float64)
+
+        return Spots3D(
+            n_pixels=col("n_pixels"),
+            sum_intensity=sum_i,
+            com_x=com_x, com_y=com_y, com_z=com_z,
+            x_min=col("x_min"), x_max=col("x_max"),
+            y_min=col("y_min"), y_max=col("y_max"),
+            z_min=col("z_min"), z_max=col("z_max"),
+            peak_x=col("peak_x"), peak_y=col("peak_y"),
+            peak_z=col("peak_z"),
+            peak_intensity=col("peak_intensity", np.float64),
+            pixel_spot=spot, pixel_x=px, pixel_y=py,
+            pixel_z=all_z, pixel_intensity=pint,
+        )
+
+
 def filter_spots(
     spots: Spots3D, min_spot_size: int, max_peak_centroid_separation: float
 ) -> tuple[np.ndarray, int, int]:

@@ -406,6 +406,20 @@ def run(argv=None, default_pixel_depth: int = 16) -> int:
 
     rotation_slices: dict[int, cc3d.FramePixels] = {}
     reflection_centers_2d: dict[int, np.ndarray] = {}
+    # STREAMING 3D merge: frames feed the label-equivalence state as they
+    # complete (in acquisition order via a small reorder buffer), so the
+    # end-of-collection epilogue only finalises — the reference's 3D
+    # graph merge is a post-hoc global pass it marks HOT for long scans
+    # (connected_components.cc:270-471).  keep_pixels retains pixel
+    # membership for the sigma_b/sigma_m variance stage below.
+    stream_merger = cc3d.StreamingMerger3D(width, keep_pixels=True)
+    next_stream_push = args.start_index
+
+    def _stream_ready_frames():
+        nonlocal next_stream_push
+        while next_stream_push in rotation_slices:
+            stream_merger.push_frame(rotation_slices.pop(next_stream_push))
+            next_stream_push += 1
 
     all_images_start = time.monotonic()
     time_waiting = 0.0
@@ -431,6 +445,7 @@ def run(argv=None, default_pixel_depth: int = 16) -> int:
         n_boxes = res.n_spots
         if rotation:
             rotation_slices[image_num] = res.pixels
+            _stream_ready_frames()
         elif want_com:
             reflection_centers_2d[image_num] = res.centers_of_mass
 
@@ -695,8 +710,12 @@ def run(argv=None, default_pixel_depth: int = 16) -> int:
     # ----- epilogues (reference: spotfinder.cc:1099-1305) -------------------
     if rotation:
         print("Processing 3D spots")
-        ordered = [rotation_slices[k] for k in sorted(rotation_slices)]
-        spots = cc3d.merge_frames(ordered, width=width)
+        # any frames still buffered (SIGINT / out-of-order tail) stream in
+        # acquisition order; the merge state is already up to date for
+        # everything that arrived in order
+        for k in sorted(rotation_slices):
+            stream_merger.push_frame(rotation_slices.pop(k))
+        spots = stream_merger.finalize()
         print(f"Calculated {len(spots)} spots")
         keep, n_size, n_sep = cc3d.filter_spots(
             spots, args.min_spot_size_3d, args.max_peak_centroid_separation

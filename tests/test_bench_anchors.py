@@ -37,10 +37,10 @@ class _Table:
             setattr(self, col, a)
 
 
-def _device_like(golden, tag, w, hp, frame):
+def _device_like(golden, tag, w, pitch, frame):
     y = golden[f"{tag}_y"].astype(np.int64)
     x = golden[f"{tag}_x"].astype(np.int64)
-    lin = (y + frame * hp) * w + x
+    lin = (y + frame * pitch) * w + x
     inten = golden[f"{tag}_intensity"].astype(np.int32)
     return lin, inten, _Table(golden, tag, frame, len(y) + 64)
 
@@ -58,7 +58,7 @@ def test_golden_counts(golden):
 
 @pytest.mark.parametrize("tag,frame", [("img2", 0), ("img5", 1)])
 def test_bitparity_passes_on_golden(golden, tag, frame):
-    w, hp = 4148, 4368
+    w, hp = 4148, 4369
     lin, inten, table = _device_like(golden, tag, w, hp, frame)
     assert bench._check_anchor_bitparity(
         golden, tag, w, hp, frame, lin, inten, table
@@ -66,7 +66,7 @@ def test_bitparity_passes_on_golden(golden, tag, frame):
 
 
 def test_planted_pixel_fault_fails(golden):
-    w, hp = 4148, 4368
+    w, hp = 4148, 4369
     lin, inten, table = _device_like(golden, "img2", w, hp, 0)
     inten = inten.copy()
     inten[1234] ^= 1  # single-bit intensity fault
@@ -77,7 +77,7 @@ def test_planted_pixel_fault_fails(golden):
 
 
 def test_planted_coordinate_fault_fails(golden):
-    w, hp = 4148, 4368
+    w, hp = 4148, 4369
     lin, inten, table = _device_like(golden, "img2", w, hp, 0)
     lin = lin.copy()
     lin[77] += 1
@@ -90,7 +90,7 @@ def test_planted_coordinate_fault_fails(golden):
 def test_planted_table_fault_fails(golden):
     """The exact v5e failure class: one dropped product in one spot's
     sum while counts stay right."""
-    w, hp = 4148, 4368
+    w, hp = 4148, 4369
     lin, inten, table = _device_like(golden, "img5", w, hp, 1)
     table.sum_intensity = table.sum_intensity.copy()
     table.sum_intensity[5] += 1.0
@@ -101,7 +101,7 @@ def test_planted_table_fault_fails(golden):
 
 
 def test_planted_count_fault_fails(golden):
-    w, hp = 4148, 4368
+    w, hp = 4148, 4369
     lin, inten, table = _device_like(golden, "img2", w, hp, 0)
     errs = bench._check_anchor_bitparity(
         golden, "img2", w, hp, 0, lin[:-1], inten[:-1], table

@@ -107,9 +107,11 @@ def main() -> int:
 
         return jax.lax.fori_loop(0, REPS, body, jnp.float64(0.0))
 
-    jax.block_until_ready(chained(frames, *args))
+    # r5 fencing: scalar d2h + value-perturbed timed input (the tunnel
+    # acks block_until_ready at enqueue and memoizes identical runs)
+    float(chained(frames, *args))
     t0 = time.perf_counter()
-    jax.block_until_ready(chained(frames, *args))
+    float(chained(frames + jnp.asarray(2, frames.dtype), *args))
     dt = time.perf_counter() - t0
 
     rps = A * F * REPS / dt
@@ -221,9 +223,9 @@ def _effective_rate(block_rps, integ, panel, beam, gonio, rng) -> float:
 
             return jax.lax.fori_loop(0, R, body, jnp_.float64(0.0))
 
-        jax.block_until_ready(chained_pred(pk, *hk))
+        float(chained_pred(pk, *hk))
         t0 = time.perf_counter()
-        jax.block_until_ready(chained_pred(pk, *hk))
+        float(chained_pred(pk * (1.0 + 1e-12), *hk))
         per_block = (time.perf_counter() - t0) / R
         t_pred = per_block * (N_IMAGES / span)
     except Exception as e:
@@ -262,9 +264,9 @@ def _effective_rate(block_rps, integ, panel, beam, gonio, rng) -> float:
 
         return jax.lax.fori_loop(0, 4, body, jnp.float64(0.0))
 
-    jax.block_until_ready(bbox_chained(*bb_args))
+    float(bbox_chained(*bb_args))
     t0 = time.perf_counter()
-    jax.block_until_ready(bbox_chained(*bb_args))
+    float(bbox_chained(bb_args[0] * (1.0 + 1e-12), *bb_args[1:]))
     t_bbox = (time.perf_counter() - t0) / 4 * (N_REFL / NBB)
 
     # background: (NB, 256) tukey IRLS on device (pipeline --bg-device),
@@ -291,9 +293,9 @@ def _effective_rate(block_rps, integ, panel, beam, gonio, rng) -> float:
 
         return jax.lax.fori_loop(0, 4, body, jnp.float64(0.0))
 
-    jax.block_until_ready(bg_chained(hist_d, ovf_d))
+    float(bg_chained(hist_d, ovf_d))
     t0 = time.perf_counter()
-    jax.block_until_ready(bg_chained(hist_d, ovf_d))
+    float(bg_chained(hist_d + 2, ovf_d))
     t_bg = (time.perf_counter() - t0) / 4 * (N_REFL / NB)
 
     # finalize: host pass at (scaled) collection size
@@ -348,9 +350,9 @@ def _effective_rate(block_rps, integ, panel, beam, gonio, rng) -> float:
 
         return jax.lax.fori_loop(0, 4, body, jnp.float64(0.0))
 
-    jax.block_until_ready(fin_chained(*fin_args))
+    float(fin_chained(*fin_args))
     t0 = time.perf_counter()
-    jax.block_until_ready(fin_chained(*fin_args))
+    float(fin_chained(fin_args[0] + 2, *fin_args[1:]))
     t_fin = (time.perf_counter() - t0) / 4 * (N_REFL / NF)
 
     t_block = N_SLICES / block_rps

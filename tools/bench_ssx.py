@@ -63,10 +63,15 @@ def main() -> int:
 
     n_ok = 0
     t0 = time.perf_counter()
-    for _ in range(REPS):
+    for rep in range(REPS):
         n_ok = 0
+        # r5 protocol: jitter inputs per rep (sub-millipixel, harmless to
+        # the search) — the tunnel memoizes identical (program, value)
+        # executions, which would hand reps 2+ back for free
+        jit_off = 1e-3 * (rep + 1)
         for lo in range(0, N_IMAGES, BATCH):
-            for result, _ in indexer.index_batch(images[lo : lo + BATCH]):
+            batch_imgs = [im + jit_off for im in images[lo : lo + BATCH]]
+            for result, _ in indexer.index_batch(batch_imgs):
                 if result is not None:
                     n_ok += 1
     dt = time.perf_counter() - t0
