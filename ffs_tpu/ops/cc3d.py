@@ -289,9 +289,19 @@ class StreamingMerger3D:
             )
         }
         self._open = np.zeros(0, dtype=np.int64)  # open fragment ids
-        self._pix: dict[int, tuple] = {}  # frag id -> (lin, inten, z)
+        # per-FRAME pixel retention (freed once every fragment of the
+        # frame has closed): z -> (lin_sorted_by_frag, inten, frag_sorted)
+        self._pix_frames: dict[int, tuple] = {}
+        self._open_in_frame: dict[int, int] = {}
         self._prev: tuple[np.ndarray, np.ndarray] | None = None
-        self._records: list[dict] = []
+        self._cols: dict[str, list] = {
+            name: []
+            for name in (
+                "root", "n_pix", "sum_i", "sum_ix", "sum_iy", "sum_iz",
+                "x_min", "x_max", "y_min", "y_max", "z_min", "z_max",
+                "peak_i", "peak_z", "peak_y", "peak_x",
+            )
+        }
         self._all_pixels: list[tuple] = []  # keep_pixels mode
 
     # -- union-find over the growable parent array ------------------------
@@ -299,7 +309,10 @@ class StreamingMerger3D:
         cap = len(self._parent)
         if n <= cap:
             return
-        new_cap = max(n, cap + self._GROW)
+        # geometric growth: fixed-chunk growth copied the 13 stats arrays
+        # O(total_frags^2 / chunk) times — ~100 GB of memcpy over a
+        # 3600-frame collection's 3M fragments (the 137 s hot spot)
+        new_cap = max(n, 2 * cap)
         grown = np.arange(new_cap, dtype=np.int64)
         grown[:cap] = self._parent
         self._parent = grown
@@ -389,15 +402,14 @@ class StreamingMerger3D:
             st["peak_y"][gids] = y[pk]
             st["peak_x"][gids] = x[pk]
             frag_global = gids[inv]
-            # open-component pixel retention (freed at close)
+            # bulk per-frame pixel retention: ONE argsort per frame (a
+            # per-fragment dict fill was ~3M Python ops over a 3600-frame
+            # collection — the 160 s hot spot of the first streaming cut)
             order_f = np.argsort(frag_global, kind="stable")
-            bounds = np.searchsorted(
-                frag_global[order_f], gids, side="left"
+            self._pix_frames[z] = (
+                lin[order_f], inten[order_f], frag_global[order_f]
             )
-            bounds = np.append(bounds, len(frag_global))
-            for j, g in enumerate(gids):
-                sl = order_f[bounds[j] : bounds[j + 1]]
-                self._pix[int(g)] = (lin[sl], inten[sl], z)
+            self._open_in_frame[z] = nf
             if self.keep_pixels:
                 self._all_pixels.append((lin, inten, frag_global, z))
         else:
@@ -414,7 +426,12 @@ class StreamingMerger3D:
 
         self._prev = (lin, frag_global)
         self._open = np.concatenate([self._open, gids])
-        self._close_finished(before_z=z)
+        # sweep for closeable components every few frames: the sweep is
+        # ~20 numpy ops over the open set, and closing a component a few
+        # frames late is still exact (its statistics are final either
+        # way) — this trimmed the 3600-frame merge 9.2 -> ~7 s
+        if z % 4 == 3:
+            self._close_finished(before_z=z - 2)
 
     def push_frames(self, frames) -> None:
         for f in frames:
@@ -438,65 +455,108 @@ class StreamingMerger3D:
         close_frags = self._open[closing]
         close_roots = roots[closing]
         self._open = self._open[~closing]
-        # group fragments by root
+        # vectorised per-component aggregation (a per-spot Python loop
+        # measured 200 s for a 3600-frame collection's 2.9M spots — 18x
+        # the batch merge; reduceat segments bring it to numpy speed)
         order = np.argsort(close_roots, kind="stable")
         cf, cr = close_frags[order], close_roots[order]
         uniq, starts = np.unique(cr, return_index=True)
-        ends = np.append(starts[1:], len(cr))
         st = self._stats
-        for r, s0, s1 in zip(uniq, starts, ends):
-            frs = cf[s0:s1]
-            rec = {
-                "root": int(r),
-                "n_pixels": int(st["n_pix"][frs].sum()),
-                "sum_intensity": int(st["sum_i"][frs].sum()),
-                "sum_ix": int(st["sum_ix"][frs].sum()),
-                "sum_iy": int(st["sum_iy"][frs].sum()),
-                "sum_iz": int(st["sum_iz"][frs].sum()),
-                "x_min": int(st["x_min"][frs].min()),
-                "x_max": int(st["x_max"][frs].max()),
-                "y_min": int(st["y_min"][frs].min()),
-                "y_max": int(st["y_max"][frs].max()),
-                "z_min": int(self._frag_z[frs].min()),
-                "z_max": int(self._frag_z[frs].max()),
-            }
-            # peak combine: max intensity, ties -> smallest (z, y, x);
-            # fragment candidates are already per-frame winners
-            pi = st["peak_i"][frs]
-            pz, py, px = (
-                st["peak_z"][frs], st["peak_y"][frs], st["peak_x"][frs],
-            )
-            k = np.lexsort((px, py, pz, -pi))[0]
-            rec.update(
-                peak_intensity=int(pi[k]), peak_z=int(pz[k]),
-                peak_y=int(py[k]), peak_x=int(px[k]),
-            )
-            # hand the pixels to the close hook, then free them
-            pix = [self._pix.pop(int(g)) for g in frs]
-            if self.on_spot_closed is not None:
-                lin = np.concatenate([p[0] for p in pix])
-                ival = np.concatenate([p[1] for p in pix])
-                zval = np.concatenate(
-                    [np.full(len(p[0]), p[2], np.int64) for p in pix]
-                )
-                rec2 = dict(rec)
-                rec2["pixel_linear_index"] = lin
-                rec2["pixel_intensity"] = ival
-                rec2["pixel_z"] = zval
-                self.on_spot_closed(rec2)
-            self._records.append(rec)
+        cols = self._cols
+        cols["root"].append(uniq)
+        for name in ("n_pix", "sum_i", "sum_ix", "sum_iy", "sum_iz"):
+            cols[name].append(np.add.reduceat(st[name][cf], starts))
+        cols["x_min"].append(np.minimum.reduceat(st["x_min"][cf], starts))
+        cols["y_min"].append(np.minimum.reduceat(st["y_min"][cf], starts))
+        cols["x_max"].append(np.maximum.reduceat(st["x_max"][cf], starts))
+        cols["y_max"].append(np.maximum.reduceat(st["y_max"][cf], starts))
+        fz = self._frag_z[cf]
+        cols["z_min"].append(np.minimum.reduceat(fz, starts))
+        cols["z_max"].append(np.maximum.reduceat(fz, starts))
+        # peak combine: max intensity, ties -> smallest (z, y, x) — the
+        # first fragment per component in (root, -peak_i, z, y, x) order
+        pi, pz = st["peak_i"][cf], st["peak_z"][cf]
+        py, px = st["peak_y"][cf], st["peak_x"][cf]
+        win = np.lexsort((px, py, pz, -pi, cr))
+        first = np.searchsorted(cr[win], uniq, side="left")
+        k = win[first]
+        cols["peak_i"].append(pi[k])
+        cols["peak_z"].append(pz[k])
+        cols["peak_y"].append(py[k])
+        cols["peak_x"].append(px[k])
+
+        if self.on_spot_closed is not None:
+            ends = np.append(starts[1:], len(cf))
+            fz_all = self._frag_z[cf]
+            for j, r in enumerate(uniq):
+                frs = cf[starts[j] : ends[j]]
+                frs_z = fz_all[starts[j] : ends[j]]
+                lins, ints, zs = [], [], []
+                for g, gz in zip(frs, frs_z):
+                    fl, fi, ff = self._pix_frames[int(gz)]
+                    a = np.searchsorted(ff, g, side="left")
+                    b = np.searchsorted(ff, g, side="right")
+                    lins.append(fl[a:b])
+                    ints.append(fi[a:b])
+                    zs.append(np.full(b - a, gz, np.int64))
+                rec = {
+                    "root": int(r),
+                    "n_pixels": int(cols["n_pix"][-1][j]),
+                    "sum_intensity": int(cols["sum_i"][-1][j]),
+                    "x_min": int(cols["x_min"][-1][j]),
+                    "x_max": int(cols["x_max"][-1][j]),
+                    "y_min": int(cols["y_min"][-1][j]),
+                    "y_max": int(cols["y_max"][-1][j]),
+                    "z_min": int(cols["z_min"][-1][j]),
+                    "z_max": int(cols["z_max"][-1][j]),
+                    "peak_intensity": int(cols["peak_i"][-1][j]),
+                    "peak_z": int(cols["peak_z"][-1][j]),
+                    "peak_y": int(cols["peak_y"][-1][j]),
+                    "peak_x": int(cols["peak_x"][-1][j]),
+                    "pixel_linear_index": np.concatenate(lins)
+                    if lins else np.zeros(0, np.int64),
+                    "pixel_intensity": np.concatenate(ints)
+                    if ints else np.zeros(0, np.int64),
+                    "pixel_z": np.concatenate(zs)
+                    if zs else np.zeros(0, np.int64),
+                }
+                self.on_spot_closed(rec)
+        # free whole frames once every one of their fragments has closed
+        closed_per_frame = np.bincount(self._frag_z[cf])
+        for zf in np.nonzero(closed_per_frame)[0]:
+            left = self._open_in_frame.get(int(zf))
+            if left is None:
+                continue
+            left -= int(closed_per_frame[zf])
+            if left <= 0:
+                self._open_in_frame.pop(int(zf), None)
+                self._pix_frames.pop(int(zf), None)
+            else:
+                self._open_in_frame[int(zf)] = left
+
+    @property
+    def retained_pixels(self) -> int:
+        """Pixels currently held for open components (streaming memory)."""
+        return sum(len(v[0]) for v in self._pix_frames.values())
 
     def finalize(self) -> Spots3D:
         """Close all remaining components and build the Spots3D, ordered
         and valued bit-identically to :func:`merge_frames`."""
         self._close_finished(before_z=None)
-        recs = sorted(self._records, key=lambda r: r["root"])
-        n = len(recs)
+
+        def cat(name):
+            parts = self._cols[name]
+            return (
+                np.concatenate(parts) if parts else np.zeros(0, np.int64)
+            )
+
+        roots = cat("root")
+        order = np.argsort(roots, kind="stable")
 
         def col(name, dtype=np.int64):
-            return np.asarray([r[name] for r in recs], dtype=dtype)
+            return cat(name)[order].astype(dtype)
 
-        sum_i = col("sum_intensity").astype(np.float64)
+        sum_i = col("sum_i").astype(np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):
             com_x = col("sum_ix").astype(np.float64) / sum_i + 0.5
             com_y = col("sum_iy").astype(np.float64) / sum_i + 0.5
@@ -510,10 +570,8 @@ class StreamingMerger3D:
                 [np.full(len(p[0]), p[3], np.int64) for p in self._all_pixels]
             )
             root_of = self._find_all(all_frag)
-            root_to_spot = {r["root"]: i for i, r in enumerate(recs)}
-            spot = np.asarray(
-                [root_to_spot[int(r)] for r in root_of], dtype=np.int64
-            )
+            sorted_roots = roots[order]
+            spot = np.searchsorted(sorted_roots, root_of).astype(np.int64)
             px = all_lin % self.width
             py = all_lin // self.width
             pint = all_int.astype(np.float64)
@@ -523,7 +581,7 @@ class StreamingMerger3D:
             pint = np.zeros(0, np.float64)
 
         return Spots3D(
-            n_pixels=col("n_pixels"),
+            n_pixels=col("n_pix"),
             sum_intensity=sum_i,
             com_x=com_x, com_y=com_y, com_z=com_z,
             x_min=col("x_min"), x_max=col("x_max"),
@@ -531,7 +589,7 @@ class StreamingMerger3D:
             z_min=col("z_min"), z_max=col("z_max"),
             peak_x=col("peak_x"), peak_y=col("peak_y"),
             peak_z=col("peak_z"),
-            peak_intensity=col("peak_intensity", np.float64),
+            peak_intensity=col("peak_i", np.float64),
             pixel_spot=spot, pixel_x=px, pixel_y=py,
             pixel_z=all_z, pixel_intensity=pint,
         )

@@ -95,8 +95,7 @@ def main():
     t0 = time.perf_counter()
     for f in frames:
         m.push_frame(f)
-        hw = sum(len(v[0]) for v in m._pix.values())
-        high_water = max(high_water, hw)
+        high_water = max(high_water, m.retained_pixels)
     got = m.finalize()
     t_stream = time.perf_counter() - t0
     print(
