@@ -410,9 +410,13 @@ def main() -> int:
     # covering every value the warmup AND timed runs see (b+0..b+3: the
     # timed input is value-perturbed, and the chained loop adds i&1)
     counts_k = jnp.maximum(
-        jnp.maximum(step(batch)[4], step(batch + jnp.uint16(1))[4]),
+        jnp.maximum(step(batch)[4], step(batch + jnp.uint16(2))[4]),
         jnp.maximum(
-            step(batch + jnp.uint16(2))[4], step(batch + jnp.uint16(3))[4]
+            jnp.maximum(
+                step(batch + jnp.uint16(3))[4],
+                step(batch + jnp.uint16(4))[4],
+            ),
+            step(batch + jnp.uint16(5))[4],
         ),
     )
     if int(jnp.max(counts_k)) > KF:
@@ -422,10 +426,12 @@ def main() -> int:
         ok = False
 
     def _timed_fps(chained_fn, warm_in, timed_in, n_frames):
-        """r5 fencing protocol: the tunnel now acks block_until_ready at
-        ENQUEUE (timings read ~0) and appears to memoize identical
-        (program, input-value) executions — so fence with a scalar d2h
-        (float()) and time an input whose VALUE differs from warmup."""
+        """r5 fencing protocol (v3): the tunnel acks block_until_ready at
+        ENQUEUE, memoizes identical (program, input-value) executions,
+        and defers a ~1 s executable-load cost to the first REAL
+        execution — so (a) fence with a scalar d2h (float()), (b) warm
+        with an input that is itself fresh (a memoized warm absorbs
+        nothing), and (c) time a further-perturbed input."""
         float(chained_fn(warm_in))
         t0 = time.perf_counter()
         float(chained_fn(timed_in))
@@ -441,7 +447,7 @@ def main() -> int:
         return jax.lax.fori_loop(0, REPS, body, jnp.float32(0.0))
 
     eiger_fps = _timed_fps(
-        chained, batch, batch + jnp.uint16(2), BATCH * REPS
+        chained, batch + jnp.uint16(2), batch + jnp.uint16(3), BATCH * REPS
     )
     eiger_line = (
         "eiger16m_spotfind_fps" + ("" if ok else "_VALIDATION_FAILED"),
@@ -581,7 +587,8 @@ def main() -> int:
                 return jax.lax.fori_loop(0, REPS, body, jnp.float32(0.0))
 
             ingest_fps = _timed_fps(
-                ichained, iplanes, iplanes ^ ppat_dev * jnp.uint32(2),
+                ichained, iplanes ^ ppat_dev * jnp.uint32(2),
+                iplanes ^ ppat_dev * jnp.uint32(3),
                 BATCH * REPS,
             )
             _emit(
@@ -627,10 +634,13 @@ def main() -> int:
             extended=True, msk=jmask, mb=jmbox,
         )
         jcounts = jnp.maximum(
-            jnp.maximum(jstep(jbatch)[4], jstep(jbatch + jnp.uint16(1))[4]),
+            jnp.maximum(jstep(jbatch)[4], jstep(jbatch + jnp.uint16(2))[4]),
             jnp.maximum(
-                jstep(jbatch + jnp.uint16(2))[4],
-                jstep(jbatch + jnp.uint16(3))[4],
+                jnp.maximum(
+                    jstep(jbatch + jnp.uint16(3))[4],
+                    jstep(jbatch + jnp.uint16(4))[4],
+                ),
+                jstep(jbatch + jnp.uint16(5))[4],
             ),
         )
         if int(jnp.max(jcounts)) > JKF:
@@ -652,7 +662,8 @@ def main() -> int:
             return jax.lax.fori_loop(0, REPS, body, jnp.float32(0.0))
 
         jf_fps = _timed_fps(
-            jchained, jbatch, jbatch + jnp.uint16(2), JB * REPS
+            jchained, jbatch + jnp.uint16(2), jbatch + jnp.uint16(3),
+            JB * REPS,
         )
         _emit(
             "jungfrau1m_extended_spotfind_fps"

@@ -58,8 +58,12 @@ def main() -> int:
 
     BATCH = int(os.environ.get("FFS_BENCH_SSX_BATCH", "64"))
 
-    # warmup: compile the batched search (both dispatches) at the bucket
+    # warmup: compile the batched search (both dispatches) at the bucket,
+    # then one JITTERED batch — the tunnel memoizes identical executions
+    # and defers the executable-load cost to the first REAL run, so a
+    # same-value warm absorbs neither (r5 protocol v3)
     indexer.index_batch(images[:BATCH])
+    indexer.index_batch([im + 5e-4 for im in images[:BATCH]])
 
     n_ok = 0
     t0 = time.perf_counter()
