@@ -161,31 +161,6 @@ def _transpose8_rows(rows):
     return _swar_level(rows, 2, 1, 0x55555555, 0xAAAAAAAA)
 
 
-def _swar_levels_rolled(P):
-    """All three delta-swap levels on (N, n_planes, L) u32 via sublane
-    rolls + row-mask selects — no reshape/stack between levels, so XLA
-    fuses the whole butterfly into one elementwise pass (the
-    slice/stack form materialised every level: +0.4 ms/frame at Eiger
-    batch scale).  Rolling across the 8-row group boundary is harmless:
-    rows whose partner would wrap select the other branch (the pattern
-    repeats with period 8, so every s-group transposes independently).
-    """
-    n_planes = P.shape[1]
-    rows = np.arange(n_planes).reshape(1, n_planes, 1)
-
-    def lvl(x, d, sh, mlo, mhi):
-        is_a = jnp.asarray((rows % (2 * d)) < d)
-        up = jnp.roll(x, -d, axis=1)
-        dn = jnp.roll(x, d, axis=1)
-        a_out = (x & np.uint32(mlo)) | ((up << sh) & np.uint32(mhi))
-        b_out = ((dn >> sh) & np.uint32(mlo)) | (x & np.uint32(mhi))
-        return jnp.where(is_a, a_out, b_out)
-
-    P = lvl(P, 4, 4, 0x0F0F0F0F, 0xF0F0F0F0)
-    P = lvl(P, 2, 2, 0x33333333, 0xCCCCCCCC)
-    return lvl(P, 1, 1, 0x55555555, 0xAAAAAAAA)
-
-
 def untranspose_planes_to_wide(planes32, elem_size: int):
     """u32-word planes -> WIDE elements (one per u32), flat order.
 
